@@ -1,0 +1,37 @@
+"""superlu_dist_tpu — a TPU-native distributed sparse direct solver.
+
+Built from scratch with the capabilities of SuperLU_DIST (GESP: Gaussian
+elimination with static pivoting) but architected for TPUs: the numeric
+factorization and triangular solves are tape-driven batched MXU GEMM
+programs compiled once per sparsity pattern; distribution uses
+``jax.sharding`` meshes (2D block-cyclic + 3D elimination-forest axes)
+instead of MPI ranks. See SURVEY.md for the reference structural map.
+
+Quick start::
+
+    import scipy.sparse as sp
+    from superlu_dist_tpu import gssvx, Options
+
+    result, lu = gssvx(A, b, Options(dtype="float32"))
+    x = result.x                       # refined to float64-quality
+    x2 = lu.solve(b2)                  # reuse the factorization
+"""
+
+# float64 / complex128 paths (the reference's d/z precisions) require x64.
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from .version import __version__, get_version_number
+from .utils.options import (ColPerm, DiagScale, Equil, Fact, IterRefine,
+                            Options, RowPerm, Trans, set_default_options,
+                            sp_ienv, print_options)
+from .utils.stats import Stats
+from .models.driver import SparseLU, SolveResult, gssvx
+
+__all__ = [
+    "__version__", "get_version_number",
+    "Options", "Fact", "Equil", "RowPerm", "ColPerm", "Trans", "IterRefine",
+    "DiagScale", "set_default_options", "sp_ienv", "print_options",
+    "Stats", "SparseLU", "SolveResult", "gssvx",
+]

@@ -1,0 +1,369 @@
+"""Expert driver: the ``pdgssvx`` analog.
+
+Pipeline (mirrors reference: SRC/double/pdgssvx.c:506-2783):
+  equilibrate → static row pivot (MC64) → fill-reducing column order →
+  block symbolic (static schedule) → device factorization → triangular
+  solves → iterative refinement, with factor-reuse staging
+  (DOFACT / SamePattern / SamePattern_SameRowPerm / FACTORED,
+  superlu_defs.h:545-566) and per-phase statistics (PStatPrint analog).
+
+The factored operator satisfies  Pc·Pr·Dr·A·Dc·Pcᵀ = L·U  exactly as in the
+reference (pdgssvx.c "What is performed" comment block): row scaling Dr,
+column scaling Dc, MC64 row permutation Pr, and the fill-reducing column
+permutation Pc applied symmetrically so the matched diagonal stays on the
+diagonal.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from ..utils.options import (ColPerm, DiagScale, Equil, Fact, IterRefine,
+                             Options, RowPerm, Trans)
+from ..utils.stats import Stats
+from ..ops.host import equil as _equil
+from ..ops.host import mc64 as _mc64
+from ..ops.host import ordering as _ordering
+from ..ops.host.symbolic import block_symbolic
+from ..ops.kernels import blocklu as _blocklu
+from ..ops.kernels import spmv as _spmv
+
+_DTYPES = {
+    "float32": np.float32, "float64": np.float64,
+    "complex64": np.complex64, "complex128": np.complex128,
+}
+
+_REFINE_DTYPES = {
+    "float32": np.float64, "float64": np.float64,
+    "complex64": np.complex128, "complex128": np.complex128,
+}
+
+
+def _real_base(dtype) -> np.dtype:
+    d = np.dtype(dtype)
+    if d.kind == "c":
+        return np.dtype(np.float32) if d.itemsize == 8 else np.dtype(np.float64)
+    return d
+
+
+def _real_eps(dtype) -> float:
+    return float(np.finfo(_real_base(dtype)).eps)
+
+
+def _perm_sign(perm: np.ndarray) -> float:
+    """Permutation parity via cycle counting."""
+    n = len(perm)
+    seen = np.zeros(n, dtype=bool)
+    sign = 1.0
+    for i in range(n):
+        if seen[i]:
+            continue
+        j = i
+        clen = 0
+        while not seen[j]:
+            seen[j] = True
+            j = int(perm[j])
+            clen += 1
+        if clen % 2 == 0:
+            sign = -sign
+    return sign
+
+
+@dataclasses.dataclass
+class SolveResult:
+    x: np.ndarray
+    berr: np.ndarray          # componentwise backward error per RHS
+    stat: Stats
+    info: int = 0
+
+
+class SparseLU:
+    """Factorized sparse operator (LUstruct + ScalePermstruct analog).
+
+    Holds everything needed for repeated solves and the reuse modes:
+    scalings (Dr, Dc), permutations (Pr, Pc), the symbolic plan (static
+    device schedule), and the factored block pool + diagonal inverses.
+    """
+
+    def __init__(self, A: sp.spmatrix, options: Optional[Options] = None,
+                 stat: Optional[Stats] = None):
+        self.options = options or Options()
+        self.stat = stat or Stats()
+        A = sp.csc_matrix(A)
+        if A.shape[0] != A.shape[1]:
+            raise ValueError("SparseLU requires a square matrix")
+        self.n = A.shape[0]
+        self.dtype = np.dtype(_DTYPES[self.options.dtype])
+        self.refine_dtype = np.dtype(
+            self.options.refine_dtype or _REFINE_DTYPES[self.options.dtype])
+        self.plan = None
+        self._solve_fns = {}
+        self._factor(A, fact=self.options.fact)
+
+    # ------------------------------------------------------------------
+    # preprocessing + factorization
+    # ------------------------------------------------------------------
+
+    def _preprocess(self, A: sp.spmatrix, reuse_perms: bool,
+                    reuse_colperm: bool) -> sp.csc_matrix:
+        opts, stat = self.options, self.stat
+        n = self.n
+
+        if reuse_perms:
+            # SamePattern_SameRowPerm: reuse Dr/Dc/Pr/Pc wholesale
+            A3 = A.multiply(self.row_scale[:, None]) \
+                  .multiply(self.col_scale[None, :]).tocsc()
+            A3 = A3[self.rowperm, :][self.colperm, :][:, self.colperm]
+            return sp.csc_matrix(A3)
+
+        # ---- equilibration (pdgsequ/pdlaqgs) ----
+        with stat.phase("EQUIL"):
+            if opts.equil == Equil.YES:
+                A1, R, C, equed = _equil.equilibrate(A)
+            else:
+                A1, R, C = A, np.ones(n), np.ones(n)
+                equed = DiagScale.NOEQUIL
+        self.equed = equed
+
+        # ---- static row pivoting (dldperm job 5) ----
+        with stat.phase("ROWPERM"):
+            if opts.row_perm in (RowPerm.LARGE_DIAG_MC64,
+                                 RowPerm.LARGE_DIAG_HWPM):
+                rowperm, R1, C1 = _mc64.ldperm(A1, job=5)
+                # fold MC64 scalings into Dr/Dc (pdgssvx.c job==5 path)
+                A1 = A1.multiply(R1[:, None]).multiply(C1[None, :]).tocsc()
+                R = R1 * R
+                C = C * C1
+            elif opts.row_perm == RowPerm.MY_PERMR:
+                rowperm = self.rowperm
+            else:
+                rowperm = np.arange(n, dtype=np.int64)
+        A2 = sp.csc_matrix(A1)[rowperm, :]
+
+        # ---- fill-reducing column ordering (get_perm_c) ----
+        with stat.phase("COLPERM"):
+            if reuse_colperm or opts.col_perm == ColPerm.MY_PERMC:
+                pc = self.colperm
+            else:
+                pc = _ordering.get_perm_c(opts.col_perm, A2)
+        A3 = A2[pc, :][:, pc]
+
+        self.row_scale = np.asarray(R)
+        self.col_scale = np.asarray(C)
+        self.rowperm = np.asarray(rowperm, dtype=np.int64)
+        self.colperm = np.asarray(pc, dtype=np.int64)
+        return sp.csc_matrix(A3)
+
+    def _factor(self, A: sp.spmatrix, fact: Fact):
+        opts, stat = self.options, self.stat
+        if fact == Fact.FACTORED:
+            raise ValueError("FACTORED requires an existing factorization")
+
+        reuse_perms = fact == Fact.SAME_PATTERN_SAME_ROWPERM
+        reuse_colperm = fact == Fact.SAME_PATTERN or reuse_perms
+        if reuse_colperm and self.plan is None and not hasattr(self, "colperm"):
+            raise ValueError(f"{fact} requested but no prior factorization")
+        self._A_orig = A
+        A3 = self._preprocess(A, reuse_perms, reuse_colperm)
+        self._anorm = float(np.abs(A3.data).max()) if A3.nnz else 1.0
+
+        with stat.phase("SYMBFAC"):
+            if reuse_perms and self.plan is not None:
+                plan = self.plan
+            else:
+                plan = block_symbolic(A3, opts.block_size)
+                self._solve_fns.clear()
+        self.plan = plan
+        stat.counters["fill_blocks"] = plan.nslots
+        stat.counters["factor_flops_model"] = plan.factor_flops
+        stat.peak_buffer_bytes = max(stat.peak_buffer_bytes,
+                                     plan.pool_bytes(self.dtype))
+
+        with stat.phase("DIST"):
+            self.tapes = _blocklu.make_factor_tapes(plan)
+            self.ltape = _blocklu.make_solve_tapes(plan, "L")
+            self.utape = _blocklu.make_solve_tapes(plan, "U")
+            pool = _blocklu.init_pool(plan, A3.data, self.dtype)
+            self._factor_fn = _blocklu.build_factor_fn(
+                plan, chunk=opts.gemm_chunk)
+
+        with stat.phase("FACT"):
+            thresh = (np.sqrt(_real_eps(self.dtype)) * self._anorm
+                      if opts.replace_tiny_pivot else 0.0)
+            pool, linv, uinv, tiny = self._factor_fn(
+                pool, jnp.asarray(thresh, dtype=_real_base(self.dtype)),
+                self.tapes)
+            pool.block_until_ready()
+        self.pool = pool
+        self.linv = linv
+        self.uinv = uinv
+        stat.tiny_pivots += int(tiny)
+        stat.ops["FACT"] += plan.factor_flops
+
+        # COO of the original A for refinement residuals (mixed precision)
+        self._coo_ref = _spmv.coo_arrays(A, jnp.dtype(self.refine_dtype))
+
+    # ------------------------------------------------------------------
+    # reuse modes
+    # ------------------------------------------------------------------
+
+    def refactor(self, A_new: sp.spmatrix,
+                 fact: Fact = Fact.SAME_PATTERN_SAME_ROWPERM) -> "SparseLU":
+        """Refactor a matrix with the same sparsity pattern.
+
+        ``SAME_PATTERN_SAME_ROWPERM`` reuses perms + scalings + the whole
+        symbolic plan (cheapest); ``SAME_PATTERN`` reuses only the column
+        ordering and redoes equilibration/row pivoting.
+        """
+        if fact not in (Fact.SAME_PATTERN, Fact.SAME_PATTERN_SAME_ROWPERM):
+            raise ValueError("refactor expects a SamePattern* mode")
+        self._factor(sp.csc_matrix(A_new), fact=fact)
+        return self
+
+    # ------------------------------------------------------------------
+    # solves
+    # ------------------------------------------------------------------
+
+    def _solve_fn(self, nrhs: int):
+        if nrhs not in self._solve_fns:
+            self._solve_fns[nrhs] = _blocklu.build_solve_fn(
+                self.plan, nrhs, chunk=self.options.gemm_chunk)
+        return self._solve_fns[nrhs]
+
+    def solve(self, b, trans: Trans = Trans.NOTRANS) -> np.ndarray:
+        """Single LU solve (no refinement) — ``pdgstrs`` analog."""
+        if trans != Trans.NOTRANS:
+            raise NotImplementedError("transpose solve lands with the "
+                                      "transpose-schedule tapes")
+        b = np.asarray(b)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        plan = self.plan
+        nrhs = b.shape[1]
+        # b3 = Pc Pr Dr b  (rows of A3 correspond to original rows prc[k])
+        prc = self.rowperm[self.colperm]
+        bp = np.zeros((plan.n_pad, nrhs), dtype=self.dtype)
+        bp[: self.n] = self.row_scale[prc, None] * b[prc]
+        with self.stat.phase("SOLVE"):
+            y = np.asarray(self._solve_fn(nrhs)(
+                self.pool, self.linv, self.uinv, self.ltape, self.utape,
+                jnp.asarray(bp)))[: self.n]
+        # x = Dc Pcᵀ y
+        x = np.empty((self.n, nrhs), dtype=y.dtype)
+        x[self.colperm] = self.col_scale[self.colperm, None] * y
+        return x[:, 0] if squeeze else x
+
+    def _berr(self, x, b):
+        """Componentwise backward error with safe1/safe2 guards
+        (reference: pdgsrfs.c:189-231). x, b: (n, k). Also returns r."""
+        rows, cols, vals = self._coo_ref
+        xj = jnp.asarray(x, dtype=self.refine_dtype)
+        bj = jnp.asarray(b, dtype=self.refine_dtype)
+        r = np.asarray(bj - _spmv.spmv(rows, cols, vals, xj, self.n))
+        denom = np.asarray(
+            _spmv.abs_spmv(rows, cols, vals, jnp.abs(xj), self.n)
+            + jnp.abs(bj))
+        nz = int(self._A_orig.getnnz(axis=1).max()) + 1
+        safe1 = nz * np.finfo(np.float64).tiny
+        safe2 = safe1 / np.finfo(np.float64).eps
+        num = np.abs(r)
+        val = np.where(denom > safe2, num / np.maximum(denom, safe1),
+                       (num + safe1) / (denom + safe1))
+        return val.max(axis=0), r
+
+    def refine(self, b, x0: np.ndarray):
+        """Iterative refinement — ``pdgsrfs`` analog (pdgsrfs.c:129-251).
+
+        Residuals in ``refine_dtype`` (mixed precision: psgssvx_d2 pattern).
+        Stops at ITMAX steps, at componentwise backward error ≤ eps, or when
+        the error stops halving (pdgsrfs.c:237).
+        """
+        opts, stat = self.options, self.stat
+        b = np.asarray(b)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        x = np.asarray(x0, dtype=self.refine_dtype)
+        if x.ndim == 1:
+            x = x[:, None]
+        eps = _real_eps(self.refine_dtype)
+        berr_prev = np.full(b.shape[1], np.inf)
+        berr = berr_prev
+        with stat.phase("REFINE"):
+            for it in range(opts.max_refine_steps):
+                berr, r = self._berr(x, b)
+                if np.all(berr <= eps):
+                    break
+                if np.all(berr > opts.refine_rthresh * berr_prev):
+                    break  # not halving — diminishing returns
+                berr_prev = berr
+                dx = self.solve(r)
+                x = x + dx.reshape(x.shape).astype(self.refine_dtype)
+                stat.refine_steps = it + 1
+            else:
+                berr, _ = self._berr(x, b)
+        return (x[:, 0] if squeeze else x), np.atleast_1d(berr)
+
+    # ------------------------------------------------------------------
+    # extras: diag(U), logdet (pdGetDiagU / PYTHON pdbridge_logdet analogs)
+    # ------------------------------------------------------------------
+
+    def diag_u(self) -> np.ndarray:
+        """Diagonal of U in elimination order (reference: pdGetDiagU.c)."""
+        pool = np.asarray(self.pool)
+        bs, nb = self.plan.bs, self.plan.nb
+        d = pool[np.asarray(self.plan.diag_slot)][:, np.arange(bs),
+                                                  np.arange(bs)]
+        return d.reshape(nb * bs)[: self.n]
+
+    def logdet(self):
+        """(sign_or_phase, log|det A|) — PYTHON/pdbridge.py logdet analog."""
+        du = self.diag_u().astype(np.complex128)
+        logabs = float(np.sum(np.log(np.abs(du)))
+                       - np.sum(np.log(self.row_scale))
+                       - np.sum(np.log(self.col_scale)))
+        phase = np.prod(du / np.abs(du))
+        # symmetric Pc application cancels its sign; count Pr parity
+        phase *= _perm_sign(self.rowperm)
+        if np.dtype(self.dtype).kind != "c":
+            phase = float(np.real(phase))
+        return phase, logabs
+
+
+def gssvx(A, b, options: Optional[Options] = None,
+          lu: Optional[SparseLU] = None):
+    """One-call expert driver (``pdgssvx`` analog). Returns (result, lu).
+
+    Pass ``lu`` with ``options.fact`` set to a reuse mode to stage
+    refactorization / solve-only paths (the pddrive1/2/3 example patterns).
+    """
+    options = options or Options()
+    stat = Stats()
+    if options.fact == Fact.FACTORED:
+        if lu is None:
+            raise ValueError("FACTORED requires an existing SparseLU")
+        lu.stat = stat
+    elif lu is not None and options.fact in (
+            Fact.SAME_PATTERN, Fact.SAME_PATTERN_SAME_ROWPERM):
+        lu.stat = stat
+        lu.options = options
+        lu.refactor(A, fact=options.fact)
+    else:
+        lu = SparseLU(A, options=options, stat=stat)
+
+    x = lu.solve(b)
+    if options.iter_refine != IterRefine.NOREFINE:
+        x, berr = lu.refine(b, x)
+    else:
+        xb = x[:, None] if x.ndim == 1 else x
+        bb = np.asarray(b)
+        bb = bb[:, None] if bb.ndim == 1 else bb
+        berr, _ = lu._berr(xb, bb)
+    return SolveResult(x=x, berr=np.atleast_1d(berr), stat=stat), lu

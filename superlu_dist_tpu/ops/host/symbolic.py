@@ -1,0 +1,317 @@
+"""Block symbolic factorization → static device schedule ("the plan").
+
+TPU-native replacement for the reference's symbolic machinery
+(reference: SRC/prec-independent/symbfact.c:83-917 serial column-DFS symbolic,
+SRC/double/dstatic_schedule.c static elimination schedule,
+supernodal_etree.c topological levels). Rather than variable-width supernodes
++ dynamic message-driven scheduling, the TPU design quantizes the matrix into
+fixed B×B blocks (B = MXU-aligned supernode width) and *compiles* the entire
+numeric factorization into flat instruction tapes:
+
+- per elimination step k: the diagonal slot, the L-column/U-row panel slots
+  (batched TRSM via precomputed diagonal-block inverses → pure GEMMs), and
+  the Schur-update triples (L-slot, U-slot, target-slot) — the analog of the
+  look-ahead + dSchCompUdt GEMM/scatter phase (dSchCompUdt-2Ddynamic.c), with
+  the scatter reduced to a single indexed add per B×B block;
+- level-set schedules for the L- and U-triangular solves (the static analog
+  of the fmod/bmod message-driven sweeps, pdgstrs_lsum.c).
+
+Everything the device executes is a gather → batched-GEMM → scatter-add over
+one flat (nslots, B, B) block pool, driven by these integer tapes inside a
+single compiled ``lax.fori_loop``.
+
+Block fill is computed by right-looking simulation on the block pattern —
+exactly the pattern the numeric block GE produces, so numeric and symbolic
+can never disagree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import scipy.sparse as sp
+
+__all__ = ["SymbolicPlan", "block_symbolic"]
+
+
+@dataclasses.dataclass
+class SymbolicPlan:
+    """Static factorization + solve schedule for one sparsity pattern."""
+
+    n: int                 # original dimension
+    n_pad: int             # padded to nb * bs
+    bs: int                # block size
+    nb: int                # number of block rows/cols
+    nslots: int            # number of stored B×B blocks (excl. zero/trash)
+    zero_slot: int         # index of the all-zero padding block
+    trash_slot: int        # scratch block absorbing masked-lane writes
+
+    # --- value initialization: pool.flat[init_idx] += a_data ---
+    init_idx: np.ndarray   # (nnz + n_pad - n,) flat indices into pool
+    init_ones: int         # how many trailing entries are padding-diagonal 1s
+
+    # --- factorization tape (per elimination step k = block column) ---
+    diag_slot: np.ndarray  # (nb,)
+    l_ptr: np.ndarray      # (nb+1,) → l_slots
+    l_slots: np.ndarray    # L-panel blocks (I,k), I>k
+    u_ptr: np.ndarray      # (nb+1,) → u_slots
+    u_slots: np.ndarray    # U-panel blocks (k,J), J>k
+    g_ptr: np.ndarray      # (nb+1,) → gemm triples
+    g_l: np.ndarray        # slot of L(I,k)
+    g_u: np.ndarray        # slot of U(k,J)
+    g_t: np.ndarray        # slot of target (I,J)
+
+    # --- L-solve level schedule ---
+    lsol_nlvl: int
+    lsol_gptr: np.ndarray  # (nlvl+1,) gemm range per level
+    lsol_gslot: np.ndarray  # slot of L(I,J)
+    lsol_gsrc: np.ndarray   # J (block row of x already computed)
+    lsol_gdst: np.ndarray   # I (block row being accumulated)
+    lsol_dptr: np.ndarray  # (nlvl+1,) diag range per level
+    lsol_diag: np.ndarray   # block rows finalized at this level
+
+    # --- U-solve level schedule ---
+    usol_nlvl: int
+    usol_gptr: np.ndarray
+    usol_gslot: np.ndarray
+    usol_gsrc: np.ndarray
+    usol_gdst: np.ndarray
+    usol_dptr: np.ndarray
+    usol_diag: np.ndarray
+
+    # --- structure metadata ---
+    block_parent: np.ndarray  # (nb,) supernodal/block etree (3D forests, reuse)
+    factor_flops: float       # useful flops (dense-block model)
+    fill_blocks: int          # stored blocks incl. fill
+    a_blocks: int             # blocks present in A
+
+    @property
+    def pool_shape(self):
+        return (self.nslots + 2, self.bs, self.bs)
+
+    def pool_bytes(self, dtype=np.float32) -> int:
+        return int(np.prod(self.pool_shape)) * np.dtype(dtype).itemsize
+
+
+def block_symbolic(A: sp.spmatrix, bs: int) -> SymbolicPlan:
+    """Build the full static plan for the (already permuted/scaled) matrix A."""
+    A = sp.csc_matrix(A)
+    n = A.shape[0]
+    nb = max(1, -(-n // bs))
+    n_pad = nb * bs
+
+    # ---- block pattern of A ----
+    coo = A.tocoo()
+    bi = coo.row // bs
+    bj = coo.col // bs
+    a_keys = np.unique(bi.astype(np.int64) * nb + bj.astype(np.int64))
+    # ensure all diagonal blocks exist (padding identity + GESP diagonal)
+    diag_keys = np.arange(nb, dtype=np.int64) * nb + np.arange(nb)
+    a_keys = np.unique(np.concatenate([a_keys, diag_keys]))
+
+    Ls = [set() for _ in range(nb)]   # block col k -> row blocks I>k
+    Us = [set() for _ in range(nb)]   # block row k -> col blocks J>k
+    for key in a_keys:
+        I, J = int(key // nb), int(key % nb)
+        if I > J:
+            Ls[J].add(I)
+        elif I < J:
+            Us[I].add(J)
+
+    # ---- right-looking block fill simulation + gemm tape ----
+    g_l_list: list[np.ndarray] = []
+    g_u_list: list[np.ndarray] = []
+    g_ti: list[np.ndarray] = []       # target I per step (resolved to slots later)
+    g_tj: list[np.ndarray] = []
+    g_counts = np.zeros(nb, dtype=np.int64)
+    step_rows: list[np.ndarray] = []
+    step_cols: list[np.ndarray] = []
+
+    for k in range(nb):
+        rows = np.fromiter(Ls[k], dtype=np.int64, count=len(Ls[k]))
+        rows.sort()
+        cols = np.fromiter(Us[k], dtype=np.int64, count=len(Us[k]))
+        cols.sort()
+        step_rows.append(rows)
+        step_cols.append(cols)
+        if len(rows) and len(cols):
+            II = np.repeat(rows, len(cols))
+            JJ = np.tile(cols, len(rows))
+            g_ti.append(II)
+            g_tj.append(JJ)
+            g_counts[k] = len(II)
+            # propagate fill
+            for J in cols:
+                Ls[int(J)].update(int(x) for x in rows[rows > J])
+            for I in rows:
+                Us[int(I)].update(int(x) for x in cols[cols > I])
+        else:
+            g_ti.append(np.empty(0, dtype=np.int64))
+            g_tj.append(np.empty(0, dtype=np.int64))
+
+    # ---- slot assignment (diag first, then L/U panels in step order) ----
+    slot_of: dict[int, int] = {}
+    next_slot = 0
+    diag_slot = np.empty(nb, dtype=np.int32)
+    for k in range(nb):
+        slot_of[k * nb + k] = next_slot
+        diag_slot[k] = next_slot
+        next_slot += 1
+    l_ptr = np.zeros(nb + 1, dtype=np.int64)
+    u_ptr = np.zeros(nb + 1, dtype=np.int64)
+    l_slots_list = []
+    u_slots_list = []
+    for k in range(nb):
+        rows, cols = step_rows[k], step_cols[k]
+        ls = np.empty(len(rows), dtype=np.int32)
+        for t, I in enumerate(rows):
+            slot_of[int(I) * nb + k] = next_slot
+            ls[t] = next_slot
+            next_slot += 1
+        us = np.empty(len(cols), dtype=np.int32)
+        for t, J in enumerate(cols):
+            slot_of[k * nb + int(J)] = next_slot
+            us[t] = next_slot
+            next_slot += 1
+        l_slots_list.append(ls)
+        u_slots_list.append(us)
+        l_ptr[k + 1] = l_ptr[k] + len(rows)
+        u_ptr[k + 1] = u_ptr[k] + len(cols)
+    nslots = next_slot
+    zero_slot = nslots
+    trash_slot = nslots + 1
+
+    l_slots = (np.concatenate(l_slots_list) if nb else np.empty(0)).astype(np.int32)
+    u_slots = (np.concatenate(u_slots_list) if nb else np.empty(0)).astype(np.int32)
+
+    # ---- resolve gemm triples to slots ----
+    g_ptr = np.zeros(nb + 1, dtype=np.int64)
+    g_ptr[1:] = np.cumsum(g_counts)
+    total_g = int(g_ptr[-1])
+    g_l = np.empty(total_g, dtype=np.int32)
+    g_u = np.empty(total_g, dtype=np.int32)
+    g_t = np.empty(total_g, dtype=np.int32)
+    for k in range(nb):
+        lo = int(g_ptr[k])
+        II, JJ = g_ti[k], g_tj[k]
+        if not len(II):
+            continue
+        rows, cols = step_rows[k], step_cols[k]
+        lmap = {int(I): int(s) for I, s in zip(rows, l_slots_list[k])}
+        umap = {int(J): int(s) for J, s in zip(cols, u_slots_list[k])}
+        for t in range(len(II)):
+            I, J = int(II[t]), int(JJ[t])
+            g_l[lo + t] = lmap[I]
+            g_u[lo + t] = umap[J]
+            g_t[lo + t] = slot_of[I * nb + J]
+
+    # ---- value initialization plan ----
+    blk = slot_map_vectorized(slot_of, bi, bj, nb)
+    init_idx = (blk.astype(np.int64) * bs * bs
+                + (coo.row % bs).astype(np.int64) * bs
+                + (coo.col % bs).astype(np.int64))
+    n_ones = n_pad - n
+    if n_ones:
+        pad = np.arange(n, n_pad)
+        pad_blk = np.array([slot_of[int(i // bs) * nb + int(i // bs)]
+                            for i in pad], dtype=np.int64)
+        pad_idx = pad_blk * bs * bs + (pad % bs) * bs + (pad % bs)
+        init_idx = np.concatenate([init_idx, pad_idx])
+
+    # ---- solve level schedules ----
+    # final L pattern per block column k: step_rows (includes fill as produced)
+    # regroup to block-row adjacency: L blocks (I,J): J in cols_of_row[I]
+    lrow_src: list[list[tuple[int, int]]] = [[] for _ in range(nb)]  # I -> [(J, slot)]
+    for k in range(nb):
+        for I, s in zip(step_rows[k], l_slots_list[k]):
+            lrow_src[int(I)].append((k, int(s)))
+    lsol = _level_schedule(lrow_src, nb, forward=True)
+
+    urow_src: list[list[tuple[int, int]]] = [[] for _ in range(nb)]  # I -> [(J, slot)]
+    for k in range(nb):
+        for J, s in zip(step_cols[k], u_slots_list[k]):
+            urow_src[k].append((int(J), int(s)))
+    usol = _level_schedule(urow_src, nb, forward=False)
+
+    # ---- block etree: parent = min block > k adjacent in L col or U row ----
+    block_parent = np.full(nb, -1, dtype=np.int64)
+    for k in range(nb):
+        cand = []
+        if len(step_rows[k]):
+            cand.append(step_rows[k][0])
+        if len(step_cols[k]):
+            cand.append(step_cols[k][0])
+        if cand:
+            block_parent[k] = min(cand)
+
+    # ---- flops (dense-block model) ----
+    b3 = float(bs) ** 3
+    flops = (2.0 / 3.0) * b3 * nb \
+        + b3 * (len(l_slots) + len(u_slots)) \
+        + 2.0 * b3 * total_g
+
+    return SymbolicPlan(
+        n=n, n_pad=n_pad, bs=bs, nb=nb, nslots=nslots,
+        zero_slot=zero_slot, trash_slot=trash_slot,
+        init_idx=init_idx, init_ones=n_ones,
+        diag_slot=diag_slot, l_ptr=l_ptr, l_slots=l_slots,
+        u_ptr=u_ptr, u_slots=u_slots,
+        g_ptr=g_ptr, g_l=g_l, g_u=g_u, g_t=g_t,
+        lsol_nlvl=lsol[0], lsol_gptr=lsol[1], lsol_gslot=lsol[2],
+        lsol_gsrc=lsol[3], lsol_gdst=lsol[4], lsol_dptr=lsol[5],
+        lsol_diag=lsol[6],
+        usol_nlvl=usol[0], usol_gptr=usol[1], usol_gslot=usol[2],
+        usol_gsrc=usol[3], usol_gdst=usol[4], usol_dptr=usol[5],
+        usol_diag=usol[6],
+        block_parent=block_parent, factor_flops=flops,
+        fill_blocks=nslots, a_blocks=len(a_keys),
+    )
+
+
+def slot_map_vectorized(slot_of: dict, bi, bj, nb) -> np.ndarray:
+    keys = bi.astype(np.int64) * nb + bj.astype(np.int64)
+    uk, inv = np.unique(keys, return_inverse=True)
+    us = np.array([slot_of[int(k)] for k in uk], dtype=np.int64)
+    return us[inv]
+
+
+def _level_schedule(row_src, nb, forward: bool):
+    """Level-set schedule for a triangular solve.
+
+    ``row_src[I]`` lists (J, slot) dependencies: x_I needs x_J through block
+    ``slot``. Forward solve: J < I, levels ascending; backward: J > I.
+    Returns (nlvl, gptr, gslot, gsrc, gdst, dptr, diag).
+    """
+    level = np.zeros(nb, dtype=np.int64)
+    order = range(nb) if forward else range(nb - 1, -1, -1)
+    for I in order:
+        deps = row_src[I]
+        if deps:
+            level[I] = max(level[J] for J, _ in deps) + 1
+    nlvl = int(level.max()) + 1 if nb else 1
+
+    # group diag applications by level
+    dptr = np.zeros(nlvl + 1, dtype=np.int64)
+    counts = np.bincount(level, minlength=nlvl)
+    dptr[1:] = np.cumsum(counts)
+    diag = np.argsort(level, kind="stable").astype(np.int32)
+
+    # group gemms by level of their destination
+    gs, gr, gd, glev = [], [], [], []
+    for I in range(nb):
+        for J, s in row_src[I]:
+            gs.append(s)
+            gr.append(J)
+            gd.append(I)
+            glev.append(level[I])
+    gs = np.asarray(gs, dtype=np.int32)
+    gr = np.asarray(gr, dtype=np.int32)
+    gd = np.asarray(gd, dtype=np.int32)
+    glev = np.asarray(glev, dtype=np.int64)
+    o = np.argsort(glev, kind="stable")
+    gs, gr, gd, glev = gs[o], gr[o], gd[o], glev[o]
+    gptr = np.zeros(nlvl + 1, dtype=np.int64)
+    gcnt = np.bincount(glev, minlength=nlvl) if len(glev) else np.zeros(nlvl, np.int64)
+    gptr[1:] = np.cumsum(gcnt)
+    return nlvl, gptr, gs, gr, gd, dptr, diag

@@ -1,0 +1,183 @@
+"""Solver options, enums, and the tuning-parameter oracle.
+
+TPU-native analog of the reference's three-tier config system:
+  1. ``superlu_dist_options_t`` struct + ``set_default_options_dist``
+     (reference: SRC/include/superlu_defs.h:684-728, SRC/prec-independent/util.c)
+  2. ``sp_ienv_dist`` tuning oracle consulting env vars first, then options
+     (reference: SRC/prec-independent/sp_ienv.c:81-179)
+  3. per-run keyword overrides.
+
+Here tier (1) is the :class:`Options` dataclass, tier (2) is :func:`sp_ienv`
+reading ``SLU_TPU_*`` environment variables, tier (3) is ``dataclasses.replace``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import os
+from typing import Optional
+
+
+class Fact(enum.Enum):
+    """Factorization staging / reuse modes.
+
+    Mirrors ``fact_t`` (reference: SRC/include/superlu_enum_consts.h:30,
+    superlu_defs.h:545-566):
+
+    - DOFACT: factor from scratch.
+    - SAME_PATTERN: reuse column permutation + elimination tree + symbolic
+      structure; matrix values (and row permutation) may differ.
+    - SAME_PATTERN_SAME_ROWPERM: additionally reuse row permutation and
+      scalings; only numeric values differ.
+    - FACTORED: L/U already computed; only solve (+ refinement).
+    """
+
+    DOFACT = "DOFACT"
+    SAME_PATTERN = "SamePattern"
+    SAME_PATTERN_SAME_ROWPERM = "SamePattern_SameRowPerm"
+    FACTORED = "FACTORED"
+
+
+class RowPerm(enum.Enum):
+    """Row permutation strategy (``rowperm_t``, superlu_enum_consts.h:32)."""
+
+    NOROWPERM = "NOROWPERM"
+    LARGE_DIAG_MC64 = "LargeDiag_MC64"   # serial weighted bipartite matching
+    LARGE_DIAG_HWPM = "LargeDiag_HWPM"   # parallel heavy-weight perfect matching
+    MY_PERMR = "MY_PERMR"                # user-supplied perm_r
+
+
+class ColPerm(enum.Enum):
+    """Fill-reducing column ordering (``colperm_t``, superlu_enum_consts.h:31,
+    dispatch at SRC/prec-independent/get_perm_c.c:500-546)."""
+
+    NATURAL = "NATURAL"
+    MMD_ATA = "MMD_ATA"                  # minimum degree on A^T A
+    MMD_AT_PLUS_A = "MMD_AT_PLUS_A"      # minimum degree on A^T + A
+    COLAMD = "COLAMD"                    # approximate column minimum degree
+    METIS_AT_PLUS_A = "METIS_AT_PLUS_A"  # nested dissection on A^T + A
+    PARMETIS = "PARMETIS"                # parallel nested dissection
+    MY_PERMC = "MY_PERMC"                # user-supplied perm_c
+
+
+class Trans(enum.Enum):
+    """Transpose mode (``trans_t``)."""
+
+    NOTRANS = "N"
+    TRANS = "T"
+    CONJ = "C"
+
+
+class IterRefine(enum.Enum):
+    """Iterative refinement mode (``IterRefine_t``).
+
+    SLU_SINGLE/SLU_DOUBLE select the residual precision; SLU_EXTRA is mapped
+    to double here (the reference treats it similarly). The mixed-precision
+    path (factor in low precision, refine with a higher-precision residual)
+    mirrors psgssvx_d2 (reference: SRC/single/psgssvx_d2.c:516).
+    """
+
+    NOREFINE = "NOREFINE"
+    SLU_SINGLE = "SINGLE"
+    SLU_DOUBLE = "DOUBLE"
+
+
+class Equil(enum.Enum):
+    NO = "NO"
+    YES = "YES"
+
+
+class DiagScale(enum.Enum):
+    """Which equilibration was applied (``DiagScale_t``)."""
+
+    NOEQUIL = "N"
+    ROW = "R"
+    COL = "C"
+    BOTH = "B"
+
+
+@dataclasses.dataclass
+class Options:
+    """Solver options — analog of ``superlu_dist_options_t``
+    (reference: SRC/include/superlu_defs.h:684-728) with TPU-specific knobs.
+    """
+
+    fact: Fact = Fact.DOFACT
+    equil: Equil = Equil.YES
+    row_perm: RowPerm = RowPerm.LARGE_DIAG_MC64
+    col_perm: ColPerm = ColPerm.METIS_AT_PLUS_A
+    trans: Trans = Trans.NOTRANS
+    iter_refine: IterRefine = IterRefine.SLU_DOUBLE
+    replace_tiny_pivot: bool = True
+    solve_only: bool = False           # treat input as prefactored (superlu_defs.h:696)
+    diag_inv: bool = True              # precompute block-diagonal inverses
+                                       # (mirrors pdCompute_Diag_Inv, pdgstrs.c:842);
+                                       # on TPU this makes every solve step a GEMM.
+    print_stat: bool = False
+
+    # ---- TPU-specific tuning (tier-2 defaults; overridable via SLU_TPU_* env) ----
+    block_size: int = 64               # elimination block width (MAXSUP analog);
+                                       # multiple of 8, ideally 128 for the MXU.
+    gemm_chunk: int = 32               # batched-GEMM chunk per tape macro-op
+    lookahead: int = 0                 # pipeline depth (reserved; XLA overlaps
+                                       # collectives inside the fori_loop)
+    max_refine_steps: int = 20         # ITMAX (reference: SRC/double/pdgsrfs.c:131)
+    refine_rthresh: float = 0.5        # stop if berr not halved (pdgsrfs.c:237)
+
+    # dtype of the factorization pool: "float32" | "float64" | "complex64"
+    # | "complex128" | "bfloat16". The reference's s/d/c/z precisions.
+    dtype: str = "float32"
+    # dtype for residuals in iterative refinement (mixed precision analog of
+    # psgssvx_d2); None → same as dtype promoted to double-width.
+    refine_dtype: Optional[str] = None
+
+    batch_count: int = 0               # >0 for the batched interface
+
+    def replace(self, **kw) -> "Options":
+        return dataclasses.replace(self, **kw)
+
+
+def set_default_options() -> Options:
+    """Analog of ``set_default_options_dist`` (util.c)."""
+    return Options()
+
+
+_ENV_PREFIX = "SLU_TPU_"
+
+# Mapping from sp_ienv-style spec names to Options fields; the reference's
+# specs (sp_ienv.c:81-179): 2→relax... here the TPU-relevant set.
+_SPEC_FIELDS = {
+    "BLOCK_SIZE": ("block_size", int),       # MAXSUP analog (SUPERLU_MAXSUP)
+    "GEMM_CHUNK": ("gemm_chunk", int),       # batching granularity
+    "LOOKAHEAD": ("lookahead", int),         # SUPERLU_NUM_LOOKAHEADS analog
+    "MAX_REFINE_STEPS": ("max_refine_steps", int),
+}
+
+
+def sp_ienv(spec: str, options: Optional[Options] = None):
+    """Tuning-parameter oracle: env var first, then options, then default.
+
+    Analog of ``sp_ienv_dist`` (reference: SRC/prec-independent/sp_ienv.c:81-179),
+    which consults ``SUPERLU_*`` env vars before the options struct.
+    ``spec`` is one of BLOCK_SIZE, GEMM_CHUNK, LOOKAHEAD, MAX_REFINE_STEPS.
+    """
+    field, conv = _SPEC_FIELDS[spec]
+    env = os.environ.get(_ENV_PREFIX + spec)
+    if env is not None:
+        return conv(env)
+    opts = options or Options()
+    return getattr(opts, field)
+
+
+def print_options(options: Options) -> str:
+    """Analog of ``print_options_dist`` (util.c:256-278)."""
+    lines = ["**************************************************",
+             ".. options:"]
+    for f in dataclasses.fields(options):
+        v = getattr(options, f.name)
+        if isinstance(v, enum.Enum):
+            v = v.value
+        lines.append(f"**    {f.name:<22}: {v}")
+    lines.append("**************************************************")
+    return "\n".join(lines)
