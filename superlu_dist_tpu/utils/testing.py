@@ -81,16 +81,21 @@ def reference_matrix(name: str):
     return read_matrix(path)
 
 
-def compute_resid(A, x, b) -> float:
+def compute_resid(A, x, b, work_dtype=np.float64) -> float:
     """Residual test value ‖b−Ax‖∞ / (‖A‖∞·‖x‖∞·n·eps) — must be < THRESH.
 
     Mirrors ``pdcompute_resid`` (reference: TEST/pdcompute_resid.c:83-151).
+    ``work_dtype`` sets eps: the working precision of the solve being tested
+    (float32 for an unrefined single-precision factorization).
     """
     A = sp.csc_matrix(A)
     x = np.asarray(x, dtype=np.result_type(A.dtype, np.float64))
     b = np.asarray(b, dtype=x.dtype)
     n = A.shape[0]
-    eps = np.finfo(np.float64).eps
+    wd = np.dtype(work_dtype)
+    if wd.kind == "c":
+        wd = np.dtype(np.float32) if wd.itemsize == 8 else np.dtype(np.float64)
+    eps = np.finfo(wd).eps
     anorm = np.max(np.abs(A).sum(axis=1))
     r = b - A @ x
     rnorm = np.max(np.abs(r))

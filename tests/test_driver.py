@@ -1,0 +1,113 @@
+"""pdtest-style configuration sweep on the expert driver.
+
+Mirrors the reference regression harness (reference: TEST/pdtest.c:107-563):
+for each input matrix, loop over the cross-product of configuration axes —
+equilibration on/off, row-perm strategies, factorization reuse modes,
+nrhs — solve, and accept iff the residual test value is below THRESH=20
+(TEST/pdtest.c:44) and the refinement backward error reaches eps.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from superlu_dist_tpu import Fact, Options, gssvx
+from superlu_dist_tpu.utils.options import ColPerm, Equil, IterRefine, RowPerm
+from superlu_dist_tpu.utils.testing import (THRESH, compute_resid,
+                                            laplacian_2d, random_sparse,
+                                            reference_matrix,
+                                            unsymmetric_pattern)
+
+
+def _matrices():
+    out = {"lap49": laplacian_2d(7),
+           "unsym": unsymmetric_pattern(90, seed=2)}
+    g20 = reference_matrix("g20.rua")
+    if g20 is not None:
+        out["g20"] = g20
+    return out
+
+
+MATRICES = _matrices()
+
+
+def _check(A, opts, nrhs=1, lu=None, seed=0):
+    n = A.shape[0]
+    rng = np.random.default_rng(seed)
+    xt = rng.standard_normal((n, nrhs))
+    b = np.asarray(A @ xt)
+    res, lu = gssvx(A, b, opts, lu=lu)
+    x = res.x if res.x.ndim == 2 else res.x[:, None]
+    rt = max(compute_resid(A, x[:, j], b[:, j]) for j in range(nrhs))
+    assert rt < THRESH, f"residual test {rt} >= {THRESH} for {opts}"
+    assert res.berr.max() < 1e-10
+    return res, lu
+
+
+@pytest.mark.parametrize("name", sorted(MATRICES))
+@pytest.mark.parametrize("equil", [Equil.YES, Equil.NO])
+def test_equil_axis(name, equil):
+    A = MATRICES[name]
+    _check(A, Options(dtype="float32", block_size=16, equil=equil))
+
+
+@pytest.mark.parametrize("rowperm", [RowPerm.NOROWPERM,
+                                     RowPerm.LARGE_DIAG_MC64])
+def test_rowperm_axis(rowperm):
+    A = MATRICES["lap49"]  # diagonally dominant: NOROWPERM is safe
+    _check(A, Options(dtype="float32", block_size=16, row_perm=rowperm))
+
+
+@pytest.mark.parametrize("colperm", [ColPerm.NATURAL, ColPerm.MMD_AT_PLUS_A,
+                                     ColPerm.COLAMD, ColPerm.METIS_AT_PLUS_A])
+def test_colperm_axis(colperm):
+    A = MATRICES["lap49"]
+    _check(A, Options(dtype="float32", block_size=16, col_perm=colperm))
+
+
+def test_fact_reuse_modes():
+    """DOFACT → SamePattern → SamePattern_SameRowPerm → FACTORED staging
+    (the pddrive1/2/3 example patterns)."""
+    A = MATRICES["unsym"]
+    opts = Options(dtype="float32", block_size=16)
+    _, lu = _check(A, opts)
+
+    rng = np.random.default_rng(9)
+    A2 = A.copy()
+    A2.data = A.data * (1.0 + 0.05 * rng.standard_normal(A.nnz))
+    _, lu = _check(A2, opts.replace(fact=Fact.SAME_PATTERN), lu=lu, seed=1)
+
+    A3 = A2.copy()
+    A3.data = A2.data * (1.0 + 0.05 * rng.standard_normal(A2.nnz))
+    _, lu = _check(A3, opts.replace(fact=Fact.SAME_PATTERN_SAME_ROWPERM),
+                   lu=lu, seed=2)
+
+    _, lu = _check(A3, opts.replace(fact=Fact.FACTORED), lu=lu, seed=3)
+
+
+def test_norefine_path():
+    A = MATRICES["lap49"]
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+    xt = rng.standard_normal(n)
+    b = A @ xt
+    res, _ = gssvx(A, b, Options(dtype="float64", block_size=16,
+                                 iter_refine=IterRefine.NOREFINE))
+    assert compute_resid(A, res.x, b) < THRESH
+
+
+def test_nrhs_sweep():
+    A = MATRICES["lap49"]
+    for nrhs in (1, 3):
+        _check(A, Options(dtype="float32", block_size=16), nrhs=nrhs)
+
+
+def test_stats_populated():
+    A = MATRICES["lap49"]
+    n = A.shape[0]
+    b = np.asarray(A @ np.ones(n))
+    res, _ = gssvx(A, b, Options(dtype="float32", block_size=16))
+    rep = res.stat.report()
+    assert "FACT" in rep and "SOLVE" in rep
+    assert res.stat.ops["FACT"] > 0

@@ -1,0 +1,104 @@
+"""Numeric factorization + solve correctness vs scipy and dense LU."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from superlu_dist_tpu import Options, SparseLU
+from superlu_dist_tpu.utils.options import ColPerm, Equil, IterRefine, RowPerm
+from superlu_dist_tpu.utils.testing import (compute_resid, laplacian_2d,
+                                            random_sparse, THRESH,
+                                            unsymmetric_pattern)
+
+
+@pytest.fixture(scope="module")
+def lap():
+    return laplacian_2d(8)
+
+
+@pytest.mark.parametrize("bs", [8, 16, 32])
+def test_factor_matches_scipy(lap, bs):
+    """LU solve (no refinement) reproduces the true solution to f32 accuracy."""
+    n = lap.shape[0]
+    rng = np.random.default_rng(0)
+    xt = rng.standard_normal(n)
+    b = lap @ xt
+    lu = SparseLU(lap, Options(dtype="float32", block_size=bs,
+                               col_perm=ColPerm.MMD_AT_PLUS_A))
+    x = lu.solve(b)
+    ref = spla.spsolve(lap.tocsc(), b)
+    assert np.abs(x - ref).max() / np.abs(ref).max() < 1e-4
+    assert compute_resid(lap, x, b, work_dtype=np.float32) < THRESH
+
+
+def test_factor_exact_f64(lap):
+    n = lap.shape[0]
+    rng = np.random.default_rng(1)
+    xt = rng.standard_normal(n)
+    b = lap @ xt
+    lu = SparseLU(lap, Options(dtype="float64", block_size=16))
+    x = lu.solve(b)
+    assert np.abs(x - xt).max() < 1e-10
+
+
+def test_complex(lap):
+    A = lap.astype(np.complex128) + 1j * sp.diags(np.ones(lap.shape[0]))
+    A = sp.csc_matrix(A)
+    n = A.shape[0]
+    rng = np.random.default_rng(2)
+    xt = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    b = A @ xt
+    lu = SparseLU(A, Options(dtype="complex64", block_size=16))
+    x, berr = lu.refine(b, lu.solve(b))
+    assert berr.max() < 1e-14
+
+
+def test_tiny_pivot_replacement():
+    """A matrix with an exactly-zero surviving pivot still factors (GESP:
+    ReplaceTinyPivot substitutes sqrt(eps)·‖A‖ and refinement recovers)."""
+    n = 8
+    M = np.eye(n)
+    M[0, 0] = 0.0   # first pivot exactly zero, nothing eliminates before it
+    M[0, 1] = 1.0
+    M[1, 0] = 1.0
+    M[1, 1] = 1.0
+    A = sp.csc_matrix(M)
+    lu = SparseLU(A, Options(dtype="float64", block_size=8,
+                             row_perm=RowPerm.NOROWPERM,
+                             col_perm=ColPerm.NATURAL,
+                             equil=Equil.NO))
+    assert lu.stat.tiny_pivots >= 1
+    rng = np.random.default_rng(3)
+    xt = rng.standard_normal(n)
+    b = M @ xt
+    x, berr = lu.refine(b, lu.solve(b))
+    assert compute_resid(A, x, b) < THRESH
+    assert np.abs(x - xt).max() < 1e-10
+
+
+def test_multirhs(lap):
+    n = lap.shape[0]
+    rng = np.random.default_rng(4)
+    xt = rng.standard_normal((n, 7))
+    b = lap @ xt
+    lu = SparseLU(lap, Options(dtype="float32", block_size=16))
+    x, berr = lu.refine(b, lu.solve(b))
+    assert x.shape == (n, 7)
+    assert berr.shape == (7,)
+    assert berr.max() < 1e-13
+
+
+def test_logdet(lap):
+    lu = SparseLU(lap, Options(dtype="float64", block_size=16))
+    sign, logabs = lu.logdet()
+    s_ref, l_ref = np.linalg.slogdet(lap.toarray())
+    assert np.isclose(logabs, l_ref, rtol=1e-8)
+    assert np.isclose(sign, s_ref)
+
+
+def test_diag_u_nonzero(lap):
+    lu = SparseLU(lap, Options(dtype="float32", block_size=16))
+    du = lu.diag_u()
+    assert len(du) == lap.shape[0]
+    assert np.all(np.abs(du) > 0)
