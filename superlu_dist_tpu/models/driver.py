@@ -185,6 +185,20 @@ class SparseLU:
         stat.peak_buffer_bytes = max(stat.peak_buffer_bytes,
                                      plan.pool_bytes(self.dtype))
 
+        self._device_factor(A3)
+        stat.ops["FACT"] += plan.factor_flops
+
+        # COO of the original A for refinement residuals (mixed precision)
+        self._coo_ref = _spmv.coo_arrays(A, jnp.dtype(self.refine_dtype))
+
+    def _thresh(self) -> float:
+        return (np.sqrt(_real_eps(self.dtype)) * self._anorm
+                if self.options.replace_tiny_pivot else 0.0)
+
+    def _device_factor(self, A3: sp.csc_matrix):
+        """Distribute values into the device pool and run the factorization
+        (overridden by the mesh-distributed driver)."""
+        opts, stat, plan = self.options, self.stat, self.plan
         with stat.phase("DIST"):
             self.tapes = _blocklu.make_factor_tapes(plan)
             self.ltape = _blocklu.make_solve_tapes(plan, "L")
@@ -194,20 +208,15 @@ class SparseLU:
                 plan, chunk=opts.gemm_chunk)
 
         with stat.phase("FACT"):
-            thresh = (np.sqrt(_real_eps(self.dtype)) * self._anorm
-                      if opts.replace_tiny_pivot else 0.0)
             pool, linv, uinv, tiny = self._factor_fn(
-                pool, jnp.asarray(thresh, dtype=_real_base(self.dtype)),
+                pool, jnp.asarray(self._thresh(),
+                                  dtype=_real_base(self.dtype)),
                 self.tapes)
             pool.block_until_ready()
         self.pool = pool
         self.linv = linv
         self.uinv = uinv
         stat.tiny_pivots += int(tiny)
-        stat.ops["FACT"] += plan.factor_flops
-
-        # COO of the original A for refinement residuals (mixed precision)
-        self._coo_ref = _spmv.coo_arrays(A, jnp.dtype(self.refine_dtype))
 
     # ------------------------------------------------------------------
     # reuse modes
@@ -236,6 +245,14 @@ class SparseLU:
                 self.plan, nrhs, chunk=self.options.gemm_chunk)
         return self._solve_fns[nrhs]
 
+    def _solve_factored(self, bp: np.ndarray) -> np.ndarray:
+        """L U y = b in factorization coordinates; bp: (n_pad, nrhs) padded.
+        Overridden by the mesh-distributed driver."""
+        nrhs = bp.shape[1]
+        return np.asarray(self._solve_fn(nrhs)(
+            self.pool, self.linv, self.uinv, self.ltape, self.utape,
+            jnp.asarray(bp)))
+
     def solve(self, b, trans: Trans = Trans.NOTRANS) -> np.ndarray:
         """Single LU solve (no refinement) — ``pdgstrs`` analog."""
         if trans != Trans.NOTRANS:
@@ -252,9 +269,7 @@ class SparseLU:
         bp = np.zeros((plan.n_pad, nrhs), dtype=self.dtype)
         bp[: self.n] = self.row_scale[prc, None] * b[prc]
         with self.stat.phase("SOLVE"):
-            y = np.asarray(self._solve_fn(nrhs)(
-                self.pool, self.linv, self.uinv, self.ltape, self.utape,
-                jnp.asarray(bp)))[: self.n]
+            y = self._solve_factored(bp)[: self.n]
         # x = Dc Pcᵀ y
         x = np.empty((self.n, nrhs), dtype=y.dtype)
         x[self.colperm] = self.col_scale[self.colperm, None] * y

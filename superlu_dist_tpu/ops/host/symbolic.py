@@ -81,6 +81,9 @@ class SymbolicPlan:
     usol_diag: np.ndarray
 
     # --- structure metadata ---
+    slot_row: np.ndarray      # (nslots,) block-row I of each slot
+    slot_col: np.ndarray      # (nslots,) block-col J of each slot
+    slot_step: np.ndarray     # (nslots,) elimination step that owns the slot
     block_parent: np.ndarray  # (nb,) supernodal/block etree (3D forests, reuse)
     factor_flops: float       # useful flops (dense-block model)
     fill_blocks: int          # stored blocks incl. fill
@@ -152,11 +155,17 @@ def block_symbolic(A: sp.spmatrix, bs: int) -> SymbolicPlan:
 
     # ---- slot assignment (diag first, then L/U panels in step order) ----
     slot_of: dict[int, int] = {}
+    srow: list[int] = []
+    scol: list[int] = []
+    sstep: list[int] = []
     next_slot = 0
     diag_slot = np.empty(nb, dtype=np.int32)
     for k in range(nb):
         slot_of[k * nb + k] = next_slot
         diag_slot[k] = next_slot
+        srow.append(k)
+        scol.append(k)
+        sstep.append(k)
         next_slot += 1
     l_ptr = np.zeros(nb + 1, dtype=np.int64)
     u_ptr = np.zeros(nb + 1, dtype=np.int64)
@@ -168,11 +177,17 @@ def block_symbolic(A: sp.spmatrix, bs: int) -> SymbolicPlan:
         for t, I in enumerate(rows):
             slot_of[int(I) * nb + k] = next_slot
             ls[t] = next_slot
+            srow.append(int(I))
+            scol.append(k)
+            sstep.append(k)
             next_slot += 1
         us = np.empty(len(cols), dtype=np.int32)
         for t, J in enumerate(cols):
             slot_of[k * nb + int(J)] = next_slot
             us[t] = next_slot
+            srow.append(k)
+            scol.append(int(J))
+            sstep.append(k)
             next_slot += 1
         l_slots_list.append(ls)
         u_slots_list.append(us)
@@ -264,6 +279,9 @@ def block_symbolic(A: sp.spmatrix, bs: int) -> SymbolicPlan:
         usol_nlvl=usol[0], usol_gptr=usol[1], usol_gslot=usol[2],
         usol_gsrc=usol[3], usol_gdst=usol[4], usol_dptr=usol[5],
         usol_diag=usol[6],
+        slot_row=np.asarray(srow, dtype=np.int64),
+        slot_col=np.asarray(scol, dtype=np.int64),
+        slot_step=np.asarray(sstep, dtype=np.int64),
         block_parent=block_parent, factor_flops=flops,
         fill_blocks=nslots, a_blocks=len(a_keys),
     )

@@ -1,0 +1,73 @@
+"""2D mesh-distributed factorization/solve vs single-chip results.
+
+The virtual 8-device CPU mesh stands in for a TPU slice (the reference's
+oversubscribed-MPI testing strategy, .ci_tests.sh)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from superlu_dist_tpu import Options, SparseLU
+from superlu_dist_tpu.models.dist_driver import DistributedSparseLU, gssvx_dist
+from superlu_dist_tpu.parallel.grid import Grid2D, Grid3D
+from superlu_dist_tpu.utils.options import ColPerm
+from superlu_dist_tpu.utils.testing import (THRESH, compute_resid,
+                                            laplacian_2d, random_sparse,
+                                            reference_matrix)
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+@needs_8
+@pytest.mark.parametrize("pr,pc", [(1, 1), (2, 2), (2, 4), (4, 2), (1, 8)])
+def test_grid_shapes(pr, pc):
+    A = laplacian_2d(9)
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+    xt = rng.standard_normal(n)
+    b = A @ xt
+    grid = Grid2D(pr, pc)
+    res, lu = gssvx_dist(A, b, grid, Options(dtype="float32", block_size=16))
+    assert compute_resid(A, res.x, b) < THRESH
+    assert res.berr.max() < 1e-13
+
+
+@needs_8
+def test_matches_single_chip():
+    """Distributed and single-chip factorizations agree to roundoff."""
+    A = random_sparse(120, density=0.05, seed=4)
+    n = A.shape[0]
+    rng = np.random.default_rng(1)
+    b = A @ rng.standard_normal(n)
+    opts = Options(dtype="float64", block_size=16,
+                   col_perm=ColPerm.MMD_AT_PLUS_A)
+    lu1 = SparseLU(A, opts)
+    x1 = lu1.solve(b)
+    lu2 = DistributedSparseLU(A, Grid2D(2, 2), opts)
+    x2 = lu2.solve(b)
+    assert np.abs(x1 - x2).max() < 1e-9 * max(1.0, np.abs(x1).max())
+    # diag(U) agrees too
+    assert np.allclose(lu1.diag_u(), lu2.diag_u(), rtol=1e-9)
+
+
+@needs_8
+def test_dist_multirhs_and_g20():
+    A = reference_matrix("g20.rua")
+    if A is None:
+        A = laplacian_2d(20)
+    n = A.shape[0]
+    rng = np.random.default_rng(2)
+    xt = rng.standard_normal((n, 3))
+    b = np.asarray(A @ xt)
+    res, lu = gssvx_dist(A, b, Grid2D(2, 2),
+                         Options(dtype="float32", block_size=32))
+    assert res.berr.max() < 1e-13
+    for j in range(3):
+        assert compute_resid(A, res.x[:, j], b[:, j]) < THRESH
+
+
+def test_grid_validation():
+    with pytest.raises(ValueError):
+        Grid2D(100, 100)
