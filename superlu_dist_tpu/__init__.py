@@ -18,9 +18,18 @@ Quick start::
 """
 
 # float64 / complex128 paths (the reference's d/z precisions) require x64.
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# The executors compile once per sparsity pattern; cache compilations across
+# processes (overridable via SLU_TPU_CACHE_DIR, disable with empty string).
+_cache = _os.environ.get("SLU_TPU_CACHE_DIR", "/tmp/slu_tpu_jax_cache")
+if _cache:
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from .version import __version__, get_version_number
 from .utils.options import (ColPerm, DiagScale, Equil, Fact, IterRefine,

@@ -80,6 +80,14 @@ class SymbolicPlan:
     usol_dptr: np.ndarray
     usol_diag: np.ndarray
 
+    # --- elimination level schedule (supersteps of independent steps) ---
+    # level[k] = 1 + max level over earlier steps adjacent to k in the filled
+    # block pattern; steps at one level factor as one batch (the static
+    # analog of look-ahead pipelining + the supernodal-etree topological
+    # levels, reference: supernodal_etree.c:59, dstatic_schedule.c).
+    step_level: np.ndarray    # (nb,)
+    n_flevels: int
+
     # --- structure metadata ---
     slot_row: np.ndarray      # (nslots,) block-row I of each slot
     slot_col: np.ndarray      # (nslots,) block-col J of each slot
@@ -249,6 +257,18 @@ def block_symbolic(A: sp.spmatrix, bs: int) -> SymbolicPlan:
             urow_src[k].append((int(J), int(s)))
     usol = _level_schedule(urow_src, nb, forward=False)
 
+    # ---- elimination levels over the filled block pattern ----
+    step_level = np.zeros(nb, dtype=np.int64)
+    for j in range(nb):
+        lv = step_level[j] + 1
+        for I in step_rows[j]:
+            if step_level[I] < lv:
+                step_level[I] = lv
+        for J in step_cols[j]:
+            if step_level[J] < lv:
+                step_level[J] = lv
+    n_flevels = int(step_level.max()) + 1 if nb else 1
+
     # ---- block etree: parent = min block > k adjacent in L col or U row ----
     block_parent = np.full(nb, -1, dtype=np.int64)
     for k in range(nb):
@@ -279,6 +299,7 @@ def block_symbolic(A: sp.spmatrix, bs: int) -> SymbolicPlan:
         usol_nlvl=usol[0], usol_gptr=usol[1], usol_gslot=usol[2],
         usol_gsrc=usol[3], usol_gdst=usol[4], usol_dptr=usol[5],
         usol_diag=usol[6],
+        step_level=step_level, n_flevels=n_flevels,
         slot_row=np.asarray(srow, dtype=np.int64),
         slot_col=np.asarray(scol, dtype=np.int64),
         slot_step=np.asarray(sstep, dtype=np.int64),

@@ -31,16 +31,36 @@ from jax import lax
 
 from ..host.symbolic import SymbolicPlan
 
+# TPU f32 matmuls default to fast bfloat16 passes; a direct solver needs the
+# full-precision path (3/6-pass f32 emulation on the MXU) or the factor is
+# only bf16-accurate. Overridable for experiments via SLU_TPU_MATMUL_PRECISION.
+import os as _os
+
+MATMUL_PRECISION = _os.environ.get("SLU_TPU_MATMUL_PRECISION", "highest")
+
 
 class FactorTapes(NamedTuple):
-    """Device-resident integer schedule (see SymbolicPlan)."""
+    """Device-resident integer schedule, grouped by elimination level.
 
-    diag_slot: jax.Array
-    l_ptr: jax.Array
-    l_slots: jax.Array
-    u_ptr: jax.Array
-    u_slots: jax.Array
-    g_ptr: jax.Array
+    Steps within a level are independent (see SymbolicPlan.step_level) and
+    execute as one batch: batched diagonal LUs, batched panel TRSMs against
+    gathered per-step diagonal inverses, batched Schur GEMMs. This is the
+    static analog of the reference's look-ahead pipeline — instead of
+    overlapping communication of step k+1 with updates of step k via MPI
+    tags (pdgstrf.c:1110-1300), every independent step is fused into one
+    superstep of MXU work.
+    """
+
+    dptr: jax.Array      # (nlvl+1,) diag-batch ranges
+    dstep: jax.Array     # step ids, level-ordered (padded, fill=nb)
+    dslot: jax.Array     # (nb+1,) diag slot per step, [nb] = zero_slot
+    lptr: jax.Array      # (nlvl+1,)
+    l_slot: jax.Array    # L-panel block slots, level-ordered
+    l_step: jax.Array    # owning step of each L-panel block
+    uptr: jax.Array
+    u_slot: jax.Array
+    u_step: jax.Array
+    gptr: jax.Array      # (nlvl+1,)
     g_l: jax.Array
     g_u: jax.Array
     g_t: jax.Array
@@ -61,18 +81,65 @@ def _pad1(a, fill=0, dtype=np.int32):
     return jnp.asarray(np.concatenate([a, np.array([fill], dtype=dtype)]))
 
 
+def level_order(plan: SymbolicPlan):
+    """Group per-step factor work by elimination level (host side).
+
+    Returns dict of numpy arrays matching FactorTapes semantics.
+    """
+    nb = plan.nb
+    nlvl = plan.n_flevels
+    lev = plan.step_level
+    # steps per level, ascending step id within a level
+    order = np.argsort(lev * nb + np.arange(nb), kind="stable")
+    dptr = np.zeros(nlvl + 1, dtype=np.int64)
+    dptr[1:] = np.cumsum(np.bincount(lev, minlength=nlvl))
+    dstep = order.astype(np.int32)
+
+    def regroup(ptr, *fields):
+        """Reorder per-step segments into level order, with step tags."""
+        outs = [np.empty(int(ptr[-1]), dtype=np.int32) for _ in fields]
+        steps = np.empty(int(ptr[-1]), dtype=np.int32)
+        lptr = np.zeros(nlvl + 1, dtype=np.int64)
+        pos = 0
+        for l in range(nlvl):
+            for k in order[dptr[l]:dptr[l + 1]]:
+                lo, hi = int(ptr[k]), int(ptr[k + 1])
+                n = hi - lo
+                for f, out in zip(fields, outs):
+                    out[pos:pos + n] = f[lo:hi]
+                steps[pos:pos + n] = k
+                pos += n
+            lptr[l + 1] = pos
+        return lptr, outs, steps
+
+    lptr, (l_slot,), l_step = regroup(plan.l_ptr, plan.l_slots)
+    uptr, (u_slot,), u_step = regroup(plan.u_ptr, plan.u_slots)
+    gptr, (g_l, g_u, g_t), _ = regroup(plan.g_ptr, plan.g_l, plan.g_u,
+                                       plan.g_t)
+    return dict(dptr=dptr, dstep=dstep, lptr=lptr, l_slot=l_slot,
+                l_step=l_step, uptr=uptr, u_slot=u_slot, u_step=u_step,
+                gptr=gptr, g_l=g_l, g_u=g_u, g_t=g_t)
+
+
 def make_factor_tapes(plan: SymbolicPlan) -> FactorTapes:
     z = plan.zero_slot
+    lv = level_order(plan)
+    dslot = np.concatenate([plan.diag_slot.astype(np.int32),
+                            np.array([z], np.int32)])
     return FactorTapes(
-        diag_slot=jnp.asarray(plan.diag_slot, dtype=jnp.int32),
-        l_ptr=jnp.asarray(plan.l_ptr, dtype=jnp.int32),
-        l_slots=_pad1(plan.l_slots, fill=z),
-        u_ptr=jnp.asarray(plan.u_ptr, dtype=jnp.int32),
-        u_slots=_pad1(plan.u_slots, fill=z),
-        g_ptr=jnp.asarray(plan.g_ptr, dtype=jnp.int32),
-        g_l=_pad1(plan.g_l, fill=z),
-        g_u=_pad1(plan.g_u, fill=z),
-        g_t=_pad1(plan.g_t, fill=z),
+        dptr=jnp.asarray(lv["dptr"], jnp.int32),
+        dstep=_pad1(lv["dstep"], fill=plan.nb),
+        dslot=jnp.asarray(dslot),
+        lptr=jnp.asarray(lv["lptr"], jnp.int32),
+        l_slot=_pad1(lv["l_slot"], fill=z),
+        l_step=_pad1(lv["l_step"], fill=plan.nb),
+        uptr=jnp.asarray(lv["uptr"], jnp.int32),
+        u_slot=_pad1(lv["u_slot"], fill=z),
+        u_step=_pad1(lv["u_step"], fill=plan.nb),
+        gptr=jnp.asarray(lv["gptr"], jnp.int32),
+        g_l=_pad1(lv["g_l"], fill=z),
+        g_u=_pad1(lv["g_u"], fill=z),
+        g_t=_pad1(lv["g_t"], fill=z),
     )
 
 
@@ -130,43 +197,74 @@ def _lu_base(A, thresh):
     return A, tiny
 
 
-def block_lu(A, thresh):
-    """Recursive blocked LU (compact storage: unit-L below, U on/above diag).
+def _mm(a, b):
+    """Full-precision matmul (TPU f32 defaults to bf16 passes otherwise)."""
+    return jnp.matmul(a, b, precision=MATMUL_PRECISION)
 
-    Static shapes → the recursion unrolls at trace time; the TRSM/GEMM merge
-    steps run on the MXU. Returns (LU, tiny_count).
+
+def _base_invs(LU):
+    """Triangular inverses of a small compact-LU block by substitution,
+    unrolled at trace time (precision-exact elementwise/VPU ops only)."""
+    m = LU.shape[0]
+    eye = jnp.eye(m, dtype=LU.dtype)
+    # unit-lower inverse: row i = e_i − Σ_{j<i} L[i,j] · row j
+    linv = [eye[0]]
+    for i in range(1, m):
+        acc = eye[i]
+        for j in range(i):
+            acc = acc - LU[i, j] * linv[j]
+        linv.append(acc)
+    linv = jnp.stack(linv)
+    # upper inverse: row i = (e_i − Σ_{j>i} U[i,j] · row j) / U[i,i]
+    uinv = [None] * m
+    uinv[m - 1] = eye[m - 1] / LU[m - 1, m - 1]
+    for i in range(m - 2, -1, -1):
+        acc = eye[i]
+        for j in range(i + 1, m):
+            acc = acc - LU[i, j] * uinv[j]
+        uinv[i] = acc / LU[i, i]
+    uinv = jnp.stack(uinv)
+    return linv, uinv
+
+
+def block_lu_inv(A, thresh):
+    """Recursive blocked LU with triangular inverses (compact storage:
+    unit-L below the diagonal, U on/above).
+
+    Static shapes → the recursion unrolls at trace time; merge steps are
+    full-precision MXU matmuls (no XLA TriangularSolve, whose TPU lowering
+    is not precision-controlled). Returns (LU, Linv, Uinv, tiny_count).
+    The inverses make every panel solve / solve-phase diag application a
+    GEMM — the pdCompute_Diag_Inv idea (reference: pdgstrs.c:842).
     """
     m = A.shape[0]
     if m <= _BASE:
-        return _lu_base(A, thresh)
+        LU, t = _lu_base(A, thresh)
+        linv, uinv = _base_invs(LU)
+        return LU, linv, uinv, t
     h = m // 2
-    A11, t1 = block_lu(A[:h, :h], thresh)
-    A12 = lax.linalg.triangular_solve(
-        A11, A[:h, h:], left_side=True, lower=True, unit_diagonal=True)
-    A21 = lax.linalg.triangular_solve(
-        A11, A[h:, :h], left_side=False, lower=False, unit_diagonal=False)
-    S = A[h:, h:] - A21 @ A12
-    A22, t2 = block_lu(S, thresh)
-    top = jnp.concatenate([A11, A12], axis=1)
-    bot = jnp.concatenate([A21, A22], axis=1)
-    return jnp.concatenate([top, bot], axis=0), t1 + t2
+    LU11, L11i, U11i, t1 = block_lu_inv(A[:h, :h], thresh)
+    A12 = _mm(L11i, A[:h, h:])          # L11^{-1} A12
+    A21 = _mm(A[h:, :h], U11i)          # A21 U11^{-1}
+    S = A[h:, h:] - _mm(A21, A12)
+    LU22, L22i, U22i, t2 = block_lu_inv(S, thresh)
+    z = jnp.zeros((h, m - h), dtype=A.dtype)
+    LU = jnp.concatenate([
+        jnp.concatenate([LU11, A12], axis=1),
+        jnp.concatenate([A21, LU22], axis=1)], axis=0)
+    linv = jnp.concatenate([
+        jnp.concatenate([L11i, z], axis=1),
+        jnp.concatenate([-_mm(L22i, _mm(A21, L11i)), L22i], axis=1)], axis=0)
+    uinv = jnp.concatenate([
+        jnp.concatenate([U11i, -_mm(U11i, _mm(A12, U22i))], axis=1),
+        jnp.concatenate([z.T, U22i], axis=1)], axis=0)
+    return LU, linv, uinv, t1 + t2
 
 
-def _unit_lower(LU):
-    m = LU.shape[0]
-    eye = jnp.eye(m, dtype=LU.dtype)
-    return jnp.tril(LU, -1) + eye
-
-
-def _tri_invs(LU):
-    """Inverses of the unit-lower and upper factors of a compact LU block."""
-    m = LU.shape[0]
-    eye = jnp.eye(m, dtype=LU.dtype)
-    linv = lax.linalg.triangular_solve(
-        LU, eye, left_side=True, lower=True, unit_diagonal=True)
-    uinv = lax.linalg.triangular_solve(
-        LU, eye, left_side=True, lower=False, unit_diagonal=False)
-    return linv, uinv
+def block_lu(A, thresh):
+    """Compact blocked LU only (see block_lu_inv)."""
+    LU, _, _, t = block_lu_inv(A, thresh)
+    return LU, t
 
 
 # ---------------------------------------------------------------------------
@@ -181,83 +279,105 @@ def _chunk_indices(lo, hi, c, chunk, tape_len):
     return offs, valid
 
 
-def build_factor_fn(plan: SymbolicPlan, *, chunk: int = 32):
-    """Compile the factorization executor for one symbolic plan.
+def build_factor_fn(plan: SymbolicPlan, *, chunk: int = 32,
+                    diag_chunk: int = 8):
+    """Compile the level-batched factorization executor for one plan.
 
-    Returns ``factor(pool, tapes) -> (pool, linv, uinv, tiny, thresh_used)``
+    Returns ``factor(pool, thresh, tapes) -> (pool, linv, uinv, tiny)``
     where ``pool`` is the (nslots+2, B, B) block pool initialized with A and
-    ``thresh`` the tiny-pivot threshold (sqrt(eps)*‖A‖ passed by the caller).
+    ``thresh`` the tiny-pivot threshold (sqrt(eps)·‖A‖). One ``fori_loop``
+    over elimination levels; per level: batched diagonal LU+inverses,
+    batched panel TRSMs, batched Schur GEMMs.
     """
     nb, bs = plan.nb, plan.bs
-    ltape_len = len(plan.l_slots) + 1
-    utape_len = len(plan.u_slots) + 1
-    gtape_len = len(plan.g_l) + 1
+    nlvl = plan.n_flevels
+    lv = level_order(plan)
+    dlen = nb + 1
+    llen = len(lv["l_slot"]) + 1
+    ulen = len(lv["u_slot"]) + 1
+    glen = len(lv["g_l"]) + 1
     zero_slot, trash_slot = plan.zero_slot, plan.trash_slot
+    blu = jax.vmap(block_lu_inv, in_axes=(0, None))
 
-    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=())
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def factor(pool, thresh, tapes: FactorTapes):
         dtype = pool.dtype
-        linv0 = jnp.zeros((nb, bs, bs), dtype)
-        uinv0 = jnp.zeros((nb, bs, bs), dtype)
+        linv0 = jnp.zeros((nb + 1, bs, bs), dtype)
+        uinv0 = jnp.zeros((nb + 1, bs, bs), dtype)
 
-        def step(k, carry):
+        def level(l, carry):
             pool, linv, uinv, tiny = carry
-            dslot = tapes.diag_slot[k]
-            LU, nt = block_lu(pool[dslot], thresh)
-            lk, uk = _tri_invs(LU)
-            pool = pool.at[dslot].set(LU)
-            linv = linv.at[k].set(lk)
-            uinv = uinv.at[k].set(uk)
-            tiny = tiny + nt
 
-            # --- L panel: X <- X @ Ukk^{-1} (right-multiply by inverse) ---
-            lo, hi = tapes.l_ptr[k], tapes.l_ptr[k + 1]
+            # --- batched diagonal factorization + inverses ---
+            lo, hi = tapes.dptr[l], tapes.dptr[l + 1]
+
+            def diag(c, carry):
+                pool, linv, uinv, tiny = carry
+                offs, valid = _chunk_indices(lo, hi, c, diag_chunk, dlen)
+                steps = jnp.where(valid, tapes.dstep[offs], nb)
+                dsl = tapes.dslot[steps]           # masked → zero block
+                LU, lk, uk, nt = blu(pool[dsl], thresh)
+                pool = pool.at[jnp.where(valid, dsl, trash_slot)].set(LU)
+                linv = linv.at[steps].set(lk)      # masked → row nb
+                uinv = uinv.at[steps].set(uk)
+                tiny = tiny + jnp.sum(nt * valid).astype(jnp.int32)
+                return pool, linv, uinv, tiny
+
+            nch = (hi - lo + diag_chunk - 1) // diag_chunk
+            pool, linv, uinv, tiny = lax.fori_loop(
+                0, nch, diag, (pool, linv, uinv, tiny))
+
+            # --- L panels: X <- X @ U_kk^{-1}, per-block step gather ---
+            llo, lhi = tapes.lptr[l], tapes.lptr[l + 1]
 
             def ltrsm(c, pool):
-                offs, valid = _chunk_indices(lo, hi, c, chunk, ltape_len)
-                si = jnp.where(valid, tapes.l_slots[offs], trash_slot)
-                X = pool[si]
-                Y = jnp.einsum("cij,jk->cik", X, uk,
-                               preferred_element_type=dtype)
+                offs, valid = _chunk_indices(llo, lhi, c, chunk, llen)
+                si = jnp.where(valid, tapes.l_slot[offs], trash_slot)
+                st = jnp.where(valid, tapes.l_step[offs], nb)
+                Y = jnp.einsum("cij,cjk->cik", pool[si], uinv[st],
+                               preferred_element_type=dtype,
+                               precision=MATMUL_PRECISION)
                 return pool.at[si].set(Y)
 
-            nch = (hi - lo + chunk - 1) // chunk
+            nch = (lhi - llo + chunk - 1) // chunk
             pool = lax.fori_loop(0, nch, ltrsm, pool)
 
-            # --- U panel: X <- Lkk^{-1} @ X ---
-            lo_u, hi_u = tapes.u_ptr[k], tapes.u_ptr[k + 1]
+            # --- U panels: X <- L_kk^{-1} @ X ---
+            ulo, uhi = tapes.uptr[l], tapes.uptr[l + 1]
 
             def utrsm(c, pool):
-                offs, valid = _chunk_indices(lo_u, hi_u, c, chunk, utape_len)
-                si = jnp.where(valid, tapes.u_slots[offs], trash_slot)
-                X = pool[si]
-                Y = jnp.einsum("ij,cjk->cik", lk, X,
-                               preferred_element_type=dtype)
+                offs, valid = _chunk_indices(ulo, uhi, c, chunk, ulen)
+                si = jnp.where(valid, tapes.u_slot[offs], trash_slot)
+                st = jnp.where(valid, tapes.u_step[offs], nb)
+                Y = jnp.einsum("cij,cjk->cik", linv[st], pool[si],
+                               preferred_element_type=dtype,
+                               precision=MATMUL_PRECISION)
                 return pool.at[si].set(Y)
 
-            nch_u = (hi_u - lo_u + chunk - 1) // chunk
-            pool = lax.fori_loop(0, nch_u, utrsm, pool)
+            nch = (uhi - ulo + chunk - 1) // chunk
+            pool = lax.fori_loop(0, nch, utrsm, pool)
 
-            # --- Schur update: pool[t] -= L(I,k) @ U(k,J), batched ---
-            lo_g, hi_g = tapes.g_ptr[k], tapes.g_ptr[k + 1]
+            # --- Schur updates: pool[t] -= L(I,k) @ U(k,J), batched ---
+            glo, ghi = tapes.gptr[l], tapes.gptr[l + 1]
 
             def gemm(c, pool):
-                offs, valid = _chunk_indices(lo_g, hi_g, c, chunk, gtape_len)
+                offs, valid = _chunk_indices(glo, ghi, c, chunk, glen)
                 li = jnp.where(valid, tapes.g_l[offs], zero_slot)
                 ui = jnp.where(valid, tapes.g_u[offs], zero_slot)
                 ti = jnp.where(valid, tapes.g_t[offs], trash_slot)
                 P = jnp.einsum("cij,cjk->cik", pool[li], pool[ui],
-                               preferred_element_type=dtype)
+                               preferred_element_type=dtype,
+                               precision=MATMUL_PRECISION)
                 return pool.at[ti].add(-P)
 
-            nch_g = (hi_g - lo_g + chunk - 1) // chunk
-            pool = lax.fori_loop(0, nch_g, gemm, pool)
+            nch = (ghi - glo + chunk - 1) // chunk
+            pool = lax.fori_loop(0, nch, gemm, pool)
 
             return pool, linv, uinv, tiny
 
         pool, linv, uinv, tiny = lax.fori_loop(
-            0, nb, step, (pool, linv0, uinv0, jnp.zeros((), jnp.int32)))
-        return pool, linv, uinv, tiny
+            0, nlvl, level, (pool, linv0, uinv0, jnp.zeros((), jnp.int32)))
+        return pool, linv[:nb], uinv[:nb], tiny
 
     return factor
 
@@ -293,7 +413,8 @@ def build_solve_fn(plan: SymbolicPlan, nrhs: int, *, chunk: int = 32):
                 src = jnp.where(valid, tape.gsrc[offs], 0)
                 dst = jnp.where(valid, tape.gdst[offs], nb)  # nb = trash row
                 P = jnp.einsum("cij,cjk->cik", pool[si], X[src],
-                               preferred_element_type=dtype)
+                               preferred_element_type=dtype,
+                               precision=MATMUL_PRECISION)
                 return X.at[dst].add(-P)
 
             nch = (hi - lo + chunk - 1) // chunk
@@ -306,7 +427,8 @@ def build_solve_fn(plan: SymbolicPlan, nrhs: int, *, chunk: int = 32):
                 I = jnp.where(valid, tape.diag[offs], nb)
                 Ic = jnp.minimum(I, nb - 1)
                 Y = jnp.einsum("cij,cjk->cik", dinv[Ic], X[jnp.minimum(I, nb)],
-                               preferred_element_type=dtype)
+                               preferred_element_type=dtype,
+                               precision=MATMUL_PRECISION)
                 return X.at[I].set(Y)
 
             nchd = (dhi - dlo + chunk - 1) // chunk
