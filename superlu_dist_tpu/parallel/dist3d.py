@@ -1,0 +1,625 @@
+"""3D communication-avoiding distributed factorization (pdgstrf3d analog).
+
+The reference's 3D algorithm (reference: SRC/double/pdgstrf3d.c:121-439,
+supernodalForest.c getForests, pd3dcomm.c dreduceAllAncestors3d): partition
+the elimination forest into Pz independent subtree groups plus a shared
+ancestor "top"; each z-layer factors its subtrees on its own 2D grid with
+ancestor blocks replicated; the replicated partial Schur updates are summed
+across z; the top is then factored redundantly by every layer. The
+communication win: subtree factorization needs no cross-layer traffic at
+all — one ancestor reduction replaces per-step broadcasts.
+
+TPU-native realization:
+- forest partition = greedy load-balanced bin packing of maximal subtrees
+  hanging off the ancestor-closed heavy top (the SUPERLU_LBS greedy
+  strategy, supernodalForest.c:833-922), with a gemm-tape validation pass
+  that promotes any step violating subtree independence;
+- the z dimension is a mesh axis: ancestor replicas live at identical local
+  slots on every layer ([2, 2+max_anc) of each device pool), so
+  ``dreduceAllAncestors3d`` is literally ``psum(pool[2:2+max_anc], 'z')``;
+- phase-1 levels use only within-layer ('r','c') psums; phase-2 (top)
+  levels run replicated on all layers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.host.symbolic import SymbolicPlan
+from ..ops.kernels.blocklu import MATMUL_PRECISION, block_lu_inv
+from .grid import C_AXIS, R_AXIS, Z_AXIS, Grid3D
+
+_ZERO = 0
+_TRASH = 1
+_RESERVED = 2
+
+
+def step_costs(plan: SymbolicPlan) -> np.ndarray:
+    """Block-op cost model per elimination step (for load balancing)."""
+    cost = np.ones(plan.nb, dtype=np.float64)
+    cost += np.diff(plan.l_ptr) + np.diff(plan.u_ptr)
+    cost += 2.0 * np.diff(plan.g_ptr)
+    return cost
+
+
+def partition_forest(plan: SymbolicPlan, pz: int):
+    """Assign elimination steps to z-layers.
+
+    Returns ``step_layer`` (nb,) with -1 for the shared ancestor top.
+    The top is ancestor-closed; subtree independence is validated against
+    the gemm tape and violators promoted into the top.
+    """
+    nb = plan.nb
+    parent = plan.block_parent
+    cost = step_costs(plan)
+    total = float(cost.sum())
+
+    # children have smaller index than parents in an etree (parent > k), so
+    # ascending order accumulates subtree costs correctly
+    sub = cost.copy()
+    for k in range(nb):
+        p = parent[k]
+        if p >= 0:
+            sub[p] += sub[k]
+
+    if pz <= 1:
+        return np.zeros(nb, dtype=np.int64)
+
+    in_top = sub > (total / pz)
+    # ancestor closure (monotone by construction; enforce anyway)
+    for k in range(nb - 1, -1, -1):
+        p = parent[k]
+        if p >= 0 and in_top[k]:
+            in_top[p] = True
+
+    def promote(k):
+        while k >= 0 and not in_top[k]:
+            in_top[k] = True
+            k = parent[k]
+
+    # maximal subtrees below the top → greedy balance into pz bins
+    step_layer = np.full(nb, -1, dtype=np.int64)
+    for _ in range(nb):  # fixpoint loop (promotions shrink subtrees)
+        roots = [k for k in range(nb)
+                 if not in_top[k] and (parent[k] < 0 or in_top[parent[k]])]
+        # subtree membership: parents have larger indices, so a single
+        # descending pass propagates each root's id down its subtree
+        comp = np.full(nb, -1, dtype=np.int64)
+        for r in roots:
+            comp[r] = r
+        for k in range(nb - 1, -1, -1):
+            if in_top[k] or comp[k] >= 0:
+                continue
+            p = parent[k]
+            if p >= 0 and comp[p] >= 0:
+                comp[k] = comp[p]
+
+        bin_cost = np.zeros(pz)
+        bin_of = {}
+        for r in sorted(roots, key=lambda r: -sub[r]):
+            b = int(np.argmin(bin_cost))
+            bin_of[r] = b
+            bin_cost[b] += sub[r]
+        step_layer[:] = -1
+        for k in range(nb):
+            if not in_top[k] and comp[k] >= 0:
+                step_layer[k] = bin_of[comp[k]]
+
+        # validate subtree independence against the gemm tape: any update
+        # crossing layers (or from the top into a layer) promotes its target
+        slot_step = plan.slot_step
+        bad = []
+        for k in range(nb):
+            for t in range(plan.g_ptr[k], plan.g_ptr[k + 1]):
+                a = int(slot_step[plan.g_t[t]])
+                if step_layer[a] >= 0 and step_layer[a] != step_layer[k]:
+                    bad.append(a)
+        if not bad:
+            break
+        for a in bad:
+            promote(a)
+    return step_layer
+
+
+@dataclasses.dataclass
+class DistPlan3D:
+    pz: int
+    pr: int
+    pc: int
+    nb: int
+    bs: int
+    n_local: int
+    max_anc: int          # ancestor slots per device: locals [2, 2+max_anc)
+    max_p1: int           # phase-1 level count (padded across layers)
+    ntop: int             # phase-2 (top) level count
+    max_lbuf: int
+    max_ubuf: int
+    step_layer: np.ndarray
+
+    # placement (for init + gather): global slot -> (2D device, local, anc?)
+    slot_rc: np.ndarray
+    slot_local: np.ndarray
+    slot_is_anc: np.ndarray
+
+    # factor tapes (pz, pr, pc, ...), levels = phase1 ++ top
+    dptr: np.ndarray
+    dstep: np.ndarray
+    dloc: np.ndarray
+    lptr: np.ndarray
+    lloc: np.ndarray
+    lpos: np.ndarray
+    lstep: np.ndarray
+    uptr: np.ndarray
+    uloc: np.ndarray
+    upos: np.ndarray
+    ustep: np.ndarray
+    gptr: np.ndarray
+    glpos: np.ndarray
+    gupos: np.ndarray
+    gtloc: np.ndarray
+
+    # solve tapes (pz, pr, pc, ...)
+    lsol_gptr: np.ndarray
+    lsol_gloc: np.ndarray
+    lsol_gsrc: np.ndarray
+    lsol_gdst: np.ndarray
+    usol_gptr: np.ndarray
+    usol_gloc: np.ndarray
+    usol_gsrc: np.ndarray
+    usol_gdst: np.ndarray
+
+
+def _compact_levels(steps, global_level):
+    """Group ``steps`` by their global level, compacted to consecutive."""
+    if len(steps) == 0:
+        return []
+    lvls = sorted(set(int(global_level[k]) for k in steps))
+    remap = {lv: i for i, lv in enumerate(lvls)}
+    out = [[] for _ in lvls]
+    for k in sorted(steps):
+        out[remap[int(global_level[k])]].append(int(k))
+    return out
+
+
+def partition_plan3d(plan: SymbolicPlan, pz: int, pr: int, pc: int
+                     ) -> DistPlan3D:
+    nb = plan.nb
+    srow, scol = plan.slot_row, plan.slot_col
+    step_layer = partition_forest(plan, pz)
+    slot_step = plan.slot_step
+    slot_layer = step_layer[slot_step]            # -1 = ancestor slot
+    slot_is_anc = slot_layer < 0
+    slot_rc = (srow % pr) * pc + (scol % pc)
+    ndev2 = pr * pc
+
+    # local numbering: ancestors first (identical across z), then layer slots
+    slot_local = np.zeros(plan.nslots, dtype=np.int64)
+    anc_count = np.zeros(ndev2, dtype=np.int64)
+    for s in np.flatnonzero(slot_is_anc):
+        d = slot_rc[s]
+        slot_local[s] = _RESERVED + anc_count[d]
+        anc_count[d] += 1
+    max_anc = int(anc_count.max()) if ndev2 else 0
+    lay_count = np.zeros((pz, ndev2), dtype=np.int64)
+    for s in np.flatnonzero(~slot_is_anc):
+        d = slot_rc[s]
+        z = slot_layer[s]
+        slot_local[s] = _RESERVED + max_anc + lay_count[z, d]
+        lay_count[z, d] += 1
+    n_local = _RESERVED + max_anc + (int(lay_count.max()) if lay_count.size
+                                     else 0)
+
+    # schedules
+    layer_scheds = [_compact_levels(np.flatnonzero(step_layer == z),
+                                    plan.step_level) for z in range(pz)]
+    max_p1 = max((len(s) for s in layer_scheds), default=0)
+    top_sched = _compact_levels(np.flatnonzero(step_layer < 0),
+                                plan.step_level)
+    ntop = len(top_sched)
+    nlvl = max_p1 + ntop
+
+    # ---- per-z tape building over the combined schedule ----
+    tape_lists = []   # per z: dict of lists
+    max_lbuf = 1
+    max_ubuf = 1
+    for z in range(pz):
+        sched = (layer_scheds[z] + [[] for _ in
+                                    range(max_p1 - len(layer_scheds[z]))]
+                 + top_sched)
+        d_l = [[[] for _ in range(nlvl)] for _ in range(ndev2)]
+        l_l = [[[] for _ in range(nlvl)] for _ in range(ndev2)]
+        u_l = [[[] for _ in range(nlvl)] for _ in range(ndev2)]
+        g_l = [[[] for _ in range(nlvl)] for _ in range(ndev2)]
+        for l, steps in enumerate(sched):
+            lrow_count = np.zeros(pr, dtype=np.int64)
+            ucol_count = np.zeros(pc, dtype=np.int64)
+            lpos_of = {}
+            upos_of = {}
+            for k in steps:
+                ds = plan.diag_slot[k]
+                d_l[slot_rc[ds]][l].append((int(k), int(slot_local[ds])))
+                for s in plan.l_slots[plan.l_ptr[k]:plan.l_ptr[k + 1]]:
+                    r = int(srow[s] % pr)
+                    pos = int(lrow_count[r])
+                    lrow_count[r] += 1
+                    lpos_of[int(s)] = pos
+                    l_l[slot_rc[s]][l].append(
+                        (int(slot_local[s]), pos, int(k)))
+                for s in plan.u_slots[plan.u_ptr[k]:plan.u_ptr[k + 1]]:
+                    c = int(scol[s] % pc)
+                    pos = int(ucol_count[c])
+                    ucol_count[c] += 1
+                    upos_of[int(s)] = pos
+                    u_l[slot_rc[s]][l].append(
+                        (int(slot_local[s]), pos, int(k)))
+            max_lbuf = max(max_lbuf, int(lrow_count.max(initial=0)))
+            max_ubuf = max(max_ubuf, int(ucol_count.max(initial=0)))
+            for k in steps:
+                for t in range(plan.g_ptr[k], plan.g_ptr[k + 1]):
+                    tgt = plan.g_t[t]
+                    g_l[slot_rc[tgt]][l].append(
+                        (lpos_of[int(plan.g_l[t])],
+                         upos_of[int(plan.g_u[t])],
+                         int(slot_local[tgt])))
+        tape_lists.append((d_l, l_l, u_l, g_l))
+
+    def pack(z_lists, idx, nfields, fills):
+        maxlen = 1
+        ptrs = np.zeros((pz, ndev2, nlvl + 1), dtype=np.int64)
+        for z in range(pz):
+            lists = z_lists[z][idx]
+            for d in range(ndev2):
+                for l in range(nlvl):
+                    ptrs[z, d, l + 1] = ptrs[z, d, l] + len(lists[d][l])
+            maxlen = max(maxlen, int(ptrs[z, :, -1].max()))
+        out = [np.full((pz, ndev2, maxlen), fills[f], dtype=np.int32)
+               for f in range(nfields)]
+        for z in range(pz):
+            lists = z_lists[z][idx]
+            for d in range(ndev2):
+                pos = 0
+                for l in range(nlvl):
+                    for item in lists[d][l]:
+                        for f in range(nfields):
+                            out[f][z, d, pos] = item[f]
+                        pos += 1
+        ptrs = ptrs.reshape(pz, pr, pc, nlvl + 1).astype(np.int32)
+        return ptrs, [o.reshape(pz, pr, pc, maxlen) for o in out]
+
+    dptr, (dstep, dloc) = pack(tape_lists, 0, 2, [nb, _TRASH])
+    lptr, (lloc, lpos, lstep) = pack(tape_lists, 1, 3, [_TRASH, 0, nb])
+    uptr, (uloc, upos, ustep) = pack(tape_lists, 2, 3, [_TRASH, 0, nb])
+    gptr, (glpos, gupos, gtloc) = pack(tape_lists, 3, 3, [0, 0, _TRASH])
+
+    # ---- solve tapes: layer-slot work on its layer, ancestor work on z=0 --
+    def solve_pack(gptr_g, gslot_g, gsrc_g, gdst_g, snlvl):
+        lists = [[[[] for _ in range(snlvl)] for _ in range(ndev2)]
+                 for _ in range(pz)]
+        for l in range(snlvl):
+            for t in range(gptr_g[l], gptr_g[l + 1]):
+                s = gslot_g[t]
+                z = 0 if slot_is_anc[s] else int(slot_layer[s])
+                lists[z][slot_rc[s]][l].append(
+                    (int(slot_local[s]), int(gsrc_g[t]), int(gdst_g[t])))
+        ptrs = np.zeros((pz, ndev2, snlvl + 1), dtype=np.int64)
+        maxlen = 1
+        for z in range(pz):
+            for d in range(ndev2):
+                for l in range(snlvl):
+                    ptrs[z, d, l + 1] = ptrs[z, d, l] + len(lists[z][d][l])
+            maxlen = max(maxlen, int(ptrs[z, :, -1].max()))
+        loc = np.full((pz, ndev2, maxlen), _ZERO, dtype=np.int32)
+        src = np.zeros((pz, ndev2, maxlen), dtype=np.int32)
+        dst = np.full((pz, ndev2, maxlen), nb, dtype=np.int32)
+        for z in range(pz):
+            for d in range(ndev2):
+                pos = 0
+                for l in range(snlvl):
+                    for (a, b, c) in lists[z][d][l]:
+                        loc[z, d, pos] = a
+                        src[z, d, pos] = b
+                        dst[z, d, pos] = c
+                        pos += 1
+        return (ptrs.reshape(pz, pr, pc, snlvl + 1).astype(np.int32),
+                loc.reshape(pz, pr, pc, maxlen),
+                src.reshape(pz, pr, pc, maxlen),
+                dst.reshape(pz, pr, pc, maxlen))
+
+    lsg = solve_pack(plan.lsol_gptr, plan.lsol_gslot, plan.lsol_gsrc,
+                     plan.lsol_gdst, plan.lsol_nlvl)
+    usg = solve_pack(plan.usol_gptr, plan.usol_gslot, plan.usol_gsrc,
+                     plan.usol_gdst, plan.usol_nlvl)
+
+    return DistPlan3D(
+        pz=pz, pr=pr, pc=pc, nb=nb, bs=plan.bs, n_local=n_local,
+        max_anc=max_anc, max_p1=max_p1, ntop=ntop,
+        max_lbuf=max_lbuf, max_ubuf=max_ubuf, step_layer=step_layer,
+        slot_rc=slot_rc, slot_local=slot_local, slot_is_anc=slot_is_anc,
+        dptr=dptr, dstep=dstep, dloc=dloc,
+        lptr=lptr, lloc=lloc, lpos=lpos, lstep=lstep,
+        uptr=uptr, uloc=uloc, upos=upos, ustep=ustep,
+        gptr=gptr, glpos=glpos, gupos=gupos, gtloc=gtloc,
+        lsol_gptr=lsg[0], lsol_gloc=lsg[1], lsol_gsrc=lsg[2],
+        lsol_gdst=lsg[3],
+        usol_gptr=usg[0], usol_gloc=usg[1], usol_gsrc=usg[2],
+        usol_gdst=usg[3],
+    )
+
+
+def init_local_pools3d(plan: SymbolicPlan, dplan: DistPlan3D, A3, dtype,
+                       grid: Grid3D) -> jax.Array:
+    """(pz, pr, pc, n_local, B, B) sharded pool. Ancestor replicas get A's
+    values only on layer 0 (dGatherNRformat_loc3d convention: the reduction
+    then counts them exactly once)."""
+    import scipy.sparse as sp
+    A3 = sp.csc_matrix(A3)
+    bs = plan.bs
+    nnz = A3.nnz
+    gslot = plan.init_idx // (bs * bs)
+    rem = plan.init_idx % (bs * bs)
+    vals = np.concatenate([A3.data.astype(dtype),
+                           np.ones(plan.init_ones, dtype=dtype)])
+    z_of = np.where(dplan.slot_is_anc[gslot], 0,
+                    dplan.step_layer[plan.slot_step[gslot]])
+    pools = np.zeros((dplan.pz, dplan.pr * dplan.pc,
+                      dplan.n_local * bs * bs), dtype=dtype)
+    np.add.at(pools, (z_of, dplan.slot_rc[gslot],
+                      dplan.slot_local[gslot] * bs * bs + rem), vals)
+    pools = pools.reshape(dplan.pz, dplan.pr, dplan.pc, dplan.n_local,
+                          bs, bs)
+    sharding = NamedSharding(grid.mesh, P(Z_AXIS, R_AXIS, C_AXIS))
+    return jax.device_put(pools, sharding)
+
+
+def _chunked(lo, hi, chunk, body, carry):
+    nch = (hi - lo + chunk - 1) // chunk
+    return lax.fori_loop(0, nch, body, carry)
+
+
+def build_dist3d_factor_fn(plan: SymbolicPlan, dplan: DistPlan3D,
+                           grid: Grid3D, *, chunk: int = 16,
+                           diag_chunk: int = 4):
+    """Compile the SPMD 3D factorization: per-layer subtree levels →
+    ancestor psum over 'z' → replicated top levels."""
+    nb, bs = dplan.nb, dplan.bs
+    LBUF, UBUF = dplan.max_lbuf, dplan.max_ubuf
+    max_p1, ntop = dplan.max_p1, dplan.ntop
+    max_anc = dplan.max_anc
+    mesh = grid.mesh
+    dlen = dplan.dstep.shape[-1]
+    llen = dplan.lloc.shape[-1]
+    ulen = dplan.uloc.shape[-1]
+    glen = dplan.glpos.shape[-1]
+    blu = jax.vmap(block_lu_inv, in_axes=(0, None))
+
+    def spmd(pools, thresh, dptr, dstep, dloc, lptr, lloc, lpos, lstep,
+             uptr, uloc, upos, ustep, gptr, glpos, gupos, gtloc):
+        pool = pools[0, 0, 0]
+        (dptr, dstep, dloc, lptr, lloc, lpos, lstep, uptr, uloc, upos,
+         ustep, gptr, glpos, gupos, gtloc) = (
+            x[0, 0, 0] for x in (dptr, dstep, dloc, lptr, lloc, lpos,
+                                 lstep, uptr, uloc, upos, ustep, gptr,
+                                 glpos, gupos, gtloc))
+        dtype = pool.dtype
+
+        def level(l, carry):
+            pool, linv, uinv, tiny = carry
+            lo, hi = dptr[l], dptr[l + 1]
+            ldelta = jnp.zeros((nb + 1, bs, bs), dtype)
+            udelta = jnp.zeros((nb + 1, bs, bs), dtype)
+
+            def diag(c, carry):
+                pool, ldelta, udelta, tiny = carry
+                offs = lo + c * diag_chunk + jnp.arange(diag_chunk,
+                                                        dtype=jnp.int32)
+                valid = offs < hi
+                offs = jnp.minimum(offs, dlen - 1)
+                steps = jnp.where(valid, dstep[offs], nb)
+                dsl = jnp.where(valid, dloc[offs], _ZERO)
+                LU, lk, uk, nt = blu(pool[dsl], thresh)
+                pool = pool.at[jnp.where(valid, dsl, _TRASH)].set(LU)
+                ldelta = ldelta.at[steps].set(
+                    jnp.where(valid[:, None, None], lk, 0))
+                udelta = udelta.at[steps].set(
+                    jnp.where(valid[:, None, None], uk, 0))
+                tiny = tiny + jnp.sum(nt * valid).astype(jnp.int32)
+                return pool, ldelta, udelta, tiny
+
+            pool, ldelta, udelta, tiny = _chunked(
+                lo, hi, diag_chunk, diag, (pool, ldelta, udelta, tiny))
+            pack = lax.psum(lax.psum(jnp.stack([ldelta, udelta]), R_AXIS),
+                            C_AXIS)
+            linv = linv + pack[0]
+            uinv = uinv + pack[1]
+
+            lbuf = jnp.zeros((LBUF + 2, bs, bs), dtype)
+            llo, lhi = lptr[l], lptr[l + 1]
+
+            def ltrsm(c, carry):
+                pool, lbuf = carry
+                offs = llo + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+                valid = offs < lhi
+                offs = jnp.minimum(offs, llen - 1)
+                si = jnp.where(valid, lloc[offs], _TRASH)
+                pos = jnp.where(valid, lpos[offs], LBUF)
+                st = jnp.where(valid, lstep[offs], nb)
+                Y = jnp.einsum("cij,cjk->cik", pool[si], uinv[st],
+                               preferred_element_type=dtype,
+                               precision=MATMUL_PRECISION)
+                return pool.at[si].set(Y), lbuf.at[pos].set(Y)
+
+            pool, lbuf = _chunked(llo, lhi, chunk, ltrsm, (pool, lbuf))
+
+            ubuf = jnp.zeros((UBUF + 2, bs, bs), dtype)
+            ulo, uhi = uptr[l], uptr[l + 1]
+
+            def utrsm(c, carry):
+                pool, ubuf = carry
+                offs = ulo + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+                valid = offs < uhi
+                offs = jnp.minimum(offs, ulen - 1)
+                si = jnp.where(valid, uloc[offs], _TRASH)
+                pos = jnp.where(valid, upos[offs], UBUF)
+                st = jnp.where(valid, ustep[offs], nb)
+                Y = jnp.einsum("cij,cjk->cik", linv[st], pool[si],
+                               preferred_element_type=dtype,
+                               precision=MATMUL_PRECISION)
+                return pool.at[si].set(Y), ubuf.at[pos].set(Y)
+
+            pool, ubuf = _chunked(ulo, uhi, chunk, utrsm, (pool, ubuf))
+
+            lbuf = lax.psum(lbuf, C_AXIS)
+            ubuf = lax.psum(ubuf, R_AXIS)
+
+            go, gh = gptr[l], gptr[l + 1]
+
+            def gemm(c, pool):
+                offs = go + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+                valid = offs < gh
+                offs = jnp.minimum(offs, glen - 1)
+                li = jnp.where(valid, glpos[offs], LBUF + 1)
+                ui = jnp.where(valid, gupos[offs], UBUF + 1)
+                ti = jnp.where(valid, gtloc[offs], _TRASH)
+                Pm = jnp.einsum("cij,cjk->cik", lbuf[li], ubuf[ui],
+                                preferred_element_type=dtype,
+                                precision=MATMUL_PRECISION)
+                return pool.at[ti].add(-Pm)
+
+            pool = _chunked(go, gh, chunk, gemm, pool)
+            return pool, linv, uinv, tiny
+
+        linv0 = jnp.zeros((nb + 1, bs, bs), dtype)
+        uinv0 = jnp.zeros((nb + 1, bs, bs), dtype)
+        # phase 1: independent subtrees, within-layer collectives only
+        pool, linv, uinv, tiny1 = lax.fori_loop(
+            0, max_p1, level, (pool, linv0, uinv0, jnp.zeros((), jnp.int32)))
+        # cross-layer reduction (dreduceAllAncestors3d analog)
+        linv = lax.psum(linv, Z_AXIS)
+        uinv = lax.psum(uinv, Z_AXIS)
+        anc = lax.psum(pool[_RESERVED:_RESERVED + max_anc], Z_AXIS)
+        pool = pool.at[_RESERVED:_RESERVED + max_anc].set(anc)
+        # phase 2: shared top, replicated across layers
+        pool, linv, uinv, tiny2 = lax.fori_loop(
+            max_p1, max_p1 + ntop, level,
+            (pool, linv, uinv, jnp.zeros((), jnp.int32)))
+        tiny1 = lax.psum(lax.psum(lax.psum(tiny1, Z_AXIS), R_AXIS), C_AXIS)
+        tiny2 = lax.psum(lax.psum(lax.psum(tiny2, Z_AXIS), R_AXIS),
+                         C_AXIS) // dplan.pz
+        return pool[None, None, None], linv[:nb], uinv[:nb], tiny1 + tiny2
+
+    sharded = P(Z_AXIS, R_AXIS, C_AXIS)
+    rep = P()
+    fn = shard_map(spmd, mesh=mesh,
+                   in_specs=(sharded, rep) + (sharded,) * 15,
+                   out_specs=(sharded, rep, rep, rep), check_rep=False)
+
+    @jax.jit
+    def factor(pools, thresh, tapes):
+        return fn(pools, thresh, *tapes)
+
+    return factor
+
+
+def make_dist3d_factor_tapes(dplan: DistPlan3D):
+    names = ["dptr", "dstep", "dloc", "lptr", "lloc", "lpos", "lstep",
+             "uptr", "uloc", "upos", "ustep", "gptr", "glpos", "gupos",
+             "gtloc"]
+    return tuple(jnp.asarray(getattr(dplan, n), dtype=jnp.int32)
+                 for n in names)
+
+
+def build_dist3d_solve_fn(plan: SymbolicPlan, dplan: DistPlan3D,
+                          grid: Grid3D, nrhs: int, *, chunk: int = 16):
+    """Distributed solve on the 3D grid: X replicated everywhere, per-level
+    psums over all three axes (ancestor work assigned to layer 0 only,
+    so nothing is double counted)."""
+    nb, bs = dplan.nb, dplan.bs
+    mesh = grid.mesh
+    nlvl_l, nlvl_u = plan.lsol_nlvl, plan.usol_nlvl
+    ldptr = jnp.asarray(plan.lsol_dptr, jnp.int32)
+    ldiag = jnp.asarray(np.concatenate([plan.lsol_diag, [nb]]), jnp.int32)
+    udptr = jnp.asarray(plan.usol_dptr, jnp.int32)
+    udiag = jnp.asarray(np.concatenate([plan.usol_diag, [nb]]), jnp.int32)
+    ldlen = len(plan.lsol_diag) + 1
+    udlen = len(plan.usol_diag) + 1
+    lg_len = dplan.lsol_gloc.shape[-1]
+    ug_len = dplan.usol_gloc.shape[-1]
+
+    def sweep(pool, dinv, gp, gl, gs, gd, X, nlvl, glen, dptr, diag, dlen):
+        dtype = X.dtype
+
+        def level(l, X):
+            lo, hi = gp[l], gp[l + 1]
+            delta = jnp.zeros_like(X)
+
+            def gemm(c, delta):
+                offs = lo + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+                valid = offs < hi
+                offs = jnp.minimum(offs, glen - 1)
+                si = jnp.where(valid, gl[offs], _ZERO)
+                src = jnp.where(valid, gs[offs], 0)
+                dst = jnp.where(valid, gd[offs], nb)
+                Pm = jnp.einsum("cij,cjk->cik", pool[si], X[src],
+                                preferred_element_type=dtype,
+                                precision=MATMUL_PRECISION)
+                return delta.at[dst].add(-Pm)
+
+            delta = _chunked(lo, hi, chunk, gemm, delta)
+            delta = lax.psum(lax.psum(lax.psum(delta, Z_AXIS), R_AXIS),
+                             C_AXIS)
+            X = X + delta
+
+            dlo, dhi = dptr[l], dptr[l + 1]
+
+            def dapply(c, X):
+                offs = dlo + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+                valid = offs < dhi
+                offs = jnp.minimum(offs, dlen - 1)
+                I = jnp.where(valid, diag[offs], nb)
+                Ic = jnp.minimum(I, nb - 1)
+                Y = jnp.einsum("cij,cjk->cik", dinv[Ic], X[I],
+                               preferred_element_type=dtype,
+                               precision=MATMUL_PRECISION)
+                return X.at[I].set(Y)
+
+            return _chunked(dlo, dhi, chunk, dapply, X)
+
+        return lax.fori_loop(0, nlvl, level, X)
+
+    def spmd(pools, linv, uinv, lgp, lgl, lgs, lgd, ugp, ugl, ugs, ugd, b):
+        pool = pools[0, 0, 0]
+        lgp, lgl, lgs, lgd = (x[0, 0, 0] for x in (lgp, lgl, lgs, lgd))
+        ugp, ugl, ugs, ugd = (x[0, 0, 0] for x in (ugp, ugl, ugs, ugd))
+        X = b.reshape(nb, bs, nrhs)
+        X = jnp.concatenate([X, jnp.zeros((1, bs, nrhs), X.dtype)], axis=0)
+        X = sweep(pool, linv, lgp, lgl, lgs, lgd, X, nlvl_l, lg_len,
+                  ldptr, ldiag, ldlen)
+        X = sweep(pool, uinv, ugp, ugl, ugs, ugd, X, nlvl_u, ug_len,
+                  udptr, udiag, udlen)
+        return X[:nb].reshape(nb * bs, nrhs)
+
+    sharded = P(Z_AXIS, R_AXIS, C_AXIS)
+    rep = P()
+    fn = shard_map(spmd, mesh=mesh,
+                   in_specs=(sharded, rep, rep) + (sharded,) * 8 + (rep,),
+                   out_specs=rep, check_rep=False)
+
+    @jax.jit
+    def solve(pools, linv, uinv, stapes, b):
+        return fn(pools, linv, uinv, *stapes, b)
+
+    return solve
+
+
+def make_dist3d_solve_tapes(dplan: DistPlan3D):
+    names = ["lsol_gptr", "lsol_gloc", "lsol_gsrc", "lsol_gdst",
+             "usol_gptr", "usol_gloc", "usol_gsrc", "usol_gdst"]
+    return tuple(jnp.asarray(getattr(dplan, n), dtype=jnp.int32)
+                 for n in names)
