@@ -245,9 +245,14 @@ class SparseLU:
                 self.plan, nrhs, chunk=self.options.gemm_chunk)
         return self._solve_fns[nrhs]
 
+    def _bpad_rows(self) -> int:
+        """Row count the solve executor expects (bucket-padded)."""
+        from ..ops.kernels.blocklu import bucket125
+        return bucket125(self.plan.nb) * self.plan.bs
+
     def _solve_factored(self, bp: np.ndarray) -> np.ndarray:
-        """L U y = b in factorization coordinates; bp: (n_pad, nrhs) padded.
-        Overridden by the mesh-distributed driver."""
+        """L U y = b in factorization coordinates; bp padded to
+        _bpad_rows() rows. Overridden by the mesh-distributed drivers."""
         nrhs = bp.shape[1]
         return np.asarray(self._solve_fn(nrhs)(
             self.pool, self.linv, self.uinv, self.ltape, self.utape,
@@ -266,7 +271,7 @@ class SparseLU:
         nrhs = b.shape[1]
         # b3 = Pc Pr Dr b  (rows of A3 correspond to original rows prc[k])
         prc = self.rowperm[self.colperm]
-        bp = np.zeros((plan.n_pad, nrhs), dtype=self.dtype)
+        bp = np.zeros((self._bpad_rows(), nrhs), dtype=self.dtype)
         bp[: self.n] = self.row_scale[prc, None] * b[prc]
         with self.stat.phase("SOLVE"):
             y = self._solve_factored(bp)[: self.n]

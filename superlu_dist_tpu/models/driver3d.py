@@ -69,6 +69,9 @@ class Distributed3DSparseLU(SparseLU):
                 chunk=self.options.gemm_chunk)
         return self._solve_fns[nrhs]
 
+    def _bpad_rows(self) -> int:
+        return self.plan.nb * self.plan.bs
+
     def _solve_factored(self, bp: np.ndarray) -> np.ndarray:
         nrhs = bp.shape[1]
         return np.asarray(self._solve_fn(nrhs)(

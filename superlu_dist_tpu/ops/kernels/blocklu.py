@@ -3,20 +3,24 @@
 TPU-native replacement for the reference's numeric core:
 
 - the elimination loop of ``pdgstrf`` (reference: SRC/double/pdgstrf.c:243-2003)
-  becomes a single compiled ``lax.fori_loop`` over block columns;
-- panel factorization + TRSMs (pdgstrf2.c:142-360, pdgstrs2_omp) become an
-  unrolled recursive block LU (no pivoting, ReplaceTinyPivot semantics) plus
-  diagonal-block inverses, so the panel solves are batched GEMMs — the
-  DiagInv idea of pdCompute_Diag_Inv (pdgstrs.c:842) applied everywhere;
+  becomes a single compiled ``lax.fori_loop`` over *elimination levels*:
+  independent block columns at one level factor as a batch (the static
+  analog of look-ahead pipelining, pdgstrf.c:1110-1300);
+- panel factorization + TRSMs (pdgstrf2.c:142-360, pdgstrs2_omp) become a
+  vmapped recursive block LU (no pivoting, ReplaceTinyPivot semantics) with
+  triangular inverses, so panel solves are batched GEMMs — the DiagInv idea
+  of pdCompute_Diag_Inv (pdgstrs.c:842) applied everywhere;
 - the Schur-complement GEMM + OpenMP scatter (dSchCompUdt-2Ddynamic.c:488-705,
   dscatter.c) becomes gather → batched B×B GEMM → indexed scatter-add on a
   flat block pool, with all indices precomputed by the symbolic phase;
 - the message-driven triangular solves (pdgstrs.c:1039-3200,
   pdgstrs_lsum.c dlsum_fmod/bmod) become static level-set sweeps.
 
-Everything is static shapes: per-step variable work is chunked into
-fixed-size batches; masked lanes read the zero block and write to a trash
-block, so one compiled program serves every step.
+Shape polymorphism: every dimension that varies per matrix (pool slots,
+tape lengths, level counts, block-column count) is padded to a bucket, and
+executors are cached on the bucket signature — one compilation serves every
+matrix in the same bucket class (crucial on TPU where a fresh XLA compile
+costs minutes; the reference has no compile step to amortize).
 """
 
 from __future__ import annotations
@@ -39,34 +43,88 @@ import os as _os
 MATMUL_PRECISION = _os.environ.get("SLU_TPU_MATMUL_PRECISION", "highest")
 
 
+# ---------------------------------------------------------------------------
+# bucketing
+# ---------------------------------------------------------------------------
+
+
+def bucket125(x: int, lo: int = 8) -> int:
+    """Smallest value ≥ x of the form 2^k · {1, 1.25, 1.5, 1.75} (≤25%
+    padding waste). Used for pool/tape dimensions so compiled executors are
+    shared across matrices."""
+    x = max(int(x), lo)
+    k = max(0, int(np.floor(np.log2(x))))
+    for base in (1.0, 1.25, 1.5, 1.75, 2.0):
+        cand = int(np.ceil((2 ** k) * base))
+        if cand >= x:
+            return cand
+    return 2 ** (k + 1)
+
+
+def _pad_to(a, size, fill, dtype=np.int32):
+    a = np.asarray(a, dtype=dtype)
+    out = np.full(size, fill, dtype=dtype)
+    out[: len(a)] = a
+    return jnp.asarray(out)
+
+
+def _pad_ptr(ptr, nlvl_pad):
+    """Pad a level-pointer array by repeating its last value (empty levels)."""
+    ptr = np.asarray(ptr, dtype=np.int32)
+    out = np.full(nlvl_pad + 1, ptr[-1], dtype=np.int32)
+    out[: len(ptr)] = ptr
+    return jnp.asarray(out)
+
+
+class Buckets(NamedTuple):
+    bs: int
+    nbp: int        # bucketed block-column count
+    poolp: int      # bucketed pool rows
+    dlen: int
+    llen: int
+    ulen: int
+    glen: int
+    nlvlp: int
+
+
+def factor_buckets(plan: SymbolicPlan) -> Buckets:
+    return Buckets(
+        bs=plan.bs,
+        nbp=bucket125(plan.nb),
+        poolp=bucket125(plan.nslots + 2),
+        dlen=bucket125(plan.nb + 1),
+        llen=bucket125(len(plan.l_slots) + 1),
+        ulen=bucket125(len(plan.u_slots) + 1),
+        glen=bucket125(len(plan.g_l) + 1),
+        nlvlp=bucket125(plan.n_flevels),
+    )
+
+
 class FactorTapes(NamedTuple):
     """Device-resident integer schedule, grouped by elimination level.
 
-    Steps within a level are independent (see SymbolicPlan.step_level) and
-    execute as one batch: batched diagonal LUs, batched panel TRSMs against
-    gathered per-step diagonal inverses, batched Schur GEMMs. This is the
-    static analog of the reference's look-ahead pipeline — instead of
-    overlapping communication of step k+1 with updates of step k via MPI
-    tags (pdgstrf.c:1110-1300), every independent step is fused into one
-    superstep of MXU work.
+    ``consts`` carries [zero_slot, trash_slot] so the executor is
+    independent of the pool layout.
     """
 
-    dptr: jax.Array      # (nlvl+1,) diag-batch ranges
-    dstep: jax.Array     # step ids, level-ordered (padded, fill=nb)
-    dslot: jax.Array     # (nb+1,) diag slot per step, [nb] = zero_slot
-    lptr: jax.Array      # (nlvl+1,)
-    l_slot: jax.Array    # L-panel block slots, level-ordered
-    l_step: jax.Array    # owning step of each L-panel block
+    consts: jax.Array    # (2,) zero slot, trash slot
+    dptr: jax.Array      # (nlvlp+1,) diag-batch ranges
+    dstep: jax.Array     # step ids, level-ordered
+    dslot: jax.Array     # (nbp+1,) diag slot per step; padding → zero slot
+    lptr: jax.Array
+    l_slot: jax.Array
+    l_step: jax.Array
     uptr: jax.Array
     u_slot: jax.Array
     u_step: jax.Array
-    gptr: jax.Array      # (nlvl+1,)
+    gptr: jax.Array
     g_l: jax.Array
     g_u: jax.Array
     g_t: jax.Array
 
 
 class SolveTapes(NamedTuple):
+    consts: jax.Array    # (2,)
     gptr: jax.Array
     gslot: jax.Array
     gsrc: jax.Array
@@ -75,28 +133,17 @@ class SolveTapes(NamedTuple):
     diag: jax.Array
 
 
-def _pad1(a, fill=0, dtype=np.int32):
-    """1-padded copy so clipped gathers past the end stay in bounds."""
-    a = np.asarray(a, dtype=dtype)
-    return jnp.asarray(np.concatenate([a, np.array([fill], dtype=dtype)]))
-
-
 def level_order(plan: SymbolicPlan):
-    """Group per-step factor work by elimination level (host side).
-
-    Returns dict of numpy arrays matching FactorTapes semantics.
-    """
+    """Group per-step factor work by elimination level (host side)."""
     nb = plan.nb
     nlvl = plan.n_flevels
     lev = plan.step_level
-    # steps per level, ascending step id within a level
     order = np.argsort(lev * nb + np.arange(nb), kind="stable")
     dptr = np.zeros(nlvl + 1, dtype=np.int64)
     dptr[1:] = np.cumsum(np.bincount(lev, minlength=nlvl))
     dstep = order.astype(np.int32)
 
     def regroup(ptr, *fields):
-        """Reorder per-step segments into level order, with step tags."""
         outs = [np.empty(int(ptr[-1]), dtype=np.int32) for _ in fields]
         steps = np.empty(int(ptr[-1]), dtype=np.int32)
         lptr = np.zeros(nlvl + 1, dtype=np.int64)
@@ -104,11 +151,11 @@ def level_order(plan: SymbolicPlan):
         for l in range(nlvl):
             for k in order[dptr[l]:dptr[l + 1]]:
                 lo, hi = int(ptr[k]), int(ptr[k + 1])
-                n = hi - lo
+                nseg = hi - lo
                 for f, out in zip(fields, outs):
-                    out[pos:pos + n] = f[lo:hi]
-                steps[pos:pos + n] = k
-                pos += n
+                    out[pos:pos + nseg] = f[lo:hi]
+                steps[pos:pos + nseg] = k
+                pos += nseg
             lptr[l + 1] = pos
         return lptr, outs, steps
 
@@ -122,46 +169,61 @@ def level_order(plan: SymbolicPlan):
 
 
 def make_factor_tapes(plan: SymbolicPlan) -> FactorTapes:
-    z = plan.zero_slot
+    z, t = plan.zero_slot, plan.trash_slot
+    b = factor_buckets(plan)
     lv = level_order(plan)
-    dslot = np.concatenate([plan.diag_slot.astype(np.int32),
-                            np.array([z], np.int32)])
+    dslot = _pad_to(plan.diag_slot, b.nbp + 1, fill=z)
     return FactorTapes(
-        dptr=jnp.asarray(lv["dptr"], jnp.int32),
-        dstep=_pad1(lv["dstep"], fill=plan.nb),
-        dslot=jnp.asarray(dslot),
-        lptr=jnp.asarray(lv["lptr"], jnp.int32),
-        l_slot=_pad1(lv["l_slot"], fill=z),
-        l_step=_pad1(lv["l_step"], fill=plan.nb),
-        uptr=jnp.asarray(lv["uptr"], jnp.int32),
-        u_slot=_pad1(lv["u_slot"], fill=z),
-        u_step=_pad1(lv["u_step"], fill=plan.nb),
-        gptr=jnp.asarray(lv["gptr"], jnp.int32),
-        g_l=_pad1(lv["g_l"], fill=z),
-        g_u=_pad1(lv["g_u"], fill=z),
-        g_t=_pad1(lv["g_t"], fill=z),
+        consts=jnp.asarray(np.array([z, t], np.int32)),
+        dptr=_pad_ptr(lv["dptr"], b.nlvlp),
+        dstep=_pad_to(lv["dstep"], b.dlen, fill=b.nbp),
+        dslot=dslot,
+        lptr=_pad_ptr(lv["lptr"], b.nlvlp),
+        l_slot=_pad_to(lv["l_slot"], b.llen, fill=t),
+        l_step=_pad_to(lv["l_step"], b.llen, fill=b.nbp),
+        uptr=_pad_ptr(lv["uptr"], b.nlvlp),
+        u_slot=_pad_to(lv["u_slot"], b.ulen, fill=t),
+        u_step=_pad_to(lv["u_step"], b.ulen, fill=b.nbp),
+        gptr=_pad_ptr(lv["gptr"], b.nlvlp),
+        g_l=_pad_to(lv["g_l"], b.glen, fill=z),
+        g_u=_pad_to(lv["g_u"], b.glen, fill=z),
+        g_t=_pad_to(lv["g_t"], b.glen, fill=t),
     )
 
 
 def make_solve_tapes(plan: SymbolicPlan, which: str) -> SolveTapes:
     p = plan
+    nbp = bucket125(p.nb)
+    z, t = p.zero_slot, p.trash_slot
     if which == "L":
-        return SolveTapes(
-            gptr=jnp.asarray(p.lsol_gptr, jnp.int32),
-            gslot=_pad1(p.lsol_gslot, fill=p.zero_slot),
-            gsrc=_pad1(p.lsol_gsrc, fill=0),
-            gdst=_pad1(p.lsol_gdst, fill=p.nb),
-            dptr=jnp.asarray(p.lsol_dptr, jnp.int32),
-            diag=_pad1(p.lsol_diag, fill=p.nb),
-        )
+        gptr, gslot, gsrc, gdst = (p.lsol_gptr, p.lsol_gslot, p.lsol_gsrc,
+                                   p.lsol_gdst)
+        dptr, diag, nlvl = p.lsol_dptr, p.lsol_diag, p.lsol_nlvl
+    else:
+        gptr, gslot, gsrc, gdst = (p.usol_gptr, p.usol_gslot, p.usol_gsrc,
+                                   p.usol_gdst)
+        dptr, diag, nlvl = p.usol_dptr, p.usol_diag, p.usol_nlvl
+    nlvlp = bucket125(nlvl)
+    glen = bucket125(len(gslot) + 1)
+    dlen = bucket125(len(diag) + 1)
     return SolveTapes(
-        gptr=jnp.asarray(p.usol_gptr, jnp.int32),
-        gslot=_pad1(p.usol_gslot, fill=p.zero_slot),
-        gsrc=_pad1(p.usol_gsrc, fill=0),
-        gdst=_pad1(p.usol_gdst, fill=p.nb),
-        dptr=jnp.asarray(p.usol_dptr, jnp.int32),
-        diag=_pad1(p.usol_diag, fill=p.nb),
+        consts=jnp.asarray(np.array([z, t], np.int32)),
+        gptr=_pad_ptr(gptr, nlvlp),
+        gslot=_pad_to(gslot, glen, fill=z),
+        gsrc=_pad_to(gsrc, glen, fill=0),
+        gdst=_pad_to(gdst, glen, fill=nbp),
+        dptr=_pad_ptr(dptr, nlvlp),
+        diag=_pad_to(diag, dlen, fill=nbp),
     )
+
+
+def solve_buckets(plan: SymbolicPlan):
+    return (plan.bs, bucket125(plan.nb),
+            bucket125(len(plan.lsol_gslot) + 1),
+            bucket125(len(plan.usol_gslot) + 1),
+            bucket125(len(plan.lsol_diag) + 1),
+            bucket125(len(plan.usol_diag) + 1),
+            bucket125(plan.lsol_nlvl), bucket125(plan.usol_nlvl))
 
 
 # ---------------------------------------------------------------------------
@@ -176,7 +238,8 @@ def _replace_tiny(piv, thresh):
     pivot's phase (reference: pdgstrf2.c ReplaceTinyPivot)."""
     apiv = jnp.abs(piv)
     bad = apiv < thresh
-    unit = jnp.where(apiv > 0, piv / jnp.maximum(apiv, jnp.finfo(apiv.dtype).tiny),
+    unit = jnp.where(apiv > 0,
+                     piv / jnp.maximum(apiv, jnp.finfo(apiv.dtype).tiny),
                      jnp.ones_like(piv))
     newpiv = jnp.where(bad, (unit * thresh).astype(piv.dtype), piv)
     return newpiv, bad.astype(jnp.int32)
@@ -207,7 +270,6 @@ def _base_invs(LU):
     unrolled at trace time (precision-exact elementwise/VPU ops only)."""
     m = LU.shape[0]
     eye = jnp.eye(m, dtype=LU.dtype)
-    # unit-lower inverse: row i = e_i − Σ_{j<i} L[i,j] · row j
     linv = [eye[0]]
     for i in range(1, m):
         acc = eye[i]
@@ -215,7 +277,6 @@ def _base_invs(LU):
             acc = acc - LU[i, j] * linv[j]
         linv.append(acc)
     linv = jnp.stack(linv)
-    # upper inverse: row i = (e_i − Σ_{j>i} U[i,j] · row j) / U[i,i]
     uinv = [None] * m
     uinv[m - 1] = eye[m - 1] / LU[m - 1, m - 1]
     for i in range(m - 2, -1, -1):
@@ -268,7 +329,7 @@ def block_lu(A, thresh):
 
 
 # ---------------------------------------------------------------------------
-# factorization executor
+# factorization executor (cached on bucket signature)
 # ---------------------------------------------------------------------------
 
 
@@ -279,46 +340,31 @@ def _chunk_indices(lo, hi, c, chunk, tape_len):
     return offs, valid
 
 
-def build_factor_fn(plan: SymbolicPlan, *, chunk: int = 32,
-                    diag_chunk: int = 8):
-    """Compile the level-batched factorization executor for one plan.
-
-    Returns ``factor(pool, thresh, tapes) -> (pool, linv, uinv, tiny)``
-    where ``pool`` is the (nslots+2, B, B) block pool initialized with A and
-    ``thresh`` the tiny-pivot threshold (sqrt(eps)·‖A‖). One ``fori_loop``
-    over elimination levels; per level: batched diagonal LU+inverses,
-    batched panel TRSMs, batched Schur GEMMs.
-    """
-    nb, bs = plan.nb, plan.bs
-    nlvl = plan.n_flevels
-    lv = level_order(plan)
-    dlen = nb + 1
-    llen = len(lv["l_slot"]) + 1
-    ulen = len(lv["u_slot"]) + 1
-    glen = len(lv["g_l"]) + 1
-    zero_slot, trash_slot = plan.zero_slot, plan.trash_slot
+def _factor_core(b: Buckets, chunk: int, diag_chunk: int):
+    """Level-batched factorization core for one bucket class."""
+    bs, nbp = b.bs, b.nbp
     blu = jax.vmap(block_lu_inv, in_axes=(0, None))
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def factor(pool, thresh, tapes: FactorTapes):
         dtype = pool.dtype
-        linv0 = jnp.zeros((nb + 1, bs, bs), dtype)
-        uinv0 = jnp.zeros((nb + 1, bs, bs), dtype)
+        zs = tapes.consts[0]
+        ts = tapes.consts[1]
+        linv0 = jnp.zeros((nbp + 1, bs, bs), dtype)
+        uinv0 = jnp.zeros((nbp + 1, bs, bs), dtype)
 
         def level(l, carry):
             pool, linv, uinv, tiny = carry
 
-            # --- batched diagonal factorization + inverses ---
             lo, hi = tapes.dptr[l], tapes.dptr[l + 1]
 
             def diag(c, carry):
                 pool, linv, uinv, tiny = carry
-                offs, valid = _chunk_indices(lo, hi, c, diag_chunk, dlen)
-                steps = jnp.where(valid, tapes.dstep[offs], nb)
-                dsl = tapes.dslot[steps]           # masked → zero block
+                offs, valid = _chunk_indices(lo, hi, c, diag_chunk, b.dlen)
+                steps = jnp.where(valid, tapes.dstep[offs], nbp)
+                dsl = tapes.dslot[steps]           # padding → zero slot
                 LU, lk, uk, nt = blu(pool[dsl], thresh)
-                pool = pool.at[jnp.where(valid, dsl, trash_slot)].set(LU)
-                linv = linv.at[steps].set(lk)      # masked → row nb
+                pool = pool.at[jnp.where(valid, dsl, ts)].set(LU)
+                linv = linv.at[steps].set(lk)      # masked → row nbp
                 uinv = uinv.at[steps].set(uk)
                 tiny = tiny + jnp.sum(nt * valid).astype(jnp.int32)
                 return pool, linv, uinv, tiny
@@ -327,13 +373,12 @@ def build_factor_fn(plan: SymbolicPlan, *, chunk: int = 32,
             pool, linv, uinv, tiny = lax.fori_loop(
                 0, nch, diag, (pool, linv, uinv, tiny))
 
-            # --- L panels: X <- X @ U_kk^{-1}, per-block step gather ---
             llo, lhi = tapes.lptr[l], tapes.lptr[l + 1]
 
             def ltrsm(c, pool):
-                offs, valid = _chunk_indices(llo, lhi, c, chunk, llen)
-                si = jnp.where(valid, tapes.l_slot[offs], trash_slot)
-                st = jnp.where(valid, tapes.l_step[offs], nb)
+                offs, valid = _chunk_indices(llo, lhi, c, chunk, b.llen)
+                si = jnp.where(valid, tapes.l_slot[offs], ts)
+                st = jnp.where(valid, tapes.l_step[offs], nbp)
                 Y = jnp.einsum("cij,cjk->cik", pool[si], uinv[st],
                                preferred_element_type=dtype,
                                precision=MATMUL_PRECISION)
@@ -342,13 +387,12 @@ def build_factor_fn(plan: SymbolicPlan, *, chunk: int = 32,
             nch = (lhi - llo + chunk - 1) // chunk
             pool = lax.fori_loop(0, nch, ltrsm, pool)
 
-            # --- U panels: X <- L_kk^{-1} @ X ---
             ulo, uhi = tapes.uptr[l], tapes.uptr[l + 1]
 
             def utrsm(c, pool):
-                offs, valid = _chunk_indices(ulo, uhi, c, chunk, ulen)
-                si = jnp.where(valid, tapes.u_slot[offs], trash_slot)
-                st = jnp.where(valid, tapes.u_step[offs], nb)
+                offs, valid = _chunk_indices(ulo, uhi, c, chunk, b.ulen)
+                si = jnp.where(valid, tapes.u_slot[offs], ts)
+                st = jnp.where(valid, tapes.u_step[offs], nbp)
                 Y = jnp.einsum("cij,cjk->cik", linv[st], pool[si],
                                preferred_element_type=dtype,
                                precision=MATMUL_PRECISION)
@@ -357,14 +401,13 @@ def build_factor_fn(plan: SymbolicPlan, *, chunk: int = 32,
             nch = (uhi - ulo + chunk - 1) // chunk
             pool = lax.fori_loop(0, nch, utrsm, pool)
 
-            # --- Schur updates: pool[t] -= L(I,k) @ U(k,J), batched ---
             glo, ghi = tapes.gptr[l], tapes.gptr[l + 1]
 
             def gemm(c, pool):
-                offs, valid = _chunk_indices(glo, ghi, c, chunk, glen)
-                li = jnp.where(valid, tapes.g_l[offs], zero_slot)
-                ui = jnp.where(valid, tapes.g_u[offs], zero_slot)
-                ti = jnp.where(valid, tapes.g_t[offs], trash_slot)
+                offs, valid = _chunk_indices(glo, ghi, c, chunk, b.glen)
+                li = jnp.where(valid, tapes.g_l[offs], zs)
+                ui = jnp.where(valid, tapes.g_u[offs], zs)
+                ti = jnp.where(valid, tapes.g_t[offs], ts)
                 P = jnp.einsum("cij,cjk->cik", pool[li], pool[ui],
                                preferred_element_type=dtype,
                                precision=MATMUL_PRECISION)
@@ -376,32 +419,43 @@ def build_factor_fn(plan: SymbolicPlan, *, chunk: int = 32,
             return pool, linv, uinv, tiny
 
         pool, linv, uinv, tiny = lax.fori_loop(
-            0, nlvl, level, (pool, linv0, uinv0, jnp.zeros((), jnp.int32)))
-        return pool, linv[:nb], uinv[:nb], tiny
+            0, b.nlvlp, level,
+            (pool, linv0, uinv0, jnp.zeros((), jnp.int32)))
+        return pool, linv, uinv, tiny
 
     return factor
 
 
-# ---------------------------------------------------------------------------
-# triangular solves (level-set sweeps)
-# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=128)
+def _factor_executor(b: Buckets, chunk: int, diag_chunk: int):
+    return jax.jit(_factor_core(b, chunk, diag_chunk), donate_argnums=(0,))
 
 
-def build_solve_fn(plan: SymbolicPlan, nrhs: int, *, chunk: int = 32):
-    """Compile ``solve(pool, linv, uinv, ltape, utape, b) -> x`` for one plan.
+def build_factor_core(plan: SymbolicPlan, *, chunk: int = 32,
+                      diag_chunk: int = 8):
+    """Unjitted factorization core (vmap-able for the batched interface)."""
+    return _factor_core(factor_buckets(plan), chunk, diag_chunk)
 
-    ``b``: (n_pad, nrhs) right-hand sides already permuted/scaled into
-    factorization coordinates. Static level-set sweep, all GEMMs.
+
+def build_factor_fn(plan: SymbolicPlan, *, chunk: int = 32,
+                    diag_chunk: int = 8):
+    """Bucket-cached compiled executor for this plan's size class.
+
+    Returns ``factor(pool, thresh, tapes) -> (pool, linv, uinv, tiny)``.
+    ``pool`` must be bucket-padded (see init_pool); linv/uinv come back with
+    nbp+1 rows — rows [0, nb) are valid.
     """
-    nb, bs = plan.nb, plan.bs
-    gl_len = len(plan.lsol_gslot) + 1
-    gu_len = len(plan.usol_gslot) + 1
-    dl_len = len(plan.lsol_diag) + 1
-    du_len = len(plan.usol_diag) + 1
-    zero_slot, _ = plan.zero_slot, plan.trash_slot
-    nlvl_l, nlvl_u = plan.lsol_nlvl, plan.usol_nlvl
+    return _factor_executor(factor_buckets(plan), chunk, diag_chunk)
 
-    def sweep(pool, dinv, tape: SolveTapes, X, nlvl, glen, dlen):
+
+# ---------------------------------------------------------------------------
+# triangular solves (level-set sweeps), cached on bucket signature
+# ---------------------------------------------------------------------------
+
+
+def _solve_core(bs, nbp, gl_len, gu_len, dl_len, du_len, nlvl_l, nlvl_u,
+                nrhs, chunk):
+    def sweep(pool, dinv, tape: SolveTapes, X, nlvl, glen, dlen, zs):
         dtype = X.dtype
 
         def level(l, X):
@@ -409,9 +463,9 @@ def build_solve_fn(plan: SymbolicPlan, nrhs: int, *, chunk: int = 32):
 
             def gemm(c, X):
                 offs, valid = _chunk_indices(lo, hi, c, chunk, glen)
-                si = jnp.where(valid, tape.gslot[offs], zero_slot)
+                si = jnp.where(valid, tape.gslot[offs], zs)
                 src = jnp.where(valid, tape.gsrc[offs], 0)
-                dst = jnp.where(valid, tape.gdst[offs], nb)  # nb = trash row
+                dst = jnp.where(valid, tape.gdst[offs], nbp)
                 P = jnp.einsum("cij,cjk->cik", pool[si], X[src],
                                preferred_element_type=dtype,
                                precision=MATMUL_PRECISION)
@@ -424,9 +478,9 @@ def build_solve_fn(plan: SymbolicPlan, nrhs: int, *, chunk: int = 32):
 
             def diag(c, X):
                 offs, valid = _chunk_indices(dlo, dhi, c, chunk, dlen)
-                I = jnp.where(valid, tape.diag[offs], nb)
-                Ic = jnp.minimum(I, nb - 1)
-                Y = jnp.einsum("cij,cjk->cik", dinv[Ic], X[jnp.minimum(I, nb)],
+                I = jnp.where(valid, tape.diag[offs], nbp)
+                Ic = jnp.minimum(I, nbp - 1)
+                Y = jnp.einsum("cij,cjk->cik", dinv[Ic], X[I],
                                preferred_element_type=dtype,
                                precision=MATMUL_PRECISION)
                 return X.at[I].set(Y)
@@ -436,15 +490,34 @@ def build_solve_fn(plan: SymbolicPlan, nrhs: int, *, chunk: int = 32):
 
         return lax.fori_loop(0, nlvl, level, X)
 
-    @jax.jit
     def solve(pool, linv, uinv, ltape: SolveTapes, utape: SolveTapes, b):
-        X = b.reshape(nb, bs, nrhs)
+        X = b.reshape(nbp, bs, nrhs)
         X = jnp.concatenate([X, jnp.zeros((1, bs, nrhs), X.dtype)], axis=0)
-        X = sweep(pool, linv, ltape, X, nlvl_l, gl_len, dl_len)
-        X = sweep(pool, uinv, utape, X, nlvl_u, gu_len, du_len)
-        return X[:nb].reshape(nb * bs, nrhs)
+        X = sweep(pool, linv, ltape, X, nlvl_l, gl_len, dl_len,
+                  ltape.consts[0])
+        X = sweep(pool, uinv, utape, X, nlvl_u, gu_len, du_len,
+                  utape.consts[0])
+        return X[:nbp].reshape(nbp * bs, nrhs)
 
     return solve
+
+
+@functools.lru_cache(maxsize=128)
+def _solve_executor(key, nrhs, chunk):
+    return jax.jit(_solve_core(*key, nrhs, chunk))
+
+
+def build_solve_core(plan: SymbolicPlan, nrhs: int, *, chunk: int = 32):
+    return _solve_core(*solve_buckets(plan), nrhs, chunk)
+
+
+def build_solve_fn(plan: SymbolicPlan, nrhs: int, *, chunk: int = 32):
+    """Bucket-cached compiled level-set solve.
+
+    ``b`` must be padded to (nbp·bs, nrhs) in factorization coordinates;
+    returns the same padded shape.
+    """
+    return _solve_executor(solve_buckets(plan), nrhs, chunk)
 
 
 # ---------------------------------------------------------------------------
@@ -453,15 +526,14 @@ def build_solve_fn(plan: SymbolicPlan, nrhs: int, *, chunk: int = 32):
 
 
 def init_pool(plan: SymbolicPlan, a_data, dtype) -> jax.Array:
-    """Scatter the (permuted, scaled) matrix values into the block pool.
-
-    ``a_data`` must be in the CSC data order of the matrix the plan was built
-    from. Padding diagonal entries get 1.0 (identity on the padded tail).
-    """
+    """Scatter the (permuted, scaled) matrix values into the bucket-padded
+    block pool. ``a_data`` must be in the CSC data order of the matrix the
+    plan was built from; padding diagonal entries get 1.0."""
+    b = factor_buckets(plan)
     vals = jnp.asarray(a_data, dtype=dtype)
     if plan.init_ones:
         vals = jnp.concatenate(
             [vals, jnp.ones((plan.init_ones,), dtype=dtype)])
-    flat = jnp.zeros((plan.nslots + 2) * plan.bs * plan.bs, dtype=dtype)
+    flat = jnp.zeros(b.poolp * plan.bs * plan.bs, dtype=dtype)
     flat = flat.at[jnp.asarray(plan.init_idx)].add(vals)
-    return flat.reshape(plan.pool_shape)
+    return flat.reshape(b.poolp, plan.bs, plan.bs)
