@@ -50,11 +50,21 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} ({dev.device_kind})")
 
-    A = reference_matrix("big.rua")
-    name = "big.rua"
-    if A is None:
-        A = laplacian_2d(70)
-        name = "lap4900"
+    which = os.environ.get("SLU_TPU_BENCH_MATRIX", "big.rua")
+    if which == "big.rua":
+        A = reference_matrix("big.rua")
+        name = "big.rua"
+        if A is None:
+            A = laplacian_2d(70)
+            name = "lap4900"
+    elif which.startswith("lap3d"):
+        from superlu_dist_tpu.utils.testing import laplacian_3d
+        k = int(which[5:] or 20)
+        A = laplacian_3d(k)
+        name = which
+    else:
+        A = reference_matrix(which) or laplacian_2d(70)
+        name = which
     n = A.shape[0]
 
     bs = int(os.environ.get("SLU_TPU_BENCH_BS", "64"))

@@ -33,6 +33,7 @@ from ..ops.host import ordering as _ordering
 from ..ops.host.symbolic import block_symbolic
 from ..ops.kernels import blocklu as _blocklu
 from ..ops.kernels import spmv as _spmv
+from ..utils.testing import langs
 
 _DTYPES = {
     "float32": np.float32, "float64": np.float64,
@@ -258,11 +259,49 @@ class SparseLU:
             self.pool, self.linv, self.uinv, self.ltape, self.utape,
             jnp.asarray(bp)))
 
+    def _trans_solve_fn(self, nrhs: int):
+        key = ("T", nrhs)
+        if key not in self._solve_fns:
+            if not hasattr(self, "ttape_u"):
+                self.ttape_u = _blocklu.make_trans_solve_tapes(self.plan, "U")
+                self.ttape_l = _blocklu.make_trans_solve_tapes(self.plan, "L")
+            self._solve_fns[key] = _blocklu.build_trans_solve_fn(
+                self.plan, nrhs, chunk=self.options.gemm_chunk)
+        return self._solve_fns[key]
+
+    def solve_transposed(self, b, conj: bool = False) -> np.ndarray:
+        """Solve Aᵀx = b (or Aᴴx = b) using the same factorization.
+
+        Aᵀ = (Pc Pr Dr)ᵀ⁻¹ Uᵀ Lᵀ (Dc Pcᵀ)ᵀ⁻¹: a forward Uᵀ sweep then a
+        backward Lᵀ sweep with transposed diagonal inverses. Aᴴ is solved
+        through conjugation of b and x (the reference's trans_t branches).
+        """
+        b = np.asarray(b)
+        if conj:
+            return np.conj(self.solve_transposed(np.conj(b)))
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        nrhs = b.shape[1]
+        # Aᵀ x = b ⇒ A3ᵀ y = b3 with b3[k] = Dc[pc[k]]·b[pc[k]],
+        # and x[prc[k]] = Dr[prc[k]]·y[k]
+        bp = np.zeros((self._bpad_rows(), nrhs), dtype=self.dtype)
+        bp[: self.n] = self.col_scale[self.colperm, None] * b[self.colperm]
+        with self.stat.phase("SOLVE"):
+            y = np.asarray(self._trans_solve_fn(nrhs)(
+                self.pool, self.uinv, self.linv, self.ttape_u, self.ttape_l,
+                jnp.asarray(bp)))[: self.n]
+        prc = self.rowperm[self.colperm]
+        x = np.empty((self.n, nrhs), dtype=y.dtype)
+        x[prc] = self.row_scale[prc, None] * y
+        return x[:, 0] if squeeze else x
+
     def solve(self, b, trans: Trans = Trans.NOTRANS) -> np.ndarray:
         """Single LU solve (no refinement) — ``pdgstrs`` analog."""
-        if trans != Trans.NOTRANS:
-            raise NotImplementedError("transpose solve lands with the "
-                                      "transpose-schedule tapes")
+        if trans == Trans.TRANS:
+            return self.solve_transposed(b)
+        if trans == Trans.CONJ:
+            return self.solve_transposed(b, conj=True)
         b = np.asarray(b)
         squeeze = b.ndim == 1
         if squeeze:
@@ -330,6 +369,37 @@ class SparseLU:
             else:
                 berr, _ = self._berr(x, b)
         return (x[:, 0] if squeeze else x), np.atleast_1d(berr)
+
+    # ------------------------------------------------------------------
+    # condition estimation (pdlangs + pdgscon-style analog)
+    # ------------------------------------------------------------------
+
+    def rcond_1(self) -> float:
+        """Reciprocal 1-norm condition estimate via Hager/Higham iteration
+        (the LAPACK dlacn2 algorithm the reference's gscon path wraps),
+        powered by the factorization's solve + transpose solve."""
+        n = self.n
+        anorm = langs("1", self._A_orig)
+        if anorm == 0:
+            return 0.0
+        x = np.full(n, 1.0 / n)
+        est = 0.0
+        for _ in range(5):
+            y = self.solve(x)
+            est = np.abs(y).sum()
+            xi = np.sign(y)
+            xi[xi == 0] = 1.0
+            z = self.solve_transposed(xi)
+            j = int(np.argmax(np.abs(z)))
+            if np.abs(z[j]) <= float(np.real(np.vdot(z, x))):
+                break
+            x = np.zeros(n)
+            x[j] = 1.0
+        # alternating-sign probe (guards against underestimation)
+        v = np.array([(-1.0) ** i * (1.0 + i / max(n - 1, 1))
+                      for i in range(n)])
+        est = max(est, 2.0 * np.abs(self.solve(v)).sum() / (3.0 * n))
+        return float(1.0 / (anorm * est)) if est > 0 else 0.0
 
     # ------------------------------------------------------------------
     # extras: diag(U), logdet (pdGetDiagU / PYTHON pdbridge_logdet analogs)

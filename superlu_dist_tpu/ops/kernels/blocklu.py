@@ -454,7 +454,11 @@ def build_factor_fn(plan: SymbolicPlan, *, chunk: int = 32,
 
 
 def _solve_core(bs, nbp, gl_len, gu_len, dl_len, du_len, nlvl_l, nlvl_u,
-                nrhs, chunk):
+                nrhs, chunk, transpose=False):
+    # transpose mode multiplies by the stored blocks' transposes (the
+    # A^T x = b path: forward U^T sweep then backward L^T sweep)
+    spec = "cji,cjk->cik" if transpose else "cij,cjk->cik"
+
     def sweep(pool, dinv, tape: SolveTapes, X, nlvl, glen, dlen, zs):
         dtype = X.dtype
 
@@ -466,7 +470,7 @@ def _solve_core(bs, nbp, gl_len, gu_len, dl_len, du_len, nlvl_l, nlvl_u,
                 si = jnp.where(valid, tape.gslot[offs], zs)
                 src = jnp.where(valid, tape.gsrc[offs], 0)
                 dst = jnp.where(valid, tape.gdst[offs], nbp)
-                P = jnp.einsum("cij,cjk->cik", pool[si], X[src],
+                P = jnp.einsum(spec, pool[si], X[src],
                                preferred_element_type=dtype,
                                precision=MATMUL_PRECISION)
                 return X.at[dst].add(-P)
@@ -480,7 +484,7 @@ def _solve_core(bs, nbp, gl_len, gu_len, dl_len, du_len, nlvl_l, nlvl_u,
                 offs, valid = _chunk_indices(dlo, dhi, c, chunk, dlen)
                 I = jnp.where(valid, tape.diag[offs], nbp)
                 Ic = jnp.minimum(I, nbp - 1)
-                Y = jnp.einsum("cij,cjk->cik", dinv[Ic], X[I],
+                Y = jnp.einsum(spec, dinv[Ic], X[I],
                                preferred_element_type=dtype,
                                precision=MATMUL_PRECISION)
                 return X.at[I].set(Y)
@@ -537,3 +541,93 @@ def init_pool(plan: SymbolicPlan, a_data, dtype) -> jax.Array:
     flat = jnp.zeros(b.poolp * plan.bs * plan.bs, dtype=dtype)
     flat = flat.at[jnp.asarray(plan.init_idx)].add(vals)
     return flat.reshape(b.poolp, plan.bs, plan.bs)
+
+
+# ---------------------------------------------------------------------------
+# transpose solve (A^T x = b): U^T forward sweep then L^T backward sweep
+# ---------------------------------------------------------------------------
+
+
+def _trans_schedule(plan: SymbolicPlan, which: str):
+    """Level schedule for the transposed sweep.
+
+    U^T forward: for each U block (I,J) the unknown z_J depends on z_I
+    (I<J); L^T backward: w_J depends on w_I for L blocks (I,J), I>J.
+    """
+    nb = plan.nb
+    deps = [[] for _ in range(nb)]   # dst J -> [(slot, src I)]
+    if which == "U":
+        for k in range(nb):
+            for s in plan.u_slots[plan.u_ptr[k]:plan.u_ptr[k + 1]]:
+                deps[int(plan.slot_col[s])].append((int(s),
+                                                    int(plan.slot_row[s])))
+        order = range(nb)
+    else:
+        for k in range(nb):
+            for s in plan.l_slots[plan.l_ptr[k]:plan.l_ptr[k + 1]]:
+                deps[int(plan.slot_col[s])].append((int(s),
+                                                    int(plan.slot_row[s])))
+        order = range(nb - 1, -1, -1)
+    level = np.zeros(nb, dtype=np.int64)
+    for J in order:
+        if deps[J]:
+            level[J] = max(level[I] for _, I in deps[J]) + 1
+    nlvl = int(level.max()) + 1 if nb else 1
+    gs, gr, gd, glev = [], [], [], []
+    for J in range(nb):
+        for s, I in deps[J]:
+            gs.append(s)
+            gr.append(I)
+            gd.append(J)
+            glev.append(level[J])
+    gs = np.asarray(gs, dtype=np.int32)
+    gr = np.asarray(gr, dtype=np.int32)
+    gd = np.asarray(gd, dtype=np.int32)
+    glev = np.asarray(glev, dtype=np.int64)
+    o = np.argsort(glev, kind="stable")
+    gptr = np.zeros(nlvl + 1, dtype=np.int64)
+    gcnt = np.bincount(glev, minlength=nlvl) if len(glev) else \
+        np.zeros(nlvl, np.int64)
+    gptr[1:] = np.cumsum(gcnt)
+    dptr = np.zeros(nlvl + 1, dtype=np.int64)
+    dptr[1:] = np.cumsum(np.bincount(level, minlength=nlvl))
+    diag = np.argsort(level, kind="stable").astype(np.int32)
+    return (gptr, gs[o] if len(o) else gs, gr[o] if len(o) else gr,
+            gd[o] if len(o) else gd, dptr, diag, nlvl)
+
+
+def make_trans_solve_tapes(plan: SymbolicPlan, which: str) -> SolveTapes:
+    gptr, gs, gr, gd, dptr, diag, nlvl = _trans_schedule(plan, which)
+    nbp = bucket125(plan.nb)
+    z, t = plan.zero_slot, plan.trash_slot
+    return SolveTapes(
+        consts=jnp.asarray(np.array([z, t], np.int32)),
+        gptr=_pad_ptr(gptr, bucket125(nlvl)),
+        gslot=_pad_to(gs, bucket125(len(gs) + 1), fill=z),
+        gsrc=_pad_to(gr, bucket125(len(gs) + 1), fill=0),
+        gdst=_pad_to(gd, bucket125(len(gs) + 1), fill=nbp),
+        dptr=_pad_ptr(dptr, bucket125(nlvl)),
+        diag=_pad_to(diag, bucket125(len(diag) + 1), fill=nbp),
+    )
+
+
+def trans_solve_buckets(plan: SymbolicPlan):
+    gpu, gsu, *_r, du, dgu, nlu = _trans_schedule(plan, "U")
+    gpl, gsl, *_r2, dl, dgl, nll = _trans_schedule(plan, "L")
+    return (plan.bs, bucket125(plan.nb),
+            bucket125(len(gsu) + 1), bucket125(len(gsl) + 1),
+            bucket125(len(dgu) + 1), bucket125(len(dgl) + 1),
+            bucket125(nlu), bucket125(nll))
+
+
+@functools.lru_cache(maxsize=128)
+def _trans_solve_executor(key, nrhs, chunk):
+    return jax.jit(_solve_core(*key, nrhs, chunk, transpose=True))
+
+
+def build_trans_solve_fn(plan: SymbolicPlan, nrhs: int, *, chunk: int = 32):
+    """A^T x = b executor. Call as
+    ``solve(pool, uinv, linv, utape_t, ltape_t, b)`` — the U^T forward
+    sweep runs first with the transposed upper inverses, then the L^T
+    backward sweep (reference analog: the trans branches of pdgstrs)."""
+    return _trans_solve_executor(trans_solve_buckets(plan), nrhs, chunk)
