@@ -92,10 +92,13 @@ class SparseLU:
     device schedule), and the factored block pool + diagonal inverses.
     """
 
-    def __init__(self, A: sp.spmatrix, options: Optional[Options] = None,
+    def __init__(self, A, options: Optional[Options] = None,
                  stat: Optional[Stats] = None):
         self.options = options or Options()
         self.stat = stat or Stats()
+        from ..utils.nrloc import NRLocMatrix
+        if isinstance(A, NRLocMatrix):
+            A = A.to_global()   # dGatherNRformat_loc3d role
         A = sp.csc_matrix(A)
         if A.shape[0] != A.shape[1]:
             raise ValueError("SparseLU requires a square matrix")

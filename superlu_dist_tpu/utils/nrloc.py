@@ -1,0 +1,71 @@
+"""Row-distributed input format (``NRformat_loc`` analog).
+
+The reference's primary input is a block-row-distributed CSR: each rank owns
+``m_loc`` consecutive rows starting at ``fst_row`` (reference:
+SRC/include/supermatrix.h:54-217 NRformat_loc; assembled by the example
+drivers' dcreate_matrix.c). Here the host gathers the chunks before
+preprocessing — the role layer 0 plays in the 3D driver
+(dGatherNRformat_loc3d, reference: SRC/double/dnrformat_loc3d.c:47-518) —
+and scatters solutions back (dScatter_B3d analog).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+__all__ = ["NRLocMatrix"]
+
+
+class NRLocMatrix:
+    """A square matrix stored as consecutive row chunks (one per "rank")."""
+
+    def __init__(self, chunks: Sequence[Tuple[int, sp.spmatrix]], n: int):
+        """``chunks``: list of (fst_row, csr_rows) with consecutive,
+        non-overlapping coverage of rows [0, n)."""
+        self.n = n
+        self.chunks = sorted(((int(f), sp.csr_matrix(M)) for f, M in chunks),
+                             key=lambda t: t[0])
+        cover = 0
+        for fst, M in self.chunks:
+            if fst != cover:
+                raise ValueError(f"row coverage gap/overlap at {fst}")
+            if M.shape[1] != n:
+                raise ValueError("chunk column count != n")
+            cover += M.shape[0]
+        if cover != n:
+            raise ValueError(f"chunks cover {cover} rows, expected {n}")
+
+    @classmethod
+    def from_global(cls, A: sp.spmatrix, nparts: int) -> "NRLocMatrix":
+        """Split a global matrix into nparts block-row chunks
+        (dcreate_matrix distribution convention: m_loc = n/nparts, the last
+        part takes the remainder)."""
+        A = sp.csr_matrix(A)
+        n = A.shape[0]
+        m_loc = n // nparts
+        chunks = []
+        for p in range(nparts):
+            lo = p * m_loc
+            hi = n if p == nparts - 1 else (p + 1) * m_loc
+            chunks.append((lo, A[lo:hi]))
+        return cls(chunks, n)
+
+    def to_global(self) -> sp.csc_matrix:
+        """Gather to one matrix (dGatherNRformat_loc3d analog)."""
+        return sp.csc_matrix(sp.vstack([M for _, M in self.chunks]))
+
+    def gather_rhs(self, b_chunks: Sequence[np.ndarray]) -> np.ndarray:
+        """Stack per-chunk right-hand sides into the global b."""
+        if len(b_chunks) != len(self.chunks):
+            raise ValueError("one RHS chunk per matrix chunk required")
+        return np.concatenate([np.asarray(b) for b in b_chunks], axis=0)
+
+    def scatter_solution(self, x: np.ndarray) -> List[np.ndarray]:
+        """Split the global solution back to row owners (dScatter_B3d)."""
+        out = []
+        for fst, M in self.chunks:
+            out.append(x[fst:fst + M.shape[0]])
+        return out

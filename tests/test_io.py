@@ -52,3 +52,15 @@ def test_mm_reader(tmp_path):
                  "2 2 3\n1 1 1.0\n2 2 2.0\n2 1 -1.0\n")
     A = slu_io.read_matrix(str(p))
     assert A[1, 0] == -1.0
+
+
+def test_nrloc_roundtrip():
+    import numpy as np
+    from superlu_dist_tpu.utils.nrloc import NRLocMatrix
+    from superlu_dist_tpu.utils.testing import laplacian_2d
+    A = laplacian_2d(6)
+    loc = NRLocMatrix.from_global(A, 4)
+    assert (loc.to_global() != A).nnz == 0
+    x = np.arange(A.shape[0], dtype=float)
+    parts = loc.scatter_solution(x)
+    assert np.array_equal(loc.gather_rhs(parts), x)
