@@ -199,17 +199,39 @@ class SparseLU:
         return (np.sqrt(_real_eps(self.dtype)) * self._anorm
                 if self.options.replace_tiny_pivot else 0.0)
 
+    def _use_pallas(self) -> bool:
+        """The Pallas executor needs B=128 f32 on a real TPU (or interpret
+        mode for tests via SLU_TPU_FORCE_PALLAS=interpret)."""
+        import os
+        import jax
+        force = os.environ.get("SLU_TPU_FORCE_PALLAS", "")
+        if force == "off":
+            return False
+        if self.plan.bs != 128 or self.dtype != np.dtype(np.float32):
+            return False
+        if force == "interpret":
+            return True
+        return jax.devices()[0].platform == "tpu"
+
     def _device_factor(self, A3: sp.csc_matrix):
         """Distribute values into the device pool and run the factorization
         (overridden by the mesh-distributed driver)."""
         opts, stat, plan = self.options, self.stat, self.plan
         with stat.phase("DIST"):
-            self.tapes = _blocklu.make_factor_tapes(plan)
             self.ltape = _blocklu.make_solve_tapes(plan, "L")
             self.utape = _blocklu.make_solve_tapes(plan, "U")
             pool = _blocklu.init_pool(plan, A3.data, self.dtype)
-            self._factor_fn = _blocklu.build_factor_fn(
-                plan, chunk=opts.gemm_chunk)
+            if self._use_pallas():
+                import os
+                from ..ops.kernels import pallas_exec as _pe
+                interp = (os.environ.get("SLU_TPU_FORCE_PALLAS", "")
+                          == "interpret")
+                self._factor_fn, self.tapes = _pe.build_factor_fn_pallas(
+                    plan, chunk=min(opts.gemm_chunk, 16), interpret=interp)
+            else:
+                self.tapes = _blocklu.make_factor_tapes(plan)
+                self._factor_fn = _blocklu.build_factor_fn(
+                    plan, chunk=opts.gemm_chunk)
 
         with stat.phase("FACT"):
             pool, linv, uinv, tiny = self._factor_fn(
