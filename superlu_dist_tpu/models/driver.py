@@ -280,6 +280,22 @@ class SparseLU:
         """L U y = b in factorization coordinates; bp padded to
         _bpad_rows() rows. Overridden by the mesh-distributed drivers."""
         nrhs = bp.shape[1]
+        if self._use_pallas():
+            import os
+            from ..ops.kernels import pallas_exec as _pe
+            key = ("P", nrhs)
+            if key not in self._solve_fns:
+                interp = (os.environ.get("SLU_TPU_FORCE_PALLAS", "")
+                          == "interpret")
+                self._solve_fns[key] = _pe.build_solve_fn_pallas(
+                    self.plan, nrhs, chunk=min(self.options.gemm_chunk, 16),
+                    interpret=interp)
+            fn, (tl, tu), W = self._solve_fns[key]
+            bw = np.zeros((bp.shape[0], W), dtype=bp.dtype)
+            bw[:, :nrhs] = bp
+            y = np.asarray(fn(self.pool, self.linv, self.uinv, tl, tu,
+                              jnp.asarray(bw)))
+            return y[:, :nrhs]
         return np.asarray(self._solve_fn(nrhs)(
             self.pool, self.linv, self.uinv, self.ltape, self.utape,
             jnp.asarray(bp)))

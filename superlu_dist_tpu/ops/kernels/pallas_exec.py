@@ -335,3 +335,236 @@ def build_factor_fn_pallas(plan: SymbolicPlan, *, chunk: int = 16,
         consts["grid_l"], consts["grid_u"], chunk, diag_chunk, exact,
         interpret)
     return fn, tapes
+
+
+# ---------------------------------------------------------------------------
+# Pallas solve sweeps: X[dst] -= pool[slot] @ X[src], then X[I] = Dinv[I] X[I]
+# ---------------------------------------------------------------------------
+
+
+def _solve_gemm_kernel(C, W, exact, transpose):
+    def kern(bounds_ref, slot_ref, src_ref, dst_ref, pool_ref, x_ref,
+             out_ref, sL, sS, sD, semL, semS, semD, semW):
+        g = jnp.asarray(pl.program_id(0), jnp.int32)
+        lo = jnp.asarray(bounds_ref[0], jnp.int32)
+        hi = jnp.asarray(bounds_ref[1], jnp.int32)
+        base = lo + g * jnp.int32(C)
+
+        for j in range(C):
+            @pl.when(base + j < hi)
+            def _():
+                pltpu.make_async_copy(pool_ref.at[slot_ref[base + j]],
+                                      sL.at[jnp.int32(j)],
+                                      semL.at[jnp.int32(j)]).start()
+                pltpu.make_async_copy(x_ref.at[src_ref[base + j]],
+                                      sS.at[jnp.int32(j)],
+                                      semS.at[jnp.int32(j)]).start()
+                pltpu.make_async_copy(out_ref.at[dst_ref[base + j]],
+                                      sD.at[jnp.int32(j)],
+                                      semD.at[jnp.int32(j)]).start()
+        for j in range(C):
+            @pl.when(base + j < hi)
+            def _():
+                pltpu.make_async_copy(pool_ref.at[slot_ref[base + j]],
+                                      sL.at[jnp.int32(j)],
+                                      semL.at[jnp.int32(j)]).wait()
+                pltpu.make_async_copy(x_ref.at[src_ref[base + j]],
+                                      sS.at[jnp.int32(j)],
+                                      semS.at[jnp.int32(j)]).wait()
+                pltpu.make_async_copy(out_ref.at[dst_ref[base + j]],
+                                      sD.at[jnp.int32(j)],
+                                      semD.at[jnp.int32(j)]).wait()
+                L = sL[jnp.int32(j)]
+                if transpose:
+                    L = L.T
+                sD[jnp.int32(j)] = sD[jnp.int32(j)] - _dot(
+                    L, sS[jnp.int32(j)], exact)
+                pltpu.make_async_copy(sD.at[jnp.int32(j)],
+                                      out_ref.at[dst_ref[base + j]],
+                                      semW.at[jnp.int32(j)]).start()
+        for j in range(C):
+            @pl.when(base + j < hi)
+            def _():
+                pltpu.make_async_copy(sD.at[jnp.int32(j)],
+                                      out_ref.at[dst_ref[base + j]],
+                                      semW.at[jnp.int32(j)]).wait()
+
+    return kern
+
+
+def make_solve_gemm_call(max_chunks: int, C: int, W: int, exact: bool,
+                         transpose: bool = False, interpret: bool = False):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(max_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.VMEM((C, BS, BS), jnp.float32),
+                        pltpu.VMEM((C, BS, W), jnp.float32),
+                        pltpu.VMEM((C, BS, W), jnp.float32)]
+        + [pltpu.SemaphoreType.DMA((C,))] * 4,
+    )
+
+    def call(pool, X, bounds, slot, src, dst):
+        return pl.pallas_call(
+            _solve_gemm_kernel(C, W, exact, transpose),
+            out_shape=jax.ShapeDtypeStruct(X.shape, X.dtype),
+            grid_spec=grid_spec,
+            input_output_aliases={5: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(bounds, slot, src, dst, pool, X)
+
+    return call
+
+
+def _diag_apply_kernel(C, W, exact, transpose):
+    def kern(bounds_ref, row_ref, pool_unused_ref, dinv_ref, x_ref, out_ref,
+             sX, sD, semX, semD, semW):
+        g = jnp.asarray(pl.program_id(0), jnp.int32)
+        lo = jnp.asarray(bounds_ref[0], jnp.int32)
+        hi = jnp.asarray(bounds_ref[1], jnp.int32)
+        base = lo + g * jnp.int32(C)
+
+        for j in range(C):
+            @pl.when(base + j < hi)
+            def _():
+                pltpu.make_async_copy(x_ref.at[row_ref[base + j]],
+                                      sX.at[jnp.int32(j)],
+                                      semX.at[jnp.int32(j)]).start()
+                pltpu.make_async_copy(dinv_ref.at[row_ref[base + j]],
+                                      sD.at[jnp.int32(j)],
+                                      semD.at[jnp.int32(j)]).start()
+        for j in range(C):
+            @pl.when(base + j < hi)
+            def _():
+                pltpu.make_async_copy(x_ref.at[row_ref[base + j]],
+                                      sX.at[jnp.int32(j)],
+                                      semX.at[jnp.int32(j)]).wait()
+                pltpu.make_async_copy(dinv_ref.at[row_ref[base + j]],
+                                      sD.at[jnp.int32(j)],
+                                      semD.at[jnp.int32(j)]).wait()
+                D = sD[jnp.int32(j)]
+                if transpose:
+                    D = D.T
+                sX[jnp.int32(j)] = _dot(D, sX[jnp.int32(j)], exact)
+                pltpu.make_async_copy(sX.at[jnp.int32(j)],
+                                      out_ref.at[row_ref[base + j]],
+                                      semW.at[jnp.int32(j)]).start()
+        for j in range(C):
+            @pl.when(base + j < hi)
+            def _():
+                pltpu.make_async_copy(sX.at[jnp.int32(j)],
+                                      out_ref.at[row_ref[base + j]],
+                                      semW.at[jnp.int32(j)]).wait()
+
+    return kern
+
+
+def make_diag_apply_call(max_chunks: int, C: int, W: int, exact: bool,
+                         transpose: bool = False, interpret: bool = False):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(max_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.VMEM((C, BS, W), jnp.float32),
+                        pltpu.VMEM((C, BS, BS), jnp.float32)]
+        + [pltpu.SemaphoreType.DMA((C,))] * 3,
+    )
+
+    def call(pool, dinv, X, bounds, rows):
+        return pl.pallas_call(
+            _diag_apply_kernel(C, W, exact, transpose),
+            out_shape=jax.ShapeDtypeStruct(X.shape, X.dtype),
+            grid_spec=grid_spec,
+            input_output_aliases={4: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(bounds, rows, pool, dinv, X)
+
+    return call
+
+
+def pallas_solve_meta(plan: SymbolicPlan, C: int):
+    """Window-scheduled solve tapes for both sweeps."""
+    nbp = _bl.bucket125(plan.nb)
+    out = {}
+    for name, gptr, gslot, gsrc, gdst, dptr, diag, nlvl in (
+        ("l", plan.lsol_gptr, plan.lsol_gslot, plan.lsol_gsrc,
+         plan.lsol_gdst, plan.lsol_dptr, plan.lsol_diag, plan.lsol_nlvl),
+        ("u", plan.usol_gptr, plan.usol_gslot, plan.usol_gsrc,
+         plan.usol_gdst, plan.usol_dptr, plan.usol_diag, plan.usol_nlvl),
+    ):
+        # reuse the factor window scheduler with (slot, src, dst) fields:
+        # fillers read the pool zero block and hit the X trash row.
+        gs, gr, gd, new_ptr = window_schedule(
+            gslot, gsrc, gdst, gptr, C, plan.zero_slot, nbp)
+        # fillers got src=zero_slot which may exceed X rows — remap to 0
+        gr = np.where(gd == nbp, 0, gr).astype(np.int32)
+        nlvlp = _bl.bucket125(nlvl)
+        glen = _bl.bucket125(len(gs) + 1)
+        dlen = _bl.bucket125(len(diag) + 1)
+        seg = np.diff(new_ptr)
+        grid_g = max(1, -(-int(seg.max(initial=1)) // C))
+        segd = np.diff(dptr)
+        grid_d = max(1, -(-int(segd.max(initial=1)) // C))
+        out[name] = dict(
+            gptr=_bl._pad_ptr(new_ptr, nlvlp),
+            gslot=_bl._pad_to(gs, glen, fill=plan.zero_slot),
+            gsrc=_bl._pad_to(gr, glen, fill=0),
+            gdst=_bl._pad_to(gd, glen, fill=nbp),
+            dptr=_bl._pad_ptr(dptr, nlvlp),
+            diag=_bl._pad_to(diag, dlen, fill=nbp),
+            nlvl=nlvl, nlvlp=nlvlp,
+            grid_g=_bl.bucket125(grid_g, lo=1),
+            grid_d=_bl.bucket125(grid_d, lo=1),
+        )
+    return out, nbp
+
+
+@functools.lru_cache(maxsize=32)
+def _pallas_solve_executor(nbp, key_l, key_u, C, W, exact, interpret):
+    (nlvlp_l, grid_gl, grid_dl) = key_l
+    (nlvlp_u, grid_gu, grid_du) = key_u
+    g_l = make_solve_gemm_call(grid_gl, C, W, exact, interpret=interpret)
+    d_l = make_diag_apply_call(grid_dl, C, W, exact, interpret=interpret)
+    g_u = make_solve_gemm_call(grid_gu, C, W, exact, interpret=interpret)
+    d_u = make_diag_apply_call(grid_du, C, W, exact, interpret=interpret)
+
+    def sweep(pool, dinv, X, t, nlvlp, gcall, dcall):
+        def level(l, X):
+            gb = jnp.stack([t["gptr"][l], t["gptr"][l + 1]])
+            X = gcall(pool, X, gb, t["gslot"], t["gsrc"], t["gdst"])
+            db = jnp.stack([t["dptr"][l], t["dptr"][l + 1]])
+            return dcall(pool, dinv, X, db, t["diag"])
+
+        return lax.fori_loop(0, nlvlp, level, X)
+
+    def solve(pool, linv, uinv, tl, tu, b):
+        X = b.reshape(nbp, BS, W)
+        X = jnp.concatenate([X, jnp.zeros((1, BS, W), X.dtype)], axis=0)
+        X = sweep(pool, linv, X, tl, nlvlp_l, g_l, d_l)
+        X = sweep(pool, uinv, X, tu, nlvlp_u, g_u, d_u)
+        return X[:nbp].reshape(nbp * BS, W)
+
+    return jax.jit(solve)
+
+
+def build_solve_fn_pallas(plan: SymbolicPlan, nrhs: int, *, chunk: int = 16,
+                          exact: bool = True, interpret: bool = False):
+    """Pallas level-set solve. b must be (nbp*128, W) with W = nrhs padded
+    to a multiple of 128 (DMA alignment). Returns (solve_fn, (tl, tu), W).
+    """
+    assert plan.bs == BS
+    W = max(128, -(-nrhs // 128) * 128)
+    meta, nbp = pallas_solve_meta(plan, chunk)
+    tl, tu = meta["l"], meta["u"]
+    key_l = (tl["nlvlp"], tl["grid_g"], tl["grid_d"])
+    key_u = (tu["nlvlp"], tu["grid_g"], tu["grid_d"])
+    fn = _pallas_solve_executor(nbp, key_l, key_u, chunk, W, exact,
+                                interpret)
+    return fn, (tl, tu), W
