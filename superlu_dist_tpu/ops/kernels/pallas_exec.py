@@ -57,32 +57,35 @@ def _schur_kernel(C, exact):
         hi = jnp.asarray(bounds_ref[1], jnp.int32)
         base = lo + g * jnp.int32(C)
 
-        for j in range(C):
-            @pl.when(base + j < hi)
-            def _():
-                pltpu.make_async_copy(pool_ref.at[gl_ref[base + j]],
-                                      sL.at[jnp.int32(j)], semL.at[jnp.int32(j)]).start()
-                pltpu.make_async_copy(pool_ref.at[gu_ref[base + j]],
-                                      sU.at[jnp.int32(j)], semU.at[jnp.int32(j)]).start()
-                pltpu.make_async_copy(pool_ref.at[gt_ref[base + j]],
-                                      sT.at[jnp.int32(j)], semT.at[jnp.int32(j)]).start()
-        for j in range(C):
-            @pl.when(base + j < hi)
-            def _():
-                pltpu.make_async_copy(pool_ref.at[gl_ref[base + j]],
-                                      sL.at[jnp.int32(j)], semL.at[jnp.int32(j)]).wait()
-                pltpu.make_async_copy(pool_ref.at[gu_ref[base + j]],
-                                      sU.at[jnp.int32(j)], semU.at[jnp.int32(j)]).wait()
-                pltpu.make_async_copy(pool_ref.at[gt_ref[base + j]],
-                                      sT.at[jnp.int32(j)], semT.at[jnp.int32(j)]).wait()
-                sT[jnp.int32(j)] = sT[jnp.int32(j)] - _dot(sL[jnp.int32(j)], sU[jnp.int32(j)], exact)
-                pltpu.make_async_copy(sT.at[jnp.int32(j)], out_ref.at[gt_ref[base + j]],
-                                      semW.at[jnp.int32(j)]).start()
-        for j in range(C):
-            @pl.when(base + j < hi)
-            def _():
-                pltpu.make_async_copy(sT.at[jnp.int32(j)], out_ref.at[gt_ref[base + j]],
-                                      semW.at[jnp.int32(j)]).wait()
+        @pl.when(base < hi)
+        def _step():
+
+            for j in range(C):
+                @pl.when(base + j < hi)
+                def _():
+                    pltpu.make_async_copy(pool_ref.at[gl_ref[base + j]],
+                                          sL.at[jnp.int32(j)], semL.at[jnp.int32(j)]).start()
+                    pltpu.make_async_copy(pool_ref.at[gu_ref[base + j]],
+                                          sU.at[jnp.int32(j)], semU.at[jnp.int32(j)]).start()
+                    pltpu.make_async_copy(pool_ref.at[gt_ref[base + j]],
+                                          sT.at[jnp.int32(j)], semT.at[jnp.int32(j)]).start()
+            for j in range(C):
+                @pl.when(base + j < hi)
+                def _():
+                    pltpu.make_async_copy(pool_ref.at[gl_ref[base + j]],
+                                          sL.at[jnp.int32(j)], semL.at[jnp.int32(j)]).wait()
+                    pltpu.make_async_copy(pool_ref.at[gu_ref[base + j]],
+                                          sU.at[jnp.int32(j)], semU.at[jnp.int32(j)]).wait()
+                    pltpu.make_async_copy(pool_ref.at[gt_ref[base + j]],
+                                          sT.at[jnp.int32(j)], semT.at[jnp.int32(j)]).wait()
+                    sT[jnp.int32(j)] = sT[jnp.int32(j)] - _dot(sL[jnp.int32(j)], sU[jnp.int32(j)], exact)
+                    pltpu.make_async_copy(sT.at[jnp.int32(j)], out_ref.at[gt_ref[base + j]],
+                                          semW.at[jnp.int32(j)]).start()
+            for j in range(C):
+                @pl.when(base + j < hi)
+                def _():
+                    pltpu.make_async_copy(sT.at[jnp.int32(j)], out_ref.at[gt_ref[base + j]],
+                                          semW.at[jnp.int32(j)]).wait()
 
     return kern
 
@@ -97,33 +100,36 @@ def _trsm_kernel(C, exact, left):
         hi = jnp.asarray(bounds_ref[1], jnp.int32)
         base = lo + g * jnp.int32(C)
 
-        for j in range(C):
-            @pl.when(base + j < hi)
-            def _():
-                pltpu.make_async_copy(pool_ref.at[slot_ref[base + j]],
-                                      sX.at[jnp.int32(j)], semX.at[jnp.int32(j)]).start()
-                pltpu.make_async_copy(dinv_ref.at[step_ref[base + j]],
-                                      sD.at[jnp.int32(j)], semD.at[jnp.int32(j)]).start()
-        for j in range(C):
-            @pl.when(base + j < hi)
-            def _():
-                pltpu.make_async_copy(pool_ref.at[slot_ref[base + j]],
-                                      sX.at[jnp.int32(j)], semX.at[jnp.int32(j)]).wait()
-                pltpu.make_async_copy(dinv_ref.at[step_ref[base + j]],
-                                      sD.at[jnp.int32(j)], semD.at[jnp.int32(j)]).wait()
-                if left:
-                    sX[jnp.int32(j)] = _dot(sD[jnp.int32(j)], sX[jnp.int32(j)], exact)
-                else:
-                    sX[jnp.int32(j)] = _dot(sX[jnp.int32(j)], sD[jnp.int32(j)], exact)
-                pltpu.make_async_copy(sX.at[jnp.int32(j)],
-                                      out_ref.at[slot_ref[base + j]],
-                                      semW.at[jnp.int32(j)]).start()
-        for j in range(C):
-            @pl.when(base + j < hi)
-            def _():
-                pltpu.make_async_copy(sX.at[jnp.int32(j)],
-                                      out_ref.at[slot_ref[base + j]],
-                                      semW.at[jnp.int32(j)]).wait()
+        @pl.when(base < hi)
+        def _step():
+
+            for j in range(C):
+                @pl.when(base + j < hi)
+                def _():
+                    pltpu.make_async_copy(pool_ref.at[slot_ref[base + j]],
+                                          sX.at[jnp.int32(j)], semX.at[jnp.int32(j)]).start()
+                    pltpu.make_async_copy(dinv_ref.at[step_ref[base + j]],
+                                          sD.at[jnp.int32(j)], semD.at[jnp.int32(j)]).start()
+            for j in range(C):
+                @pl.when(base + j < hi)
+                def _():
+                    pltpu.make_async_copy(pool_ref.at[slot_ref[base + j]],
+                                          sX.at[jnp.int32(j)], semX.at[jnp.int32(j)]).wait()
+                    pltpu.make_async_copy(dinv_ref.at[step_ref[base + j]],
+                                          sD.at[jnp.int32(j)], semD.at[jnp.int32(j)]).wait()
+                    if left:
+                        sX[jnp.int32(j)] = _dot(sD[jnp.int32(j)], sX[jnp.int32(j)], exact)
+                    else:
+                        sX[jnp.int32(j)] = _dot(sX[jnp.int32(j)], sD[jnp.int32(j)], exact)
+                    pltpu.make_async_copy(sX.at[jnp.int32(j)],
+                                          out_ref.at[slot_ref[base + j]],
+                                          semW.at[jnp.int32(j)]).start()
+            for j in range(C):
+                @pl.when(base + j < hi)
+                def _():
+                    pltpu.make_async_copy(sX.at[jnp.int32(j)],
+                                          out_ref.at[slot_ref[base + j]],
+                                          semW.at[jnp.int32(j)]).wait()
 
     return kern
 
@@ -350,44 +356,47 @@ def _solve_gemm_kernel(C, W, exact, transpose):
         hi = jnp.asarray(bounds_ref[1], jnp.int32)
         base = lo + g * jnp.int32(C)
 
-        for j in range(C):
-            @pl.when(base + j < hi)
-            def _():
-                pltpu.make_async_copy(pool_ref.at[slot_ref[base + j]],
-                                      sL.at[jnp.int32(j)],
-                                      semL.at[jnp.int32(j)]).start()
-                pltpu.make_async_copy(x_ref.at[src_ref[base + j]],
-                                      sS.at[jnp.int32(j)],
-                                      semS.at[jnp.int32(j)]).start()
-                pltpu.make_async_copy(out_ref.at[dst_ref[base + j]],
-                                      sD.at[jnp.int32(j)],
-                                      semD.at[jnp.int32(j)]).start()
-        for j in range(C):
-            @pl.when(base + j < hi)
-            def _():
-                pltpu.make_async_copy(pool_ref.at[slot_ref[base + j]],
-                                      sL.at[jnp.int32(j)],
-                                      semL.at[jnp.int32(j)]).wait()
-                pltpu.make_async_copy(x_ref.at[src_ref[base + j]],
-                                      sS.at[jnp.int32(j)],
-                                      semS.at[jnp.int32(j)]).wait()
-                pltpu.make_async_copy(out_ref.at[dst_ref[base + j]],
-                                      sD.at[jnp.int32(j)],
-                                      semD.at[jnp.int32(j)]).wait()
-                L = sL[jnp.int32(j)]
-                if transpose:
-                    L = L.T
-                sD[jnp.int32(j)] = sD[jnp.int32(j)] - _dot(
-                    L, sS[jnp.int32(j)], exact)
-                pltpu.make_async_copy(sD.at[jnp.int32(j)],
-                                      out_ref.at[dst_ref[base + j]],
-                                      semW.at[jnp.int32(j)]).start()
-        for j in range(C):
-            @pl.when(base + j < hi)
-            def _():
-                pltpu.make_async_copy(sD.at[jnp.int32(j)],
-                                      out_ref.at[dst_ref[base + j]],
-                                      semW.at[jnp.int32(j)]).wait()
+        @pl.when(base < hi)
+        def _step():
+
+            for j in range(C):
+                @pl.when(base + j < hi)
+                def _():
+                    pltpu.make_async_copy(pool_ref.at[slot_ref[base + j]],
+                                          sL.at[jnp.int32(j)],
+                                          semL.at[jnp.int32(j)]).start()
+                    pltpu.make_async_copy(x_ref.at[src_ref[base + j]],
+                                          sS.at[jnp.int32(j)],
+                                          semS.at[jnp.int32(j)]).start()
+                    pltpu.make_async_copy(out_ref.at[dst_ref[base + j]],
+                                          sD.at[jnp.int32(j)],
+                                          semD.at[jnp.int32(j)]).start()
+            for j in range(C):
+                @pl.when(base + j < hi)
+                def _():
+                    pltpu.make_async_copy(pool_ref.at[slot_ref[base + j]],
+                                          sL.at[jnp.int32(j)],
+                                          semL.at[jnp.int32(j)]).wait()
+                    pltpu.make_async_copy(x_ref.at[src_ref[base + j]],
+                                          sS.at[jnp.int32(j)],
+                                          semS.at[jnp.int32(j)]).wait()
+                    pltpu.make_async_copy(out_ref.at[dst_ref[base + j]],
+                                          sD.at[jnp.int32(j)],
+                                          semD.at[jnp.int32(j)]).wait()
+                    L = sL[jnp.int32(j)]
+                    if transpose:
+                        L = L.T
+                    sD[jnp.int32(j)] = sD[jnp.int32(j)] - _dot(
+                        L, sS[jnp.int32(j)], exact)
+                    pltpu.make_async_copy(sD.at[jnp.int32(j)],
+                                          out_ref.at[dst_ref[base + j]],
+                                          semW.at[jnp.int32(j)]).start()
+            for j in range(C):
+                @pl.when(base + j < hi)
+                def _():
+                    pltpu.make_async_copy(sD.at[jnp.int32(j)],
+                                          out_ref.at[dst_ref[base + j]],
+                                          semW.at[jnp.int32(j)]).wait()
 
     return kern
 
@@ -427,37 +436,40 @@ def _diag_apply_kernel(C, W, exact, transpose):
         hi = jnp.asarray(bounds_ref[1], jnp.int32)
         base = lo + g * jnp.int32(C)
 
-        for j in range(C):
-            @pl.when(base + j < hi)
-            def _():
-                pltpu.make_async_copy(x_ref.at[row_ref[base + j]],
-                                      sX.at[jnp.int32(j)],
-                                      semX.at[jnp.int32(j)]).start()
-                pltpu.make_async_copy(dinv_ref.at[row_ref[base + j]],
-                                      sD.at[jnp.int32(j)],
-                                      semD.at[jnp.int32(j)]).start()
-        for j in range(C):
-            @pl.when(base + j < hi)
-            def _():
-                pltpu.make_async_copy(x_ref.at[row_ref[base + j]],
-                                      sX.at[jnp.int32(j)],
-                                      semX.at[jnp.int32(j)]).wait()
-                pltpu.make_async_copy(dinv_ref.at[row_ref[base + j]],
-                                      sD.at[jnp.int32(j)],
-                                      semD.at[jnp.int32(j)]).wait()
-                D = sD[jnp.int32(j)]
-                if transpose:
-                    D = D.T
-                sX[jnp.int32(j)] = _dot(D, sX[jnp.int32(j)], exact)
-                pltpu.make_async_copy(sX.at[jnp.int32(j)],
-                                      out_ref.at[row_ref[base + j]],
-                                      semW.at[jnp.int32(j)]).start()
-        for j in range(C):
-            @pl.when(base + j < hi)
-            def _():
-                pltpu.make_async_copy(sX.at[jnp.int32(j)],
-                                      out_ref.at[row_ref[base + j]],
-                                      semW.at[jnp.int32(j)]).wait()
+        @pl.when(base < hi)
+        def _step():
+
+            for j in range(C):
+                @pl.when(base + j < hi)
+                def _():
+                    pltpu.make_async_copy(x_ref.at[row_ref[base + j]],
+                                          sX.at[jnp.int32(j)],
+                                          semX.at[jnp.int32(j)]).start()
+                    pltpu.make_async_copy(dinv_ref.at[row_ref[base + j]],
+                                          sD.at[jnp.int32(j)],
+                                          semD.at[jnp.int32(j)]).start()
+            for j in range(C):
+                @pl.when(base + j < hi)
+                def _():
+                    pltpu.make_async_copy(x_ref.at[row_ref[base + j]],
+                                          sX.at[jnp.int32(j)],
+                                          semX.at[jnp.int32(j)]).wait()
+                    pltpu.make_async_copy(dinv_ref.at[row_ref[base + j]],
+                                          sD.at[jnp.int32(j)],
+                                          semD.at[jnp.int32(j)]).wait()
+                    D = sD[jnp.int32(j)]
+                    if transpose:
+                        D = D.T
+                    sX[jnp.int32(j)] = _dot(D, sX[jnp.int32(j)], exact)
+                    pltpu.make_async_copy(sX.at[jnp.int32(j)],
+                                          out_ref.at[row_ref[base + j]],
+                                          semW.at[jnp.int32(j)]).start()
+            for j in range(C):
+                @pl.when(base + j < hi)
+                def _():
+                    pltpu.make_async_copy(sX.at[jnp.int32(j)],
+                                          out_ref.at[row_ref[base + j]],
+                                          semW.at[jnp.int32(j)]).wait()
 
     return kern
 
