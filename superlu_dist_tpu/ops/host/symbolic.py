@@ -121,6 +121,13 @@ def block_symbolic(A: sp.spmatrix, bs: int) -> SymbolicPlan:
     diag_keys = np.arange(nb, dtype=np.int64) * nb + np.arange(nb)
     a_keys = np.unique(np.concatenate([a_keys, diag_keys]))
 
+    # ---- native (C++) fast path for the fill simulation + tapes ----
+    from .native import native_block_symbolic
+    nat = native_block_symbolic(nb, a_keys // nb, a_keys % nb)
+    if nat is not None:
+        return _assemble_from_native(nat, A, coo, bi, bj, n, n_pad, bs, nb,
+                                     len(a_keys))
+
     Ls = [set() for _ in range(nb)]   # block col k -> row blocks I>k
     Us = [set() for _ in range(nb)]   # block row k -> col blocks J>k
     for key in a_keys:
@@ -305,6 +312,60 @@ def block_symbolic(A: sp.spmatrix, bs: int) -> SymbolicPlan:
         slot_step=np.asarray(sstep, dtype=np.int64),
         block_parent=block_parent, factor_flops=flops,
         fill_blocks=nslots, a_blocks=len(a_keys),
+    )
+
+
+def _assemble_from_native(nat, A, coo, bi, bj, n, n_pad, bs, nb,
+                          a_blocks) -> SymbolicPlan:
+    """Build the SymbolicPlan from the C++ engine's arrays (value-placement
+    indices, flop model, and dtype coercions happen here)."""
+    nslots = len(nat["slot_row"])
+    slot_of = {int(r) * nb + int(c): s
+               for s, (r, c) in enumerate(zip(nat["slot_row"],
+                                              nat["slot_col"]))}
+    blk = slot_map_vectorized(slot_of, bi, bj, nb)
+    init_idx = (blk.astype(np.int64) * bs * bs
+                + (coo.row % bs).astype(np.int64) * bs
+                + (coo.col % bs).astype(np.int64))
+    n_ones = n_pad - n
+    if n_ones:
+        pad = np.arange(n, n_pad)
+        pad_blk = np.array([slot_of[int(i // bs) * nb + int(i // bs)]
+                            for i in pad], dtype=np.int64)
+        init_idx = np.concatenate(
+            [init_idx, pad_blk * bs * bs + (pad % bs) * bs + (pad % bs)])
+
+    b3 = float(bs) ** 3
+    flops = (2.0 / 3.0) * b3 * nb \
+        + b3 * (len(nat["l_slots"]) + len(nat["u_slots"])) \
+        + 2.0 * b3 * len(nat["g_l"])
+    n_flevels = int(nat["step_level"].max()) + 1 if nb else 1
+
+    def i32(x):
+        return np.asarray(x, dtype=np.int32)
+
+    return SymbolicPlan(
+        n=n, n_pad=n_pad, bs=bs, nb=nb, nslots=nslots,
+        zero_slot=nslots, trash_slot=nslots + 1,
+        init_idx=init_idx, init_ones=n_ones,
+        diag_slot=i32(nat["diag_slot"]),
+        l_ptr=nat["l_ptr"], l_slots=i32(nat["l_slots"]),
+        u_ptr=nat["u_ptr"], u_slots=i32(nat["u_slots"]),
+        g_ptr=nat["g_ptr"], g_l=i32(nat["g_l"]), g_u=i32(nat["g_u"]),
+        g_t=i32(nat["g_t"]),
+        lsol_nlvl=len(nat["lsol_dptr"]) - 1,
+        lsol_gptr=nat["lsol_gptr"], lsol_gslot=i32(nat["lsol_gslot"]),
+        lsol_gsrc=i32(nat["lsol_gsrc"]), lsol_gdst=i32(nat["lsol_gdst"]),
+        lsol_dptr=nat["lsol_dptr"], lsol_diag=i32(nat["lsol_diag"]),
+        usol_nlvl=len(nat["usol_dptr"]) - 1,
+        usol_gptr=nat["usol_gptr"], usol_gslot=i32(nat["usol_gslot"]),
+        usol_gsrc=i32(nat["usol_gsrc"]), usol_gdst=i32(nat["usol_gdst"]),
+        usol_dptr=nat["usol_dptr"], usol_diag=i32(nat["usol_diag"]),
+        step_level=nat["step_level"], n_flevels=n_flevels,
+        slot_row=nat["slot_row"], slot_col=nat["slot_col"],
+        slot_step=nat["slot_step"],
+        block_parent=nat["block_parent"], factor_flops=flops,
+        fill_blocks=nslots, a_blocks=a_blocks,
     )
 
 
