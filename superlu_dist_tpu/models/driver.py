@@ -181,7 +181,8 @@ class SparseLU:
             if reuse_perms and self.plan is not None:
                 plan = self.plan
             else:
-                plan = block_symbolic(A3, opts.block_size)
+                plan = block_symbolic(A3, opts.block_size,
+                                      ilu_level=opts.ilu_level)
                 self._solve_fns.clear()
         self.plan = plan
         stat.counters["fill_blocks"] = plan.nslots

@@ -105,8 +105,17 @@ class SymbolicPlan:
         return int(np.prod(self.pool_shape)) * np.dtype(dtype).itemsize
 
 
-def block_symbolic(A: sp.spmatrix, bs: int) -> SymbolicPlan:
-    """Build the full static plan for the (already permuted/scaled) matrix A."""
+def block_symbolic(A: sp.spmatrix, bs: int,
+                   ilu_level: int | None = None) -> SymbolicPlan:
+    """Build the full static plan for the (already permuted/scaled) matrix A.
+
+    ``ilu_level``: if set, perform level-based incomplete (ILU(k)) symbolic
+    factorization at block granularity — fill blocks whose level exceeds
+    ``ilu_level`` are dropped, along with the updates into them (analog of
+    ``ilu_level_symbfact``, reference: SRC/prec-independent/
+    ilu_level_symbfact.c:54-247). The resulting factorization is a
+    preconditioner, not an exact solver.
+    """
     A = sp.csc_matrix(A)
     n = A.shape[0]
     nb = max(1, -(-n // bs))
@@ -122,51 +131,73 @@ def block_symbolic(A: sp.spmatrix, bs: int) -> SymbolicPlan:
     a_keys = np.unique(np.concatenate([a_keys, diag_keys]))
 
     # ---- native (C++) fast path for the fill simulation + tapes ----
-    from .native import native_block_symbolic
-    nat = native_block_symbolic(nb, a_keys // nb, a_keys % nb)
-    if nat is not None:
-        return _assemble_from_native(nat, A, coo, bi, bj, n, n_pad, bs, nb,
-                                     len(a_keys))
+    if ilu_level is None:
+        from .native import native_block_symbolic
+        nat = native_block_symbolic(nb, a_keys // nb, a_keys % nb)
+        if nat is not None:
+            return _assemble_from_native(nat, A, coo, bi, bj, n, n_pad, bs,
+                                         nb, len(a_keys))
 
-    Ls = [set() for _ in range(nb)]   # block col k -> row blocks I>k
-    Us = [set() for _ in range(nb)]   # block row k -> col blocks J>k
+    # fill levels: A blocks at level 0; fill from (I,k)@lev_a, (k,J)@lev_b
+    # gets level lev_a + lev_b + 1 (dropped above ilu_level)
+    Ls = [dict() for _ in range(nb)]  # block col k -> {row block I>k: level}
+    Us = [dict() for _ in range(nb)]  # block row k -> {col block J>k: level}
     for key in a_keys:
         I, J = int(key // nb), int(key % nb)
         if I > J:
-            Ls[J].add(I)
+            Ls[J][I] = 0
         elif I < J:
-            Us[I].add(J)
+            Us[I][J] = 0
 
-    # ---- right-looking block fill simulation + gemm tape ----
-    g_l_list: list[np.ndarray] = []
-    g_u_list: list[np.ndarray] = []
-    g_ti: list[np.ndarray] = []       # target I per step (resolved to slots later)
-    g_tj: list[np.ndarray] = []
-    g_counts = np.zeros(nb, dtype=np.int64)
+    # ---- pass 1: right-looking block fill simulation (with ILU levels) ----
     step_rows: list[np.ndarray] = []
     step_cols: list[np.ndarray] = []
-
     for k in range(nb):
-        rows = np.fromiter(Ls[k], dtype=np.int64, count=len(Ls[k]))
-        rows.sort()
-        cols = np.fromiter(Us[k], dtype=np.int64, count=len(Us[k]))
-        cols.sort()
+        rows_d, cols_d = Ls[k], Us[k]
+        rows = np.array(sorted(rows_d), dtype=np.int64)
+        cols = np.array(sorted(cols_d), dtype=np.int64)
         step_rows.append(rows)
         step_cols.append(cols)
-        if len(rows) and len(cols):
-            II = np.repeat(rows, len(cols))
-            JJ = np.tile(cols, len(rows))
-            g_ti.append(II)
-            g_tj.append(JJ)
-            g_counts[k] = len(II)
-            # propagate fill
+        for J in cols:
+            J = int(J)
+            lvJ = cols_d[J]
+            tgt = Ls[J]
+            for I in rows[rows > J]:
+                I = int(I)
+                lv = rows_d[I] + lvJ + 1
+                if ilu_level is not None and lv > ilu_level:
+                    continue
+                if I not in tgt or tgt[I] > lv:
+                    tgt[I] = lv
+        for I in rows:
+            I = int(I)
+            lvI = rows_d[I]
+            tgt = Us[I]
+            for J in cols[cols > I]:
+                J = int(J)
+                lv = lvI + cols_d[J] + 1
+                if ilu_level is not None and lv > ilu_level:
+                    continue
+                if J not in tgt or tgt[J] > lv:
+                    tgt[J] = lv
+
+    # ---- pass 2: gemm tape (updates into retained targets only) ----
+    g_ti: list[np.ndarray] = []
+    g_tj: list[np.ndarray] = []
+    g_counts = np.zeros(nb, dtype=np.int64)
+    for k in range(nb):
+        rows, cols = step_rows[k], step_cols[k]
+        II, JJ = [], []
+        for I in rows:
+            I = int(I)
             for J in cols:
-                Ls[int(J)].update(int(x) for x in rows[rows > J])
-            for I in rows:
-                Us[int(I)].update(int(x) for x in cols[cols > I])
-        else:
-            g_ti.append(np.empty(0, dtype=np.int64))
-            g_tj.append(np.empty(0, dtype=np.int64))
+                J = int(J)
+                if I == J or (I > J and I in Ls[J]) or (I < J and J in Us[I]):
+                    II.append(I)
+                    JJ.append(J)
+        g_ti.append(np.asarray(II, dtype=np.int64))
+        g_tj.append(np.asarray(JJ, dtype=np.int64))
+        g_counts[k] = len(II)
 
     # ---- slot assignment (diag first, then L/U panels in step order) ----
     slot_of: dict[int, int] = {}

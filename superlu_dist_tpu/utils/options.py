@@ -133,6 +133,11 @@ class Options:
     refine_dtype: Optional[str] = None
 
     batch_count: int = 0               # >0 for the batched interface
+    # level-based incomplete factorization (ILU(k) analog of
+    # ilu_level_symbfact); None = complete LU. The factorization becomes a
+    # preconditioner: refine() turns into a preconditioned Richardson
+    # iteration rather than converging in O(1) steps.
+    ilu_level: Optional[int] = None
 
     def replace(self, **kw) -> "Options":
         return dataclasses.replace(self, **kw)
