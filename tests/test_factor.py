@@ -102,3 +102,18 @@ def test_diag_u_nonzero(lap):
     du = lu.diag_u()
     assert len(du) == lap.shape[0]
     assert np.all(np.abs(du) > 0)
+
+
+def test_debug_utils(lap, tmp_path):
+    """dutil-style debug helpers: L·U reconstruction, diag check, dump."""
+    from superlu_dist_tpu.utils.debug import (check_factorization,
+                                              check_zero_diagonal,
+                                              compare_lu, dump_lu)
+    lu = SparseLU(lap, Options(dtype="float64", block_size=16))
+    assert check_factorization(lu) < 1e-10
+    assert len(check_zero_diagonal(lu)) == 0
+    p1 = tmp_path / "a.npz"
+    p2 = tmp_path / "b.npz"
+    dump_lu(lu, p1)
+    dump_lu(lu, p2)
+    assert compare_lu(p1, p2)
