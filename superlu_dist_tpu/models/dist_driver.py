@@ -27,6 +27,8 @@ from .driver import SparseLU, _real_base
 
 
 class DistributedSparseLU(SparseLU):
+
+    _fused_refine_ok = False
     """2D block-cyclic distributed factorization (pdgssvx analog)."""
 
     def __init__(self, A: sp.spmatrix, grid: Grid2D,

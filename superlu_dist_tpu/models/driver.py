@@ -379,13 +379,134 @@ class SparseLU:
                        (num + safe1) / (denom + safe1))
         return val.max(axis=0), r
 
+    #: subclasses without a single-device solve path disable device fusion
+    _fused_refine_ok = True
+
+    def _fused_refine_fn(self, nrhs: int):
+        """One-dispatch iterative refinement: the whole
+        residual → transform → solve → update loop runs on device inside a
+        single jitted while_loop (the host-loop refine() round-trips the
+        tunnel per iteration, ~30ms each on the remote TPU)."""
+        key = ("FR", nrhs)
+        if key in self._solve_fns:
+            return self._solve_fns[key]
+        import jax
+        from jax import lax
+
+        plan = self.plan
+        n = self.n
+        rdt = jnp.dtype(self.refine_dtype)
+        fdt = jnp.dtype(self.dtype)
+        rows, cols, _ = self._coo_ref   # pattern is fixed per plan
+        rows_pad = self._bpad_rows()
+        eps = _real_eps(self.refine_dtype)
+        nz = int(self._A_orig.getnnz(axis=1).max()) + 1
+        safe1 = nz * np.finfo(np.float64).tiny
+        safe2 = safe1 / np.finfo(np.float64).eps
+        itmax = self.options.max_refine_steps
+        rthresh = self.options.refine_rthresh
+
+        if self._use_pallas():
+            import os
+            from ..ops.kernels import pallas_exec as _pe
+            interp = (os.environ.get("SLU_TPU_FORCE_PALLAS", "")
+                      == "interpret")
+            sfn, (tl, tu), W = _pe.build_solve_fn_pallas(
+                plan, nrhs, chunk=min(self.options.gemm_chunk, 16),
+                interpret=interp)
+
+            def solve_inner(pool, linv, uinv, bp):
+                bw = jnp.zeros((rows_pad, W), fdt).at[:, :nrhs].set(bp)
+                return sfn(pool, linv, uinv, tl, tu, bw)[:, :nrhs]
+        else:
+            core = _blocklu.build_solve_core(
+                plan, nrhs, chunk=self.options.gemm_chunk)
+            ltape, utape = self.ltape, self.utape
+
+            def solve_inner(pool, linv, uinv, bp):
+                return core(pool, linv, uinv, ltape, utape, bp)
+
+        def lu_solve(pool, linv, uinv, prc, pc, rs, cs, r):
+            """Dr/Pr/Pc transforms + LU solve + back-transform (device)."""
+            bp = jnp.zeros((rows_pad, nrhs), fdt)
+            bp = bp.at[:n].set((rs[:, None] * r[prc]).astype(fdt))
+            y = solve_inner(pool, linv, uinv, bp)[:n]
+            return jnp.zeros((n, nrhs), rdt).at[pc].set(
+                cs[:, None] * y.astype(rdt))
+
+        @jax.jit
+        def refine(pool, linv, uinv, vals, prc, pc, rs, cs, b, x0):
+            b = b.astype(rdt)
+
+            def berr_of(x):
+                r = b - _spmv.spmv(rows, cols, vals, x, n)
+                denom = _spmv.abs_spmv(rows, cols, vals, jnp.abs(x), n) \
+                    + jnp.abs(b)
+                num = jnp.abs(r)
+                val = jnp.where(denom > safe2,
+                                num / jnp.maximum(denom, safe1),
+                                (num + safe1) / (denom + safe1))
+                return val.max(axis=0), r
+
+            def cond(carry):
+                x, berr, prev, it = carry
+                keep = (berr > eps).any() & (berr <= rthresh * prev).all()
+                return (it < itmax) & ((it == 0) | keep)
+
+            def body(carry):
+                x, berr, prev, it = carry
+                r = b - _spmv.spmv(rows, cols, vals, x, n)
+                x = x + lu_solve(pool, linv, uinv, prc, pc, rs, cs, r)
+                nberr, _ = berr_of(x)
+                return (x, nberr.astype(berr.dtype), berr, it + 1)
+
+            berr0, _ = berr_of(x0.astype(rdt))
+            rreal = jnp.dtype(_real_base(rdt))
+            x, berr, prev, it = lax.while_loop(
+                cond, body,
+                (x0.astype(rdt), berr0.astype(rreal),
+                 jnp.full((nrhs,), jnp.inf, rreal),
+                 jnp.zeros((), jnp.int32)))
+            return x, berr, it
+
+        self._solve_fns[key] = refine
+        return refine
+
     def refine(self, b, x0: np.ndarray):
         """Iterative refinement — ``pdgsrfs`` analog (pdgsrfs.c:129-251).
 
         Residuals in ``refine_dtype`` (mixed precision: psgssvx_d2 pattern).
         Stops at ITMAX steps, at componentwise backward error ≤ eps, or when
-        the error stops halving (pdgsrfs.c:237).
+        the error stops halving (pdgsrfs.c:237). On a single device the
+        whole loop is fused into one jitted dispatch.
         """
+        if self._fused_refine_ok:
+            bb = np.asarray(b)
+            squeeze = bb.ndim == 1
+            if squeeze:
+                bb = bb[:, None]
+            x = np.asarray(x0)
+            if x.ndim == 1:
+                x = x[:, None]
+            fn = self._fused_refine_fn(bb.shape[1])
+            rdt = self.refine_dtype
+            with self.stat.phase("REFINE"):
+                xo, berr, it = fn(
+                    self.pool, self.linv, self.uinv, self._coo_ref[2],
+                    jnp.asarray(self.rowperm[self.colperm]),
+                    jnp.asarray(self.colperm),
+                    jnp.asarray(self.row_scale[self.rowperm[self.colperm]],
+                                dtype=rdt),
+                    jnp.asarray(self.col_scale[self.colperm], dtype=rdt),
+                    jnp.asarray(bb), jnp.asarray(x))
+                xo = np.asarray(xo)
+                berr = np.asarray(berr)
+            self.stat.refine_steps = int(it)
+            return (xo[:, 0] if squeeze else xo), np.atleast_1d(berr)
+        return self._refine_hostloop(b, x0)
+
+    def _refine_hostloop(self, b, x0: np.ndarray):
+        """Host-driven refinement loop (distributed drivers)."""
         opts, stat = self.options, self.stat
         b = np.asarray(b)
         squeeze = b.ndim == 1

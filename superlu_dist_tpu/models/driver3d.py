@@ -25,6 +25,8 @@ from .driver import SparseLU, _real_base
 
 
 class Distributed3DSparseLU(SparseLU):
+
+    _fused_refine_ok = False
     """3D (z × r × c) distributed factorization."""
 
     def __init__(self, A: sp.spmatrix, grid: Grid3D,
