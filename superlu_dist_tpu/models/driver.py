@@ -288,7 +288,7 @@ class SparseLU:
             if key not in self._solve_fns:
                 interp = (os.environ.get("SLU_TPU_FORCE_PALLAS", "")
                           == "interpret")
-                self._solve_fns[key] = _pe.build_solve_fn_pallas(
+                self._solve_fns[key] = _pe.build_solve_fn_pallas_fused(
                     self.plan, nrhs, chunk=min(self.options.gemm_chunk, 16),
                     interpret=interp)
             fn, (tl, tu), W = self._solve_fns[key]
@@ -411,7 +411,7 @@ class SparseLU:
             from ..ops.kernels import pallas_exec as _pe
             interp = (os.environ.get("SLU_TPU_FORCE_PALLAS", "")
                       == "interpret")
-            sfn, (tl, tu), W = _pe.build_solve_fn_pallas(
+            sfn, (tl, tu), W = _pe.build_solve_fn_pallas_fused(
                 plan, nrhs, chunk=min(self.options.gemm_chunk, 16),
                 interpret=interp)
 

@@ -580,3 +580,219 @@ def build_solve_fn_pallas(plan: SymbolicPlan, nrhs: int, *, chunk: int = 16,
     fn = _pallas_solve_executor(nbp, key_l, key_u, chunk, W, exact,
                                 interpret)
     return fn, (tl, tu), W
+
+
+# ---------------------------------------------------------------------------
+# whole-sweep solve kernel: one pallas call per triangular sweep
+# ---------------------------------------------------------------------------
+#
+# The per-call overhead of a pallas_call inside a compiled program is
+# ~0.2-0.5ms on this target; a level-by-level sweep (2 calls x nlvl) is
+# call-bound. This kernel walks the ENTIRE sweep in one sequential grid:
+# each grid step is one DMA window tagged with an opcode
+# (0 = X[dst] -= pool[slot] @ X[src], 1 = X[row] = dinv[row] @ X[row],
+# 2 = no-op padding), in level order — sequential TPU grid steps preserve
+# the level dependencies.
+
+
+def _sweep_kernel(C, W, exact):
+    def kern(op_ref, ta_ref, tb_ref, tc_ref, pool_ref, dinv_ref, x_ref,
+             out_ref, sL, sS, sD, semL, semS, semD, semW):
+        g = jnp.asarray(pl.program_id(0), jnp.int32)
+        base = g * jnp.int32(C)
+        op = op_ref[g]
+
+        @pl.when(op == 0)
+        def _gemm():
+            for j in range(C):
+                @pl.when(tc_ref[base + j] >= 0)
+                def _():
+                    pltpu.make_async_copy(pool_ref.at[ta_ref[base + j]],
+                                          sL.at[jnp.int32(j)],
+                                          semL.at[jnp.int32(j)]).start()
+                    pltpu.make_async_copy(out_ref.at[tb_ref[base + j]],
+                                          sS.at[jnp.int32(j)],
+                                          semS.at[jnp.int32(j)]).start()
+                    pltpu.make_async_copy(out_ref.at[tc_ref[base + j]],
+                                          sD.at[jnp.int32(j)],
+                                          semD.at[jnp.int32(j)]).start()
+            for j in range(C):
+                @pl.when(tc_ref[base + j] >= 0)
+                def _():
+                    pltpu.make_async_copy(pool_ref.at[ta_ref[base + j]],
+                                          sL.at[jnp.int32(j)],
+                                          semL.at[jnp.int32(j)]).wait()
+                    pltpu.make_async_copy(out_ref.at[tb_ref[base + j]],
+                                          sS.at[jnp.int32(j)],
+                                          semS.at[jnp.int32(j)]).wait()
+                    pltpu.make_async_copy(out_ref.at[tc_ref[base + j]],
+                                          sD.at[jnp.int32(j)],
+                                          semD.at[jnp.int32(j)]).wait()
+                    sD[jnp.int32(j)] = sD[jnp.int32(j)] - _dot(
+                        sL[jnp.int32(j)], sS[jnp.int32(j)], exact)
+                    pltpu.make_async_copy(sD.at[jnp.int32(j)],
+                                          out_ref.at[tc_ref[base + j]],
+                                          semW.at[jnp.int32(j)]).start()
+            for j in range(C):
+                @pl.when(tc_ref[base + j] >= 0)
+                def _():
+                    pltpu.make_async_copy(sD.at[jnp.int32(j)],
+                                          out_ref.at[tc_ref[base + j]],
+                                          semW.at[jnp.int32(j)]).wait()
+
+        @pl.when(op == 1)
+        def _diag():
+            for j in range(C):
+                @pl.when(tc_ref[base + j] >= 0)
+                def _():
+                    pltpu.make_async_copy(out_ref.at[tc_ref[base + j]],
+                                          sS.at[jnp.int32(j)],
+                                          semS.at[jnp.int32(j)]).start()
+                    pltpu.make_async_copy(dinv_ref.at[ta_ref[base + j]],
+                                          sL.at[jnp.int32(j)],
+                                          semL.at[jnp.int32(j)]).start()
+            for j in range(C):
+                @pl.when(tc_ref[base + j] >= 0)
+                def _():
+                    pltpu.make_async_copy(out_ref.at[tc_ref[base + j]],
+                                          sS.at[jnp.int32(j)],
+                                          semS.at[jnp.int32(j)]).wait()
+                    pltpu.make_async_copy(dinv_ref.at[ta_ref[base + j]],
+                                          sL.at[jnp.int32(j)],
+                                          semL.at[jnp.int32(j)]).wait()
+                    sD[jnp.int32(j)] = _dot(sL[jnp.int32(j)],
+                                            sS[jnp.int32(j)], exact)
+                    pltpu.make_async_copy(sD.at[jnp.int32(j)],
+                                          out_ref.at[tc_ref[base + j]],
+                                          semW.at[jnp.int32(j)]).start()
+            for j in range(C):
+                @pl.when(tc_ref[base + j] >= 0)
+                def _():
+                    pltpu.make_async_copy(sD.at[jnp.int32(j)],
+                                          out_ref.at[tc_ref[base + j]],
+                                          semW.at[jnp.int32(j)]).wait()
+
+    return kern
+
+
+def make_sweep_call(n_windows: int, C: int, W: int, exact: bool,
+                    interpret: bool = False):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_windows,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.VMEM((C, BS, BS), jnp.float32),
+                        pltpu.VMEM((C, BS, W), jnp.float32),
+                        pltpu.VMEM((C, BS, W), jnp.float32)]
+        + [pltpu.SemaphoreType.DMA((C,))] * 4,
+    )
+
+    def call(pool, dinv, X, op, ta, tb, tc):
+        return pl.pallas_call(
+            _sweep_kernel(C, W, exact),
+            out_shape=jax.ShapeDtypeStruct(X.shape, X.dtype),
+            grid_spec=grid_spec,
+            input_output_aliases={6: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(op, ta, tb, tc, pool, dinv, X)
+
+    return call
+
+
+def sweep_tape(plan: SymbolicPlan, which: str, C: int):
+    """Whole-sweep window tape: per level, window-scheduled gemms then the
+    diagonal applications. Lane sentinel: tc = -1 skips the lane.
+    Returns (op (nw,), ta, tb, tc (nw*C,), n_windows)."""
+    nbp = _bl.bucket125(plan.nb)
+    if which == "L":
+        gptr, gslot, gsrc, gdst = (plan.lsol_gptr, plan.lsol_gslot,
+                                   plan.lsol_gsrc, plan.lsol_gdst)
+        dptr, diag, nlvl = plan.lsol_dptr, plan.lsol_diag, plan.lsol_nlvl
+    else:
+        gptr, gslot, gsrc, gdst = (plan.usol_gptr, plan.usol_gslot,
+                                   plan.usol_gsrc, plan.usol_gdst)
+        dptr, diag, nlvl = plan.usol_dptr, plan.usol_diag, plan.usol_nlvl
+
+    ops, ta, tb, tc = [], [], [], []
+
+    def emit(op, items):
+        """items: list of (a, b, c); packs into windows of C."""
+        for w in range(0, len(items), C):
+            win = items[w:w + C]
+            ops.append(op)
+            for (a, b, c) in win:
+                ta.append(a)
+                tb.append(b)
+                tc.append(c)
+            for _ in range(C - len(win)):
+                ta.append(0)
+                tb.append(0)
+                tc.append(-1)
+
+    for l in range(nlvl):
+        lo, hi = int(gptr[l]), int(gptr[l + 1])
+        pending = list(range(lo, hi))
+        while pending:
+            used = set()
+            win, rest = [], []
+            for e in pending:
+                if len(win) < C and int(gdst[e]) not in used:
+                    win.append((int(gslot[e]), int(gsrc[e]), int(gdst[e])))
+                    used.add(int(gdst[e]))
+                else:
+                    rest.append(e)
+            pending = rest
+            emit(0, win)
+        dl = [(int(r), 0, int(r)) for r in diag[dptr[l]:dptr[l + 1]]]
+        emit(1, dl)
+    nw = len(ops)
+    nwp = _bl.bucket125(nw, lo=1)
+    for _ in range(nwp - nw):
+        ops.append(2)
+        for _j in range(C):
+            ta.append(0)
+            tb.append(0)
+            tc.append(-1)
+    op_arr = np.asarray(ops, np.int32)
+    # pad lane arrays for the padded windows
+    lanes = np.full((nwp * C,), -1, np.int32)
+    la = np.zeros((nwp * C,), np.int32)
+    lb = np.zeros((nwp * C,), np.int32)
+    la[: len(ta)] = ta
+    lb[: len(tb)] = tb
+    lanes[: len(tc)] = tc
+    return (jnp.asarray(op_arr), jnp.asarray(la), jnp.asarray(lb),
+            jnp.asarray(lanes), nwp)
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_solve_executor(nbp, nw_l, nw_u, C, W, exact, interpret):
+    sweep_l = make_sweep_call(nw_l, C, W, exact, interpret)
+    sweep_u = make_sweep_call(nw_u, C, W, exact, interpret)
+
+    def solve(pool, linv, uinv, tl, tu, b):
+        X = b.reshape(nbp, BS, W)
+        X = jnp.concatenate([X, jnp.zeros((1, BS, W), X.dtype)], axis=0)
+        X = sweep_l(pool, linv, X, *tl)
+        X = sweep_u(pool, uinv, X, *tu)
+        return X[:nbp].reshape(nbp * BS, W)
+
+    return jax.jit(solve)
+
+
+def build_solve_fn_pallas_fused(plan: SymbolicPlan, nrhs: int, *,
+                                chunk: int = 16, exact: bool = True,
+                                interpret: bool = False):
+    """One pallas call per triangular sweep. Same contract as
+    build_solve_fn_pallas: returns (solve_fn, (tl, tu), W)."""
+    assert plan.bs == BS
+    W = max(128, -(-nrhs // 128) * 128)
+    opl, tal, tbl, tcl, nwl = sweep_tape(plan, "L", chunk)
+    opu, tau, tbu, tcu, nwu = sweep_tape(plan, "U", chunk)
+    nbp = _bl.bucket125(plan.nb)
+    fn = _fused_solve_executor(nbp, nwl, nwu, chunk, W, exact, interpret)
+    return fn, ((opl, tal, tbl, tcl), (opu, tau, tbu, tcu)), W
