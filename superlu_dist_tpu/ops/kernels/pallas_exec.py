@@ -188,39 +188,62 @@ def make_trsm_call(max_chunks: int, C: int, exact: bool, left: bool,
 # ---------------------------------------------------------------------------
 
 
+def _round_order(seg_t):
+    """Occurrence-rank ("round") schedule for one level segment: entries are
+    sorted by their duplicate rank within each target group, so all entries
+    of round r have distinct targets. Returns (order, round_of) arrays."""
+    order0 = np.argsort(seg_t, kind="stable")
+    sorted_t = seg_t[order0]
+    # rank within each equal-target run
+    new_grp = np.ones(len(seg_t), dtype=bool)
+    new_grp[1:] = sorted_t[1:] != sorted_t[:-1]
+    grp_start = np.maximum.accumulate(np.where(new_grp,
+                                               np.arange(len(seg_t)), 0))
+    occ = np.arange(len(seg_t)) - grp_start
+    final = np.argsort(occ, kind="stable")
+    return order0[final], occ[final]
+
+
 def window_schedule(g_l, g_u, g_t, lptr, C, zero_slot, trash_slot):
     """Reorder each level's gemm segment so no DMA window of C lanes
     contains a duplicate target; gaps are filled with (zero,zero,trash)
-    no-ops. Returns new (g_l, g_u, g_t, lptr)."""
+    no-ops. Vectorized: entries sort by duplicate rank ("rounds" — within a
+    round all targets are distinct) and each round pads to a multiple of C,
+    so no window spans a round boundary. Returns new (g_l, g_u, g_t, lptr).
+    """
+    g_l = np.asarray(g_l)
+    g_u = np.asarray(g_u)
+    g_t = np.asarray(g_t)
     out_l, out_u, out_t = [], [], []
     new_ptr = [0]
     nlvl = len(lptr) - 1
+    fill_l = np.full(C, zero_slot, np.int32)
+    fill_t = np.full(C, trash_slot, np.int32)
     for l in range(nlvl):
         lo, hi = int(lptr[l]), int(lptr[l + 1])
-        pending = list(range(lo, hi))
-        while pending:
-            window = []
-            used = set()
-            rest = []
-            for e in pending:
-                if len(window) < C and int(g_t[e]) not in used:
-                    window.append(e)
-                    used.add(int(g_t[e]))
-                else:
-                    rest.append(e)
-            pending = rest
-            for e in window:
-                out_l.append(int(g_l[e]))
-                out_u.append(int(g_u[e]))
-                out_t.append(int(g_t[e]))
-            if pending:  # pad partial window so the next starts aligned
-                for _ in range(C - len(window)):
-                    out_l.append(zero_slot)
-                    out_u.append(zero_slot)
-                    out_t.append(trash_slot)
-        new_ptr.append(len(out_l))
-    return (np.asarray(out_l, np.int32), np.asarray(out_u, np.int32),
-            np.asarray(out_t, np.int32), np.asarray(new_ptr, np.int64))
+        if hi > lo:
+            seg_t = g_t[lo:hi]
+            order, rounds = _round_order(seg_t)
+            # pad each round to a multiple of C
+            nround = int(rounds[-1]) + 1 if len(rounds) else 0
+            for r in range(nround):
+                sel = order[rounds == r]
+                out_l.append(g_l[lo:hi][sel])
+                out_u.append(g_u[lo:hi][sel])
+                out_t.append(seg_t[sel])
+                pad = (-len(sel)) % C
+                if pad and not (r == nround - 1):
+                    out_l.append(fill_l[:pad])
+                    out_u.append(fill_l[:pad])
+                    out_t.append(fill_t[:pad])
+        new_ptr.append(sum(len(a) for a in out_t))
+    if out_l:
+        return (np.concatenate(out_l).astype(np.int32),
+                np.concatenate(out_u).astype(np.int32),
+                np.concatenate(out_t).astype(np.int32),
+                np.asarray(new_ptr, np.int64))
+    return (np.empty(0, np.int32), np.empty(0, np.int32),
+            np.empty(0, np.int32), np.asarray(new_ptr, np.int64))
 
 
 def pallas_factor_meta(plan: SymbolicPlan, C: int):
@@ -704,10 +727,10 @@ def make_sweep_call(n_windows: int, C: int, W: int, exact: bool,
 
 
 def sweep_tape(plan: SymbolicPlan, which: str, C: int):
-    """Whole-sweep window tape: per level, window-scheduled gemms then the
-    diagonal applications. Lane sentinel: tc = -1 skips the lane.
+    """Whole-sweep window tape: per level, round-scheduled gemm windows
+    (no duplicate destination within a window) then the diagonal
+    applications. Lane sentinel: tc = -1 skips the lane.
     Returns (op (nw,), ta, tb, tc (nw*C,), n_windows)."""
-    nbp = _bl.bucket125(plan.nb)
     if which == "L":
         gptr, gslot, gsrc, gdst = (plan.lsol_gptr, plan.lsol_gslot,
                                    plan.lsol_gsrc, plan.lsol_gdst)
@@ -716,55 +739,54 @@ def sweep_tape(plan: SymbolicPlan, which: str, C: int):
         gptr, gslot, gsrc, gdst = (plan.usol_gptr, plan.usol_gslot,
                                    plan.usol_gsrc, plan.usol_gdst)
         dptr, diag, nlvl = plan.usol_dptr, plan.usol_diag, plan.usol_nlvl
+    gslot = np.asarray(gslot)
+    gsrc = np.asarray(gsrc)
+    gdst = np.asarray(gdst)
+    diag = np.asarray(diag)
 
-    ops, ta, tb, tc = [], [], [], []
+    ops = []
+    A_, B_, Cc = [], [], []
 
-    def emit(op, items):
-        """items: list of (a, b, c); packs into windows of C."""
-        for w in range(0, len(items), C):
-            win = items[w:w + C]
-            ops.append(op)
-            for (a, b, c) in win:
-                ta.append(a)
-                tb.append(b)
-                tc.append(c)
-            for _ in range(C - len(win)):
-                ta.append(0)
-                tb.append(0)
-                tc.append(-1)
+    def emit_windows(op, a, b, c):
+        """Pack (a,b,c) lane arrays into op-tagged windows of C."""
+        m = len(a)
+        nwin = -(-m // C) if m else 0
+        pad = nwin * C - m
+        if pad:
+            a = np.concatenate([a, np.zeros(pad, np.int32)])
+            b = np.concatenate([b, np.zeros(pad, np.int32)])
+            c = np.concatenate([c, np.full(pad, -1, np.int32)])
+        ops.extend([op] * nwin)
+        A_.append(a.astype(np.int32))
+        B_.append(b.astype(np.int32))
+        Cc.append(c.astype(np.int32))
 
     for l in range(nlvl):
         lo, hi = int(gptr[l]), int(gptr[l + 1])
-        pending = list(range(lo, hi))
-        while pending:
-            used = set()
-            win, rest = [], []
-            for e in pending:
-                if len(win) < C and int(gdst[e]) not in used:
-                    win.append((int(gslot[e]), int(gsrc[e]), int(gdst[e])))
-                    used.add(int(gdst[e]))
-                else:
-                    rest.append(e)
-            pending = rest
-            emit(0, win)
-        dl = [(int(r), 0, int(r)) for r in diag[dptr[l]:dptr[l + 1]]]
-        emit(1, dl)
+        if hi > lo:
+            seg_t = gdst[lo:hi]
+            order, rounds = _round_order(seg_t)
+            nround = int(rounds[-1]) + 1
+            for r in range(nround):
+                sel = order[rounds == r]
+                emit_windows(0, gslot[lo:hi][sel], gsrc[lo:hi][sel],
+                             seg_t[sel])
+        dl = diag[dptr[l]:dptr[l + 1]].astype(np.int32)
+        if len(dl):
+            emit_windows(1, dl, np.zeros(len(dl), np.int32), dl)
+
     nw = len(ops)
     nwp = _bl.bucket125(nw, lo=1)
-    for _ in range(nwp - nw):
-        ops.append(2)
-        for _j in range(C):
-            ta.append(0)
-            tb.append(0)
-            tc.append(-1)
+    if nwp > nw:
+        emit_windows(2, np.zeros((nwp - nw) * C, np.int32),
+                     np.zeros((nwp - nw) * C, np.int32),
+                     np.full((nwp - nw) * C, -1, np.int32))
+        ops = ops[: nw] + [2] * (nwp - nw)
     op_arr = np.asarray(ops, np.int32)
-    # pad lane arrays for the padded windows
-    lanes = np.full((nwp * C,), -1, np.int32)
-    la = np.zeros((nwp * C,), np.int32)
-    lb = np.zeros((nwp * C,), np.int32)
-    la[: len(ta)] = ta
-    lb[: len(tb)] = tb
-    lanes[: len(tc)] = tc
+    la = np.concatenate(A_) if A_ else np.empty(0, np.int32)
+    lb = np.concatenate(B_) if B_ else np.empty(0, np.int32)
+    lanes = np.concatenate(Cc) if Cc else np.empty(0, np.int32)
+    assert len(la) == nwp * C, (len(la), nwp, C)
     return (jnp.asarray(op_arr), jnp.asarray(la), jnp.asarray(lb),
             jnp.asarray(lanes), nwp)
 
