@@ -188,29 +188,59 @@ def make_trsm_call(max_chunks: int, C: int, exact: bool, left: bool,
 # ---------------------------------------------------------------------------
 
 
-def _round_order(seg_t):
-    """Occurrence-rank ("round") schedule for one level segment: entries are
-    sorted by their duplicate rank within each target group, so all entries
-    of round r have distinct targets. Returns (order, round_of) arrays."""
+def _pack_windows(seg_t, C):
+    """Longest-remaining-first window packing: each window holds up to C
+    entries with pairwise-distinct targets. Window count is optimal:
+    max(ceil(N/C), max target multiplicity). Returns (order, win_sizes).
+    """
+    n = len(seg_t)
+    if n == 0:
+        return np.empty(0, np.int64), []
     order0 = np.argsort(seg_t, kind="stable")
-    sorted_t = seg_t[order0]
-    # rank within each equal-target run
-    new_grp = np.ones(len(seg_t), dtype=bool)
-    new_grp[1:] = sorted_t[1:] != sorted_t[:-1]
-    grp_start = np.maximum.accumulate(np.where(new_grp,
-                                               np.arange(len(seg_t)), 0))
-    occ = np.arange(len(seg_t)) - grp_start
-    final = np.argsort(occ, kind="stable")
-    return order0[final], occ[final]
+    st = seg_t[order0]
+    bounds = np.flatnonzero(np.concatenate(([True], st[1:] != st[:-1])))
+    bounds = np.concatenate((bounds, [n]))
+    ngroups = len(bounds) - 1
+    # per-group entry queues (positions into order0) + count buckets
+    g_lo = bounds[:-1].copy()
+    g_hi = bounds[1:]
+    counts = (g_hi - g_lo).astype(np.int64)
+    maxc = int(counts.max())
+    buckets = [[] for _ in range(maxc + 1)]
+    for g in range(ngroups):
+        buckets[counts[g]].append(g)
+    out = np.empty(n, dtype=np.int64)
+    win_sizes = []
+    pos = 0
+    cur = maxc
+    while pos < n:
+        taken = []
+        c = cur
+        while len(taken) < C and c > 0:
+            b = buckets[c]
+            while b and len(taken) < C:
+                g = b.pop()
+                out[pos] = order0[g_lo[g]]
+                g_lo[g] += 1
+                pos += 1
+                taken.append(g)
+            if not b:
+                c -= 1
+        for g in taken:  # reinsert with decremented counts
+            rem = int(g_hi[g] - g_lo[g])
+            if rem > 0:
+                buckets[rem].append(g)
+        while cur > 0 and not buckets[cur]:
+            cur -= 1
+        win_sizes.append(len(taken))
+    return out, win_sizes
 
 
 def window_schedule(g_l, g_u, g_t, lptr, C, zero_slot, trash_slot):
     """Reorder each level's gemm segment so no DMA window of C lanes
-    contains a duplicate target; gaps are filled with (zero,zero,trash)
-    no-ops. Vectorized: entries sort by duplicate rank ("rounds" — within a
-    round all targets are distinct) and each round pads to a multiple of C,
-    so no window spans a round boundary. Returns new (g_l, g_u, g_t, lptr).
-    """
+    contains a duplicate target; partial windows pad with
+    (zero,zero,trash) no-ops so the next window starts aligned.
+    Returns new (g_l, g_u, g_t, lptr)."""
     g_l = np.asarray(g_l)
     g_u = np.asarray(g_u)
     g_t = np.asarray(g_t)
@@ -219,24 +249,26 @@ def window_schedule(g_l, g_u, g_t, lptr, C, zero_slot, trash_slot):
     nlvl = len(lptr) - 1
     fill_l = np.full(C, zero_slot, np.int32)
     fill_t = np.full(C, trash_slot, np.int32)
+    total = 0
     for l in range(nlvl):
         lo, hi = int(lptr[l]), int(lptr[l + 1])
         if hi > lo:
-            seg_t = g_t[lo:hi]
-            order, rounds = _round_order(seg_t)
-            # pad each round to a multiple of C
-            nround = int(rounds[-1]) + 1 if len(rounds) else 0
-            for r in range(nround):
-                sel = order[rounds == r]
+            order, sizes = _pack_windows(g_t[lo:hi], C)
+            consumed = 0
+            for w, sz in enumerate(sizes):
+                sel = order[consumed:consumed + sz]
+                consumed += sz
                 out_l.append(g_l[lo:hi][sel])
                 out_u.append(g_u[lo:hi][sel])
-                out_t.append(seg_t[sel])
-                pad = (-len(sel)) % C
-                if pad and not (r == nround - 1):
+                out_t.append(g_t[lo:hi][sel])
+                total += sz
+                pad = (C - sz) if w < len(sizes) - 1 else 0
+                if pad:
                     out_l.append(fill_l[:pad])
                     out_u.append(fill_l[:pad])
                     out_t.append(fill_t[:pad])
-        new_ptr.append(sum(len(a) for a in out_t))
+                    total += pad
+        new_ptr.append(total)
     if out_l:
         return (np.concatenate(out_l).astype(np.int32),
                 np.concatenate(out_u).astype(np.int32),
@@ -765,10 +797,11 @@ def sweep_tape(plan: SymbolicPlan, which: str, C: int):
         lo, hi = int(gptr[l]), int(gptr[l + 1])
         if hi > lo:
             seg_t = gdst[lo:hi]
-            order, rounds = _round_order(seg_t)
-            nround = int(rounds[-1]) + 1
-            for r in range(nround):
-                sel = order[rounds == r]
+            order, sizes = _pack_windows(seg_t, C)
+            consumed = 0
+            for sz in sizes:
+                sel = order[consumed:consumed + sz]
+                consumed += sz
                 emit_windows(0, gslot[lo:hi][sel], gsrc[lo:hi][sel],
                              seg_t[sel])
         dl = diag[dptr[l]:dptr[l + 1]].astype(np.int32)
