@@ -193,6 +193,16 @@ class SparseLU:
         self._device_factor(A3)
         stat.ops["FACT"] += plan.factor_flops
 
+        # singularity detection (pdgstrf info>0 contract): with tiny-pivot
+        # replacement off, an exactly-singular leading minor produces a
+        # zero/non-finite U diagonal entry; report its 1-based index.
+        self.info = 0
+        if not opts.replace_tiny_pivot:
+            du = self.diag_u()
+            bad = np.flatnonzero(~np.isfinite(du) | (du == 0))
+            if len(bad):
+                self.info = int(bad[0]) + 1
+
         # COO of the original A for refinement residuals (mixed precision)
         self._coo_ref = _spmv.coo_arrays(A, jnp.dtype(self.refine_dtype))
 
@@ -619,4 +629,81 @@ def gssvx(A, b, options: Optional[Options] = None,
         bb = np.asarray(b)
         bb = bb[:, None] if bb.ndim == 1 else bb
         berr, _ = lu._berr(xb, bb)
-    return SolveResult(x=x, berr=np.atleast_1d(berr), stat=stat), lu
+    return SolveResult(x=x, berr=np.atleast_1d(berr), stat=stat,
+                       info=getattr(lu, "info", 0)), lu
+
+
+# ---------------------------------------------------------------------------
+# factor persistence (SolveOnly / checkpoint-resume analog)
+# ---------------------------------------------------------------------------
+#
+# The reference has no on-disk checkpointing (staged reuse only) plus a
+# debug-only WRITELU/LUFILE dump; here factors + symbolic plan + perms are
+# plain arrays, so persistence is natural (SURVEY §5 "checkpoint/resume":
+# persist symbolic outputs + factors). ``SolveOnly`` (superlu_defs.h:696,
+# treat input as prefactored) maps to loading a saved factorization.
+
+
+def save_factors(lu: SparseLU, path) -> None:
+    """Persist a factorization: block pool, diagonal inverses, symbolic
+    plan, permutations, scalings, and the original A (for refinement)."""
+    import dataclasses as _dc
+    plan_fields = {}
+    for f in _dc.fields(lu.plan):
+        v = getattr(lu.plan, f.name)
+        plan_fields["plan_" + f.name] = np.asarray(v)
+    A = sp.csc_matrix(lu._A_orig)
+    np.savez_compressed(
+        path,
+        pool=np.asarray(lu.pool), linv=np.asarray(lu.linv),
+        uinv=np.asarray(lu.uinv),
+        rowperm=lu.rowperm, colperm=lu.colperm,
+        row_scale=lu.row_scale, col_scale=lu.col_scale,
+        a_indptr=A.indptr, a_indices=A.indices, a_data=A.data,
+        a_shape=np.asarray(A.shape),
+        dtype=np.asarray(str(lu.options.dtype)),
+        block_size=np.asarray(lu.options.block_size),
+        anorm=np.asarray(lu._anorm),
+        **plan_fields)
+
+
+def load_factors(path, options: Optional[Options] = None) -> SparseLU:
+    """Reconstruct a solve-ready SparseLU from :func:`save_factors` output
+    without refactoring (the SolveOnly path)."""
+    import dataclasses as _dc
+    from ..ops.host.symbolic import SymbolicPlan
+
+    z = np.load(path, allow_pickle=False)
+    options = options or Options()
+    options = options.replace(dtype=str(z["dtype"]),
+                              block_size=int(z["block_size"]))
+
+    lu = SparseLU.__new__(SparseLU)
+    lu.options = options
+    lu.stat = Stats()
+    lu.n = int(z["a_shape"][0])
+    lu.dtype = np.dtype(_DTYPES[options.dtype])
+    lu.refine_dtype = np.dtype(
+        options.refine_dtype or _REFINE_DTYPES[options.dtype])
+    kw = {}
+    for f in _dc.fields(SymbolicPlan):
+        v = z["plan_" + f.name]
+        kw[f.name] = v if v.ndim else v.item()
+    lu.plan = SymbolicPlan(**kw)
+    lu.rowperm = z["rowperm"]
+    lu.colperm = z["colperm"]
+    lu.row_scale = z["row_scale"]
+    lu.col_scale = z["col_scale"]
+    lu._anorm = float(z["anorm"])
+    lu._A_orig = sp.csc_matrix(
+        (z["a_data"], z["a_indices"], z["a_indptr"]),
+        shape=tuple(z["a_shape"]))
+    lu.pool = jnp.asarray(z["pool"])
+    lu.linv = jnp.asarray(z["linv"])
+    lu.uinv = jnp.asarray(z["uinv"])
+    lu._solve_fns = {}
+    lu.ltape = _blocklu.make_solve_tapes(lu.plan, "L")
+    lu.utape = _blocklu.make_solve_tapes(lu.plan, "U")
+    lu._coo_ref = _spmv.coo_arrays(lu._A_orig, jnp.dtype(lu.refine_dtype))
+    lu.info = 0
+    return lu

@@ -111,3 +111,25 @@ def test_stats_populated():
     rep = res.stat.report()
     assert "FACT" in rep and "SOLVE" in rep
     assert res.stat.ops["FACT"] > 0
+
+
+def test_save_load_factors(tmp_path):
+    """Checkpoint/resume of a factorization (SolveOnly analog)."""
+    from superlu_dist_tpu.models.driver import load_factors, save_factors
+    from superlu_dist_tpu import SparseLU
+    A = MATRICES["lap49"]
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+    xt = rng.standard_normal(n)
+    b = A @ xt
+    lu = SparseLU(A, Options(dtype="float32", block_size=16))
+    p = tmp_path / "factors.npz"
+    save_factors(lu, p)
+    lu2 = load_factors(p)
+    x, berr = lu2.refine(b, lu2.solve(b))
+    assert berr.max() < 1e-13
+    assert np.abs(x - xt).max() < 1e-8
+    # transpose solve also works from the restored state
+    from superlu_dist_tpu import Trans
+    xt2 = lu2.solve(np.asarray(A.T @ xt), trans=Trans.TRANS)
+    assert np.abs(xt2 - xt).max() < 1e-4

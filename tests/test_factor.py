@@ -117,3 +117,24 @@ def test_debug_utils(lap, tmp_path):
     dump_lu(lu, p1)
     dump_lu(lu, p2)
     assert compare_lu(p1, p2)
+
+
+def test_singularity_info():
+    """With ReplaceTinyPivot off, an exactly singular matrix reports
+    info > 0 (the pdgstrf info contract)."""
+    n = 8
+    M = np.eye(n)
+    M[3, 3] = 0.0
+    M[3, :3] = 0.0    # row 3 exactly dependent -> zero pivot survives
+    A = sp.csc_matrix(M)
+    lu = SparseLU(A, Options(dtype="float64", block_size=8,
+                             row_perm=RowPerm.NOROWPERM,
+                             col_perm=ColPerm.NATURAL, equil=Equil.NO,
+                             replace_tiny_pivot=False))
+    assert lu.info > 0
+    # with GESP replacement on, info stays 0 and a pivot is substituted
+    lu2 = SparseLU(A, Options(dtype="float64", block_size=8,
+                              row_perm=RowPerm.NOROWPERM,
+                              col_perm=ColPerm.NATURAL, equil=Equil.NO))
+    assert getattr(lu2, "info", 0) == 0
+    assert lu2.stat.tiny_pivots >= 1
