@@ -302,11 +302,22 @@ class SparseLU:
                     self.plan, nrhs, chunk=min(self.options.gemm_chunk, 16),
                     interpret=interp)
             fn, (tl, tu), W = self._solve_fns[key]
-            bw = np.zeros((bp.shape[0], W), dtype=bp.dtype)
-            bw[:, :nrhs] = bp
-            y = np.asarray(fn(self.pool, self.linv, self.uinv, tl, tu,
-                              jnp.asarray(bw)))
-            return y[:, :nrhs]
+            wkey = ("PW", nrhs)
+            if wkey not in self._solve_fns:
+                import jax as _jax
+
+                # pad/slice on device: shipping the W=128-padded RHS through
+                # the host costs ~100x the payload on a remote TPU
+                def wrapped(pool, linv, uinv, tl, tu, bsmall):
+                    rows = bsmall.shape[0]
+                    bw = jnp.zeros((rows, W), bsmall.dtype)
+                    bw = bw.at[:, :nrhs].set(bsmall)
+                    return fn(pool, linv, uinv, tl, tu, bw)[:, :nrhs]
+
+                self._solve_fns[wkey] = _jax.jit(wrapped)
+            y = np.asarray(self._solve_fns[wkey](
+                self.pool, self.linv, self.uinv, tl, tu, jnp.asarray(bp)))
+            return y
         return np.asarray(self._solve_fn(nrhs)(
             self.pool, self.linv, self.uinv, self.ltape, self.utape,
             jnp.asarray(bp)))
