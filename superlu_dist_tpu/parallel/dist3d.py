@@ -84,11 +84,31 @@ def partition_forest(plan: SymbolicPlan, pz: int):
             in_top[k] = True
             k = parent[k]
 
+    # children lists (for peeling large subtrees)
+    children = [[] for _ in range(nb)]
+    for k in range(nb):
+        if parent[k] >= 0:
+            children[parent[k]].append(k)
+
     # maximal subtrees below the top → greedy balance into pz bins
     step_layer = np.full(nb, -1, dtype=np.int64)
     for _ in range(nb):  # fixpoint loop (promotions shrink subtrees)
         roots = [k for k in range(nb)
                  if not in_top[k] and (parent[k] < 0 or in_top[parent[k]])]
+        # peel the heaviest subtree until enough independent roots exist
+        # (the getForests level-descent: more levels → more, smaller trees)
+        guard = 0
+        while len(roots) < pz and roots and guard < nb:
+            guard += 1
+            r = max(roots, key=lambda q: sub[q])
+            kids = [c for c in children[r] if not in_top[c]]
+            if not kids and len(roots) == 1:
+                break
+            in_top[r] = True
+            roots.remove(r)
+            roots.extend(kids)
+            if not kids and not roots:
+                break
         # subtree membership: parents have larger indices, so a single
         # descending pass propagates each root's id down its subtree
         comp = np.full(nb, -1, dtype=np.int64)

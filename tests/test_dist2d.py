@@ -71,3 +71,17 @@ def test_dist_multirhs_and_g20():
 def test_grid_validation():
     with pytest.raises(ValueError):
         Grid2D(100, 100)
+
+
+@needs_8
+def test_block_cyclic_balance():
+    """Block-cyclic ownership spreads Schur work across the grid."""
+    from superlu_dist_tpu.parallel import dist2d
+    from superlu_dist_tpu.ops.host.symbolic import block_symbolic
+    A = laplacian_2d(16)
+    plan = block_symbolic(A, 8)
+    dplan = dist2d.partition_plan(plan, 2, 2)
+    g = np.asarray(dplan.gptr)[:, :, -1].ravel().astype(float)
+    assert g.sum() == len(plan.g_l)
+    if g.sum() >= 40:
+        assert g.max() <= 3.0 * g.mean()

@@ -83,3 +83,20 @@ def test_3d_complex_g20():
     res, _ = gssvx3d(A, b, Grid3D(2, 2, 2),
                      Options(dtype="complex64", block_size=32))
     assert res.berr.max() < 1e-13
+
+
+def test_forest_load_balance():
+    """Greedy subtree binning keeps per-layer work within a reasonable
+    band (the SUPERLU_LBS load-balance goal)."""
+    from superlu_dist_tpu.parallel.dist3d import step_costs
+    A = laplacian_2d(16)
+    plan = block_symbolic(A, 8)
+    for pz in (2, 4):
+        layer = partition_forest(plan, pz)
+        cost = step_costs(plan)
+        loads = [cost[layer == z].sum() for z in range(pz)]
+        sub_total = sum(loads)
+        if sub_total == 0:
+            continue  # degenerate: everything in the top
+        # no layer should carry more than ~2.5x its fair share of subtree work
+        assert max(loads) <= 2.5 * sub_total / pz + cost.max()

@@ -133,3 +133,21 @@ def test_save_load_factors(tmp_path):
     from superlu_dist_tpu import Trans
     xt2 = lu2.solve(np.asarray(A.T @ xt), trans=Trans.TRANS)
     assert np.abs(xt2 - xt).max() < 1e-4
+
+
+def test_refine_dtype_option():
+    """Mixed-precision axis: float32 residuals converge to f32-quality,
+    float64 residuals (default) to f64-quality."""
+    A = MATRICES["lap49"]
+    n = A.shape[0]
+    rng = np.random.default_rng(1)
+    xt = rng.standard_normal(n)
+    b = A @ xt
+    from superlu_dist_tpu import SparseLU
+    lu32 = SparseLU(A, Options(dtype="float32", block_size=16,
+                               refine_dtype="float32"))
+    x32, berr32 = lu32.refine(b, lu32.solve(b))
+    assert berr32.max() < 1e-5
+    lu64 = SparseLU(A, Options(dtype="float32", block_size=16))
+    x64, berr64 = lu64.refine(b, lu64.solve(b))
+    assert berr64.max() < 1e-13
