@@ -188,10 +188,12 @@ def make_trsm_call(max_chunks: int, C: int, exact: bool, left: bool,
 # ---------------------------------------------------------------------------
 
 
-def _pack_windows(seg_t, C):
+def _pack_windows(seg_t, C, min_dist=1):
     """Longest-remaining-first window packing: each window holds up to C
-    entries with pairwise-distinct targets. Window count is optimal:
-    max(ceil(N/C), max target multiplicity). Returns (order, win_sizes).
+    entries with pairwise-distinct targets; with ``min_dist=2`` a target
+    also never appears in two consecutive windows (required by the
+    double-buffered kernel, which prefetches window w+1's targets before
+    window w's writes complete). Returns (order, win_sizes).
     """
     n = len(seg_t)
     if n == 0:
@@ -213,34 +215,49 @@ def _pack_windows(seg_t, C):
     win_sizes = []
     pos = 0
     cur = maxc
+    prev_taken: set = set()
     while pos < n:
         taken = []
+        deferred = []
         c = cur
         while len(taken) < C and c > 0:
             b = buckets[c]
             while b and len(taken) < C:
                 g = b.pop()
+                if min_dist > 1 and g in prev_taken:
+                    deferred.append((c, g))
+                    continue
                 out[pos] = order0[g_lo[g]]
                 g_lo[g] += 1
                 pos += 1
                 taken.append(g)
             if not b:
                 c -= 1
-        for g in taken:  # reinsert with decremented counts
+        for (c0, g) in deferred:      # excluded this window only
+            buckets[c0].append(g)
+        for g in taken:               # reinsert with decremented counts
             rem = int(g_hi[g] - g_lo[g])
             if rem > 0:
                 buckets[rem].append(g)
+        cur = maxc
         while cur > 0 and not buckets[cur]:
             cur -= 1
+        prev_taken = set(taken)
+        if not taken and pos < n:
+            # every remaining target was in the previous window: emit an
+            # empty spacer window
+            prev_taken = set()
         win_sizes.append(len(taken))
     return out, win_sizes
 
 
-def window_schedule(g_l, g_u, g_t, lptr, C, zero_slot, trash_slot):
+def window_schedule(g_l, g_u, g_t, lptr, C, zero_slot, trash_slot,
+                    min_dist=1):
     """Reorder each level's gemm segment so no DMA window of C lanes
-    contains a duplicate target; partial windows pad with
-    (zero,zero,trash) no-ops so the next window starts aligned.
-    Returns new (g_l, g_u, g_t, lptr)."""
+    contains a duplicate target (and, with min_dist=2, no target repeats
+    in adjacent windows — required by the pipelined kernel); partial
+    windows pad with (zero,zero,trash) no-ops so the next window starts
+    aligned. Returns new (g_l, g_u, g_t, lptr)."""
     g_l = np.asarray(g_l)
     g_u = np.asarray(g_u)
     g_t = np.asarray(g_t)
@@ -253,7 +270,7 @@ def window_schedule(g_l, g_u, g_t, lptr, C, zero_slot, trash_slot):
     for l in range(nlvl):
         lo, hi = int(lptr[l]), int(lptr[l + 1])
         if hi > lo:
-            order, sizes = _pack_windows(g_t[lo:hi], C)
+            order, sizes = _pack_windows(g_t[lo:hi], C, min_dist=min_dist)
             consumed = 0
             for w, sz in enumerate(sizes):
                 sel = order[consumed:consumed + sz]
@@ -278,14 +295,14 @@ def window_schedule(g_l, g_u, g_t, lptr, C, zero_slot, trash_slot):
             np.empty(0, np.int32), np.asarray(new_ptr, np.int64))
 
 
-def pallas_factor_meta(plan: SymbolicPlan, C: int):
+def pallas_factor_meta(plan: SymbolicPlan, C: int, min_dist: int = 1):
     """Window-scheduled, bucket-padded tapes + grid sizes for the hybrid
     executor. Returns (tapes_dict, consts_dict)."""
     assert plan.bs == BS, "the Pallas executor requires block size 128"
     lv = _bl.level_order(plan)
     gl, gu, gt, gptr = window_schedule(
         lv["g_l"], lv["g_u"], lv["g_t"], lv["gptr"], C,
-        plan.zero_slot, plan.trash_slot)
+        plan.zero_slot, plan.trash_slot, min_dist=min_dist)
 
     nlvlp = _bl.bucket125(plan.n_flevels)
     glen = _bl.bucket125(len(gl) + 1)
@@ -327,9 +344,11 @@ def pallas_factor_meta(plan: SymbolicPlan, C: int):
 
 @functools.lru_cache(maxsize=32)
 def _pallas_factor_executor(nbp, nlvlp, dlen, grid_g, grid_l, grid_u,
-                            C, diag_chunk, exact, interpret):
+                            C, diag_chunk, exact, interpret,
+                            pipelined=False):
     blu = jax.vmap(_bl.block_lu_inv, in_axes=(0, None))
-    schur = make_schur_call(grid_g, C, exact, interpret)
+    schur = (make_schur_call_db if pipelined else make_schur_call)(
+        grid_g, C, exact, interpret)
     trsm_r = make_trsm_call(grid_l, C, exact, left=False,
                             interpret=interpret)
     trsm_l = make_trsm_call(grid_u, C, exact, left=True,
@@ -382,19 +401,24 @@ def _pallas_factor_executor(nbp, nlvlp, dlen, grid_g, grid_l, grid_u,
 
 def build_factor_fn_pallas(plan: SymbolicPlan, *, chunk: int = 16,
                            diag_chunk: int = 8, exact: bool = True,
-                           interpret: bool = False):
+                           interpret: bool = False, pipelined: bool = False):
     """Hybrid executor: XLA batched diagonal LU + Pallas TRSM/Schur phases.
 
+    ``pipelined`` uses the double-buffered Schur kernel (distance-2 window
+    packing) which overlaps next-window DMA with compute — bit-identical
+    and currently speed-neutral (per-level diag/call overhead dominates at
+    tested sizes), kept for larger problems.
     Returns (factor_fn, tapes) — tapes is a dict of device arrays expected
     by factor_fn(pool, thresh, tapes).
     """
-    tapes, consts = pallas_factor_meta(plan, chunk)
+    tapes, consts = pallas_factor_meta(plan, chunk,
+                                       min_dist=2 if pipelined else 1)
     tapes = dict(tapes)
     tapes["trash"] = jnp.asarray(plan.trash_slot, jnp.int32)
     fn = _pallas_factor_executor(
         consts["nbp"], consts["nlvlp"], consts["dlen"], consts["grid_g"],
         consts["grid_l"], consts["grid_u"], chunk, diag_chunk, exact,
-        interpret)
+        interpret, pipelined)
     return fn, tapes
 
 
@@ -851,3 +875,108 @@ def build_solve_fn_pallas_fused(plan: SymbolicPlan, nrhs: int, *,
     nbp = _bl.bucket125(plan.nb)
     fn = _fused_solve_executor(nbp, nwl, nwu, chunk, W, exact, interpret)
     return fn, ((opl, tal, tbl, tcl), (opu, tau, tbu, tcu)), W
+
+
+# ---------------------------------------------------------------------------
+# double-buffered Schur kernel: prefetch window w+1 while computing w
+# ---------------------------------------------------------------------------
+#
+# Requires distance-2 window packing (a target never appears in adjacent
+# windows), so window w+1's target prefetch cannot race window w's
+# write-back; window w-1's writes are waited before issuing w+1's reads.
+# The grid runs one extra (inactive) step so the final window's writes are
+# always waited inside the kernel.
+
+
+def _schur_kernel_db(C, exact):
+    def kern(bounds_ref, gl_ref, gu_ref, gt_ref, pool_ref, out_ref,
+             sL, sU, sT, semL, semU, semT, semW):
+        g = jnp.asarray(pl.program_id(0), jnp.int32)
+        lo = jnp.asarray(bounds_ref[0], jnp.int32)
+        hi = jnp.asarray(bounds_ref[1], jnp.int32)
+        base = lo + g * jnp.int32(C)
+        two = jnp.int32(2)
+        bank = jax.lax.rem(g, two)
+        nbank = jax.lax.rem(g + jnp.int32(1), two)
+        pbank = nbank  # (g-1) % 2 == (g+1) % 2
+
+        def reads(b0, bk):
+            for j in range(C):
+                @pl.when(b0 + j < hi)
+                def _():
+                    pltpu.make_async_copy(pool_ref.at[gl_ref[b0 + j]],
+                                          sL.at[bk, jnp.int32(j)],
+                                          semL.at[bk, jnp.int32(j)]).start()
+                    pltpu.make_async_copy(pool_ref.at[gu_ref[b0 + j]],
+                                          sU.at[bk, jnp.int32(j)],
+                                          semU.at[bk, jnp.int32(j)]).start()
+                    pltpu.make_async_copy(out_ref.at[gt_ref[b0 + j]],
+                                          sT.at[bk, jnp.int32(j)],
+                                          semT.at[bk, jnp.int32(j)]).start()
+
+        # wait the previous window's write-backs (outside the active guard:
+        # the step after the last active window still executes this)
+        pbase = base - jnp.int32(C)
+
+        @pl.when((g > 0) & (pbase < hi))
+        def _():
+            for j in range(C):
+                @pl.when(pbase + j < hi)
+                def _():
+                    pltpu.make_async_copy(
+                        sT.at[pbank, jnp.int32(j)],
+                        out_ref.at[gt_ref[pbase + j]],
+                        semW.at[pbank, jnp.int32(j)]).wait()
+
+        @pl.when(base < hi)
+        def _active():
+            @pl.when(g == 0)
+            def _():
+                reads(base, bank)
+            # prefetch the next window
+            reads(base + jnp.int32(C), nbank)
+            # wait this window's reads, compute, write back
+            for j in range(C):
+                @pl.when(base + j < hi)
+                def _():
+                    pltpu.make_async_copy(pool_ref.at[gl_ref[base + j]],
+                                          sL.at[bank, jnp.int32(j)],
+                                          semL.at[bank, jnp.int32(j)]).wait()
+                    pltpu.make_async_copy(pool_ref.at[gu_ref[base + j]],
+                                          sU.at[bank, jnp.int32(j)],
+                                          semU.at[bank, jnp.int32(j)]).wait()
+                    pltpu.make_async_copy(out_ref.at[gt_ref[base + j]],
+                                          sT.at[bank, jnp.int32(j)],
+                                          semT.at[bank, jnp.int32(j)]).wait()
+                    sT[bank, jnp.int32(j)] = sT[bank, jnp.int32(j)] - _dot(
+                        sL[bank, jnp.int32(j)], sU[bank, jnp.int32(j)],
+                        exact)
+                    pltpu.make_async_copy(sT.at[bank, jnp.int32(j)],
+                                          out_ref.at[gt_ref[base + j]],
+                                          semW.at[bank, jnp.int32(j)]).start()
+
+    return kern
+
+
+def make_schur_call_db(max_chunks: int, C: int, exact: bool,
+                       interpret: bool = False):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(max_chunks + 1,),   # +1: trailing step waits final writes
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.VMEM((2, C, BS, BS), jnp.float32)] * 3
+        + [pltpu.SemaphoreType.DMA((2, C))] * 4,
+    )
+
+    def call(pool, bounds, gl, gu, gt):
+        return pl.pallas_call(
+            _schur_kernel_db(C, exact),
+            out_shape=jax.ShapeDtypeStruct(pool.shape, pool.dtype),
+            grid_spec=grid_spec,
+            input_output_aliases={4: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(bounds, gl, gu, gt, pool)
+
+    return call
