@@ -82,6 +82,7 @@ class SolveResult:
     berr: np.ndarray          # componentwise backward error per RHS
     stat: Stats
     info: int = 0
+    rcond: Optional[float] = None   # 1-norm reciprocal condition estimate
 
 
 class SparseLU:
@@ -640,8 +641,12 @@ def gssvx(A, b, options: Optional[Options] = None,
         bb = np.asarray(b)
         bb = bb[:, None] if bb.ndim == 1 else bb
         berr, _ = lu._berr(xb, bb)
+    rcond = None
+    if options.condition_number:
+        with stat.phase("RCOND"):
+            rcond = lu.rcond_1()
     return SolveResult(x=x, berr=np.atleast_1d(berr), stat=stat,
-                       info=getattr(lu, "info", 0)), lu
+                       info=getattr(lu, "info", 0), rcond=rcond), lu
 
 
 # ---------------------------------------------------------------------------

@@ -115,6 +115,8 @@ class Options:
                                        # (mirrors pdCompute_Diag_Inv, pdgstrs.c:842);
                                        # on TPU this makes every solve step a GEMM.
     print_stat: bool = False
+    condition_number: bool = False     # estimate rcond during gssvx
+                                       # (options.ConditionNumber analog)
 
     # ---- TPU-specific tuning (tier-2 defaults; overridable via SLU_TPU_* env) ----
     block_size: int = 64               # elimination block width (MAXSUP analog);

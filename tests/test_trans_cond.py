@@ -55,3 +55,13 @@ def test_langs():
     assert langs("1", A) == 5.0
     assert langs("I", A) == 3.0
     assert np.isclose(langs("F", A), np.sqrt(14.0))
+
+
+def test_condition_number_option():
+    from superlu_dist_tpu import Options, gssvx
+    A = random_sparse(70, density=0.1, seed=9)
+    b = np.asarray(A @ np.ones(70))
+    res, _ = gssvx(A, b, Options(dtype="float64", block_size=16,
+                                 condition_number=True))
+    assert res.rcond is not None and 0 < res.rcond < 1
+    assert "RCOND" in res.stat.utime
