@@ -81,3 +81,23 @@ def test_pallas_driver_roundtrip(bushy, monkeypatch):
     assert compute_resid(bushy, x, b, np.float32) < THRESH
     x2, berr = lu.refine(b, x)
     assert berr.max() < 1e-13
+
+
+def test_pipelined_schur_matches(bushy):
+    """The double-buffered (distance-2) Schur kernel matches the serial
+    kernel on a bushy tree with cross-window accumulation."""
+    import jax.numpy as jnp
+    plan = block_symbolic(bushy, 128)
+    pool0 = B.init_pool(plan, bushy.tocsc().data, np.float32)
+    thresh = jnp.float32(1e-6)
+    f0, t0 = PE.build_factor_fn_pallas(plan, chunk=4, interpret=True,
+                                       pipelined=False)
+    p0 = np.asarray(f0(jnp.array(pool0), thresh, t0)[0])
+    f1, t1 = PE.build_factor_fn_pallas(plan, chunk=4, interpret=True,
+                                       pipelined=True)
+    p1 = np.asarray(f1(jnp.array(pool0), thresh, t1)[0])
+    nre = plan.nslots
+    scale = max(1e-9, float(np.abs(p0[:nre]).max()))
+    d = np.abs(p0[:nre] - p1[:nre]).max(axis=(1, 2))
+    assert np.quantile(d, 0.9) < 1e-4 * scale
+    assert d.max() < 0.1 * scale
