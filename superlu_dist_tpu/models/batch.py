@@ -6,8 +6,13 @@ Two paths, mirroring the reference's batched capabilities:
    identical sparsity structure factor as one vmapped executor over a
    batched block pool: the TPU-native analog of the MAGMA vbatched dense
    kernels used per forest leaf (reference:
-   CplusplusFactor/batch_factorize.cu:544-592). Preprocessing (perms,
-   symbolic plan) is shared; per-matrix scalings are recomputed.
+   CplusplusFactor/batch_factorize.cu:544-592). Preprocessing that fixes
+   the structure (row/column permutations, symbolic plan) is shared from
+   the first matrix; equilibration scalings and the tiny-pivot threshold
+   are recomputed per matrix (SamePattern_SameRowPerm semantics: the
+   reference redoes pdgsequ under that mode but keeps perm_r/perm_c,
+   pdgssvx.c Equil handling). The first matrix additionally carries the
+   MC64 dual scalings its row permutation was computed with.
 
 2. **Block-diagonal composite** (:func:`gssvx_batch`) — heterogeneous
    matrices are each equilibrated, statically pivoted, and ordered
@@ -54,7 +59,15 @@ class BatchedSparseLU:
         self.plan = plan
         ref_pattern = sp.csc_matrix(As[0]).indptr, sp.csc_matrix(As[0]).indices
 
-        pools = [np.asarray(self._proto_pool_values(As[0]))]
+        # per-matrix scalings + threshold (SamePattern_SameRowPerm: fresh
+        # equilibration per matrix, shared perms). Matrix 0 keeps the proto
+        # scalings (which fold in the MC64 duals its perm was derived from).
+        p = self._proto
+        self.row_scales = [p.row_scale]
+        self.col_scales = [p.col_scale]
+        pools = [np.asarray(self._pool_values(As[0], p.row_scale,
+                                              p.col_scale))]
+        threshs = [p._thresh()]
         for A in As[1:]:
             Ac = sp.csc_matrix(A)
             if (not np.array_equal(Ac.indptr, ref_pattern[0])
@@ -62,15 +75,27 @@ class BatchedSparseLU:
                 raise ValueError(
                     "BatchedSparseLU requires identical sparsity patterns; "
                     "use gssvx_batch for heterogeneous matrices")
-            pools.append(np.asarray(self._proto_pool_values(A)))
+            if self.options.equil == Equil.YES:
+                _, R, C, _ = _equil.equilibrate(Ac)
+            else:
+                R = C = np.ones(self.n)
+            self.row_scales.append(R)
+            self.col_scales.append(C)
+            pools.append(np.asarray(self._pool_values(Ac, R, C)))
+            A3 = Ac.multiply(R[:, None]).multiply(C[None, :]).tocsc()
+            threshs.append(float(np.sqrt(np.finfo(
+                _real_base(p.dtype)).eps)) * float(np.abs(A3.data).max())
+                if self.options.replace_tiny_pivot and A3.nnz else 0.0)
         pool_b = jnp.asarray(np.stack(pools))
+        self.row_scales = np.stack(self.row_scales)
+        self.col_scales = np.stack(self.col_scales)
 
         core = _blocklu.build_factor_core(plan,
                                           chunk=self.options.gemm_chunk)
-        thresh = jnp.asarray(self._proto._thresh(),
-                             dtype=_real_base(self._proto.dtype))
+        thresh = jnp.asarray(np.asarray(threshs,
+                                        dtype=_real_base(p.dtype)))
         tapes = self._proto.tapes
-        batched = jax.jit(jax.vmap(core, in_axes=(0, None, None)))
+        batched = jax.jit(jax.vmap(core, in_axes=(0, 0, None)))
         with self.stat.phase("FACT"):
             pool_b, linv_b, uinv_b, tiny = batched(pool_b, thresh, tapes)
             pool_b.block_until_ready()
@@ -81,12 +106,12 @@ class BatchedSparseLU:
         self._solve_batched = {}
         self._As = [sp.csc_matrix(A) for A in As]
 
-    def _proto_pool_values(self, A):
+    def _pool_values(self, A, R, C):
         """Per-matrix scaled/permuted values scattered into a fresh pool
         (SamePattern_SameRowPerm semantics across the batch)."""
         p = self._proto
-        A3 = sp.csc_matrix(A).multiply(p.row_scale[:, None]) \
-            .multiply(p.col_scale[None, :]).tocsc()
+        A3 = sp.csc_matrix(A).multiply(np.asarray(R)[:, None]) \
+            .multiply(np.asarray(C)[None, :]).tocsc()
         A3 = A3[p.rowperm, :][p.colperm, :][:, p.colperm]
         return _blocklu.init_pool(p.plan, sp.csc_matrix(A3).data, p.dtype)
 
@@ -101,7 +126,7 @@ class BatchedSparseLU:
         prc = p.rowperm[p.colperm]
         rows = p._bpad_rows()
         bp = np.zeros((self.count, rows, nrhs), dtype=p.dtype)
-        bp[:, : self.n] = p.row_scale[None, prc, None] * B[:, prc]
+        bp[:, : self.n] = self.row_scales[:, prc, None] * B[:, prc]
         if nrhs not in self._solve_batched:
             core = _blocklu.build_solve_core(self.plan, nrhs,
                                              chunk=self.options.gemm_chunk)
@@ -111,7 +136,7 @@ class BatchedSparseLU:
             self.pool_b, self.linv_b, self.uinv_b, p.ltape, p.utape,
             jnp.asarray(bp)))[:, : self.n]
         x = np.empty((self.count, self.n, nrhs), dtype=y.dtype)
-        x[:, p.colperm] = p.col_scale[None, p.colperm, None] * y
+        x[:, p.colperm] = self.col_scales[:, p.colperm, None] * y
         return x[:, :, 0] if squeeze else x
 
     def refine(self, Bs, X0) -> tuple:

@@ -78,6 +78,19 @@ class DistributedSparseLU(SparseLU):
             self.pool, self.linv, self.uinv, self.stapes,
             jnp.asarray(bp)))
 
+    def solve_transposed(self, b, conj: bool = False) -> np.ndarray:
+        """Aᵀ solves need distributed transpose tapes, which are not built
+        for the mesh-sharded pool; the inherited single-device path would
+        crash deep in the executor with a shape mismatch."""
+        raise NotImplementedError(
+            "transpose solve is not supported by the distributed drivers "
+            "yet; use the single-chip SparseLU for Trans.TRANS/CONJ")
+
+    def rcond_1(self) -> float:
+        raise NotImplementedError(
+            "rcond_1 needs transpose solves, which the distributed drivers "
+            "do not support yet")
+
     def diag_u(self) -> np.ndarray:
         """Diagonal of U gathered from the distributed pool."""
         pool = np.asarray(self.pool)   # (pr, pc, n_local, B, B)

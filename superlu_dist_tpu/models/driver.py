@@ -46,6 +46,20 @@ _REFINE_DTYPES = {
 }
 
 
+def _resolve_refine_dtype(options) -> np.dtype:
+    """Residual dtype for iterative refinement.
+
+    SLU_DOUBLE promotes to double width (psgssvx_d2 mixed precision);
+    SLU_SINGLE keeps the working precision (the psgssvx path where the
+    residual is computed in the factorization precision). An explicit
+    ``options.refine_dtype`` always wins."""
+    if options.refine_dtype:
+        return np.dtype(options.refine_dtype)
+    if options.iter_refine == IterRefine.SLU_SINGLE:
+        return np.dtype(_DTYPES[options.dtype])
+    return np.dtype(_REFINE_DTYPES[options.dtype])
+
+
 def _real_base(dtype) -> np.dtype:
     d = np.dtype(dtype)
     if d.kind == "c":
@@ -105,8 +119,7 @@ class SparseLU:
             raise ValueError("SparseLU requires a square matrix")
         self.n = A.shape[0]
         self.dtype = np.dtype(_DTYPES[self.options.dtype])
-        self.refine_dtype = np.dtype(
-            self.options.refine_dtype or _REFINE_DTYPES[self.options.dtype])
+        self.refine_dtype = _resolve_refine_dtype(self.options)
         self.plan = None
         self._solve_fns = {}
         self._factor(A, fact=self.options.fact)
@@ -140,6 +153,14 @@ class SparseLU:
         with stat.phase("ROWPERM"):
             if opts.row_perm in (RowPerm.LARGE_DIAG_MC64,
                                  RowPerm.LARGE_DIAG_HWPM):
+                if opts.row_perm == RowPerm.LARGE_DIAG_HWPM:
+                    import warnings
+                    warnings.warn(
+                        "LARGE_DIAG_HWPM: no parallel heavy-weight perfect "
+                        "matching is implemented; falling back to the serial "
+                        "MC64 matching (same quality class, serial host "
+                        "cost). Reference analog: d_c2cpp_GetHWPM.cpp.",
+                        stacklevel=3)
                 rowperm, R1, C1 = _mc64.ldperm(A1, job=5)
                 # fold MC64 scalings into Dr/Dc (pdgssvx.c job==5 path)
                 A1 = A1.multiply(R1[:, None]).multiply(C1[None, :]).tocsc()
@@ -383,16 +404,26 @@ class SparseLU:
         x[self.colperm] = self.col_scale[self.colperm, None] * y
         return x[:, 0] if squeeze else x
 
-    def _berr(self, x, b):
+    def _berr(self, x, b, trans: Trans = Trans.NOTRANS):
         """Componentwise backward error with safe1/safe2 guards
-        (reference: pdgsrfs.c:189-231). x, b: (n, k). Also returns r."""
+        (reference: pdgsrfs.c:189-231). x, b: (n, k). Also returns r.
+        ``trans`` selects the operator (A, Aᵀ, or Aᴴ) of the solve being
+        checked — the residual/denominator follow options->Trans as in
+        the reference's transpose branches."""
         rows, cols, vals = self._coo_ref
         xj = jnp.asarray(x, dtype=self.refine_dtype)
         bj = jnp.asarray(b, dtype=self.refine_dtype)
-        r = np.asarray(bj - _spmv.spmv(rows, cols, vals, xj, self.n))
-        denom = np.asarray(
-            _spmv.abs_spmv(rows, cols, vals, jnp.abs(xj), self.n)
-            + jnp.abs(bj))
+        if trans == Trans.NOTRANS:
+            r = np.asarray(bj - _spmv.spmv(rows, cols, vals, xj, self.n))
+            denom = np.asarray(
+                _spmv.abs_spmv(rows, cols, vals, jnp.abs(xj), self.n)
+                + jnp.abs(bj))
+        else:
+            v = jnp.conj(vals) if trans == Trans.CONJ else vals
+            r = np.asarray(bj - _spmv.spmv_t(rows, cols, v, xj, self.n))
+            denom = np.asarray(
+                _spmv.abs_spmv_t(rows, cols, vals, jnp.abs(xj), self.n)
+                + jnp.abs(bj))
         nz = int(self._A_orig.getnnz(axis=1).max()) + 1
         safe1 = nz * np.finfo(np.float64).tiny
         safe2 = safe1 / np.finfo(np.float64).eps
@@ -494,14 +525,17 @@ class SparseLU:
         self._solve_fns[key] = refine
         return refine
 
-    def refine(self, b, x0: np.ndarray):
+    def refine(self, b, x0: np.ndarray, trans: Trans = Trans.NOTRANS):
         """Iterative refinement — ``pdgsrfs`` analog (pdgsrfs.c:129-251).
 
         Residuals in ``refine_dtype`` (mixed precision: psgssvx_d2 pattern).
         Stops at ITMAX steps, at componentwise backward error ≤ eps, or when
         the error stops halving (pdgsrfs.c:237). On a single device the
-        whole loop is fused into one jitted dispatch.
+        whole loop is fused into one jitted dispatch. Transpose modes run
+        the host loop with Aᵀ/Aᴴ residuals.
         """
+        if trans != Trans.NOTRANS:
+            return self._refine_hostloop(b, x0, trans=trans)
         if self._fused_refine_ok:
             bb = np.asarray(b)
             squeeze = bb.ndim == 1
@@ -527,8 +561,9 @@ class SparseLU:
             return (xo[:, 0] if squeeze else xo), np.atleast_1d(berr)
         return self._refine_hostloop(b, x0)
 
-    def _refine_hostloop(self, b, x0: np.ndarray):
-        """Host-driven refinement loop (distributed drivers)."""
+    def _refine_hostloop(self, b, x0: np.ndarray,
+                         trans: Trans = Trans.NOTRANS):
+        """Host-driven refinement loop (distributed drivers, trans modes)."""
         opts, stat = self.options, self.stat
         b = np.asarray(b)
         squeeze = b.ndim == 1
@@ -542,17 +577,17 @@ class SparseLU:
         berr = berr_prev
         with stat.phase("REFINE"):
             for it in range(opts.max_refine_steps):
-                berr, r = self._berr(x, b)
+                berr, r = self._berr(x, b, trans=trans)
                 if np.all(berr <= eps):
                     break
                 if np.all(berr > opts.refine_rthresh * berr_prev):
                     break  # not halving — diminishing returns
                 berr_prev = berr
-                dx = self.solve(r)
+                dx = self.solve(r, trans=trans)
                 x = x + dx.reshape(x.shape).astype(self.refine_dtype)
                 stat.refine_steps = it + 1
             else:
-                berr, _ = self._berr(x, b)
+                berr, _ = self._berr(x, b, trans=trans)
         return (x[:, 0] if squeeze else x), np.atleast_1d(berr)
 
     # ------------------------------------------------------------------
@@ -633,14 +668,16 @@ def gssvx(A, b, options: Optional[Options] = None,
     else:
         lu = SparseLU(A, options=options, stat=stat)
 
-    x = lu.solve(b)
+    # honor options.trans (pdgssvx honors options->Trans, pdgssvx.c:622):
+    # the solve, the refinement residuals, and berr all use A / Aᵀ / Aᴴ.
+    x = lu.solve(b, trans=options.trans)
     if options.iter_refine != IterRefine.NOREFINE:
-        x, berr = lu.refine(b, x)
+        x, berr = lu.refine(b, x, trans=options.trans)
     else:
         xb = x[:, None] if x.ndim == 1 else x
         bb = np.asarray(b)
         bb = bb[:, None] if bb.ndim == 1 else bb
-        berr, _ = lu._berr(xb, bb)
+        berr, _ = lu._berr(xb, bb, trans=options.trans)
     rcond = None
     if options.condition_number:
         with stat.phase("RCOND"):
@@ -699,8 +736,7 @@ def load_factors(path, options: Optional[Options] = None) -> SparseLU:
     lu.stat = Stats()
     lu.n = int(z["a_shape"][0])
     lu.dtype = np.dtype(_DTYPES[options.dtype])
-    lu.refine_dtype = np.dtype(
-        options.refine_dtype or _REFINE_DTYPES[options.dtype])
+    lu.refine_dtype = _resolve_refine_dtype(options)
     kw = {}
     for f in _dc.fields(SymbolicPlan):
         v = z["plan_" + f.name]

@@ -80,6 +80,16 @@ class Distributed3DSparseLU(SparseLU):
             self.pool, self.linv, self.uinv, self.stapes,
             jnp.asarray(bp)))
 
+    def solve_transposed(self, b, conj: bool = False) -> np.ndarray:
+        raise NotImplementedError(
+            "transpose solve is not supported by the distributed drivers "
+            "yet; use the single-chip SparseLU for Trans.TRANS/CONJ")
+
+    def rcond_1(self) -> float:
+        raise NotImplementedError(
+            "rcond_1 needs transpose solves, which the distributed drivers "
+            "do not support yet")
+
     def diag_u(self) -> np.ndarray:
         pool = np.asarray(self.pool)   # (pz, pr, pc, n_local, B, B)
         plan, dplan = self.plan, self.dplan

@@ -39,6 +39,13 @@ def spmv_t(rows, cols, vals, x, n_cols: int):
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
+def abs_spmv_t(rows, cols, vals, x, n_cols: int):
+    """y = |A|^T @ x — backward-error denominator for transpose solves."""
+    contrib = jnp.abs(vals)[:, None] * x[rows]
+    return jax.ops.segment_sum(contrib, cols, num_segments=n_cols)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
 def abs_spmv(rows, cols, vals, x, n_rows: int):
     """y = |A| @ x — used for the componentwise backward-error denominator
     (|A|·|x| + |b|, reference: pdgsrfs.c:189-231)."""

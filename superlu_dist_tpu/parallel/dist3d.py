@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.host.symbolic import SymbolicPlan
 from ..ops.kernels.blocklu import MATMUL_PRECISION, block_lu_inv
@@ -538,7 +538,7 @@ def build_dist3d_factor_fn(plan: SymbolicPlan, dplan: DistPlan3D,
     rep = P()
     fn = shard_map(spmd, mesh=mesh,
                    in_specs=(sharded, rep) + (sharded,) * 15,
-                   out_specs=(sharded, rep, rep, rep), check_rep=False)
+                   out_specs=(sharded, rep, rep, rep), check_vma=False)
 
     @jax.jit
     def factor(pools, thresh, tapes):
@@ -629,7 +629,7 @@ def build_dist3d_solve_fn(plan: SymbolicPlan, dplan: DistPlan3D,
     rep = P()
     fn = shard_map(spmd, mesh=mesh,
                    in_specs=(sharded, rep, rep) + (sharded,) * 8 + (rep,),
-                   out_specs=rep, check_rep=False)
+                   out_specs=rep, check_vma=False)
 
     @jax.jit
     def solve(pools, linv, uinv, stapes, b):

@@ -167,15 +167,20 @@ def read_triple(path, zero_based: bool = False) -> sp.csc_matrix:
     Analog of dreadtriple.c / dreadtriple_noheader.c.
     """
     with open(path, "r") as f:
+        first = f.readline().split()
         toks = f.read().split()
-    head = [t for t in toks[:3]]
-    if len(head) >= 3 and "." not in head[2]:
-        m, n, nnz = int(head[0]), int(head[1]), int(head[2])
-        body = toks[3:]
+    # header form is decided by the first line's token count: "m n nnz"
+    # (3 tokens) or "n nnz" (2 tokens) — sniffing the third whitespace
+    # token of the whole file misparses integer-valued triples.
+    if len(first) >= 3:
+        m, n, nnz = int(first[0]), int(first[1]), int(first[2])
+        body = first[3:] + toks
+    elif len(first) == 2:
+        m = n = int(first[0])
+        nnz = int(first[1])
+        body = toks
     else:
-        m = n = int(head[0])
-        nnz = int(head[1])
-        body = toks[2:]
+        raise ValueError("read_triple: malformed header line")
     arr = np.array(body[: 3 * nnz])
     i = arr[0::3].astype(np.int64)
     j = arr[1::3].astype(np.int64)
