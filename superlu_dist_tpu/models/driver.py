@@ -71,6 +71,17 @@ def _real_eps(dtype) -> float:
     return float(np.finfo(_real_base(dtype)).eps)
 
 
+def _check_user_perm(p, n: int, what: str) -> np.ndarray:
+    """Validate a user-supplied permutation (check_perm_dist analog)."""
+    p = np.asarray(p, dtype=np.int64)
+    if p.shape != (n,) or len(np.unique(p)) != n or p.min() < 0 \
+            or p.max() >= n:
+        raise ValueError(
+            f"{what} must be a permutation of 0..{n - 1} (got shape "
+            f"{p.shape})")
+    return p
+
+
 def _perm_sign(perm: np.ndarray) -> float:
     """Permutation parity via cycle counting."""
     n = len(perm)
@@ -167,14 +178,20 @@ class SparseLU:
                 R = R1 * R
                 C = C * C1
             elif opts.row_perm == RowPerm.MY_PERMR:
-                rowperm = self.rowperm
+                rowperm = (_check_user_perm(opts.user_rowperm, n,
+                                            "user_rowperm")
+                           if opts.user_rowperm is not None
+                           else self.rowperm)
             else:
                 rowperm = np.arange(n, dtype=np.int64)
         A2 = sp.csc_matrix(A1)[rowperm, :]
 
         # ---- fill-reducing column ordering (get_perm_c) ----
         with stat.phase("COLPERM"):
-            if reuse_colperm or opts.col_perm == ColPerm.MY_PERMC:
+            if opts.col_perm == ColPerm.MY_PERMC and \
+                    opts.user_colperm is not None:
+                pc = _check_user_perm(opts.user_colperm, n, "user_colperm")
+            elif reuse_colperm or opts.col_perm == ColPerm.MY_PERMC:
                 pc = self.colperm
             else:
                 pc = _ordering.get_perm_c(opts.col_perm, A2)

@@ -208,6 +208,62 @@ def nested_dissection(G: sp.csr_matrix, leaf_size: int = 64) -> np.ndarray:
     return perm_out
 
 
+def geometric_nd(shape: tuple) -> np.ndarray:
+    """Exact geometric nested dissection for a structured grid.
+
+    For matrices whose unknowns live on a regular 1/2/3-D grid (index
+    varying fastest in the first dimension), recursive coordinate
+    bisection with the median hyperplane as separator — the separator
+    itself ordered by the same recursion (one dimension lower). Analog of
+    feeding a geometric partitioner's ordering through perm_c (the
+    reference accepts any ordering via MY_PERMC, superlu_enum_consts.h);
+    on grid problems this matches METIS-class quality and produces far
+    denser 128-blocks than graph-based bisection: the separator's
+    recursive cuts coincide with the descendants' boundaries, so every
+    subdomain touches contiguous runs of each ancestor separator.
+
+    Returns ``perm`` with perm[k] = k-th grid index to eliminate.
+    """
+    import sys
+    dims = [list(range(int(s))) for s in shape]
+    strides = np.cumprod([1] + [int(s) for s in shape[:-1]])
+
+    def nd(axes):
+        sizes = [len(a) for a in axes]
+        if max(sizes) <= 2:
+            # leaf box: first dim fastest
+            idx = []
+            def rec(d, acc):
+                if d < 0:
+                    idx.append(acc)
+                    return
+                for c in axes[d]:
+                    rec(d - 1, acc + c * strides[d])
+            rec(len(axes) - 1, 0)
+            return idx
+        ax = int(np.argmax(sizes))
+        coords = axes[ax]
+        mid = len(coords) // 2
+        lo, hi, sep = coords[:mid], coords[mid + 1:], [coords[mid]]
+
+        def sub(c):
+            a = list(axes)
+            a[ax] = c
+            return a
+
+        return nd(sub(lo)) + nd(sub(hi)) + nd(sub(sep))
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 100000))
+    try:
+        perm = np.asarray(nd(dims), dtype=np.int64)
+    finally:
+        sys.setrecursionlimit(old)
+    n = int(np.prod([len(d) for d in dims]))
+    assert len(perm) == n and len(np.unique(perm)) == n
+    return perm
+
+
 def colamd(A: sp.spmatrix) -> np.ndarray:
     """COLAMD column ordering via the scipy/SuperLU TPL (cheap: incomplete
     factorization with full dropping only runs the symbolic COLAMD phase)."""

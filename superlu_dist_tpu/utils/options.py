@@ -134,6 +134,13 @@ class Options:
     # psgssvx_d2); None → same as dtype promoted to double-width.
     refine_dtype: Optional[str] = None
 
+    # user-supplied permutations, used with ColPerm.MY_PERMC /
+    # RowPerm.MY_PERMR (the reference reads these from ScalePermstruct,
+    # pdgssvx.c "perm_c/perm_r input" contract). perm[k] = k-th
+    # column/row to eliminate.
+    user_colperm: object = None
+    user_rowperm: object = None
+
     batch_count: int = 0               # >0 for the batched interface
     # level-based incomplete factorization (ILU(k) analog of
     # ilu_level_symbfact); None = complete LU. The factorization becomes a
