@@ -1,22 +1,28 @@
-"""Benchmark: sparse LU factorization rate on the device.
+"""Benchmark suite: sparse LU factor/solve rates on the device.
 
-Prints ONE JSON line:
+Prints ONE JSON line (headline = lap3d32 useful factorization GFLOP/s):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-- value: useful (scalar-model) factorization GFLOP/s — flops counted on the
-  true scalar L/U nonzero structure of the same permuted matrix (NOT the
-  padded block model), directly comparable with CPU sparse-LU rates.
-- vs_baseline: ratio against the only quantitative in-tree reference
-  figure, 2.5 GFLOP/s (SMP factorization rate, reference:
-  DOC/UG_superlu/intro.tex:699).
+Per matrix it reports (stderr):
+  - steady-state factor time (SamePattern_SameRowPerm refactor path,
+    amortized over chained device calls),
+  - useful GFLOP/s — flops counted on the exact scalar GESP structure of
+    the same permuted/scaled matrix (NOT the padded block model),
+  - padded-model rate and pad ratio (device-executed flops / useful),
+  - solve time (1 and 32 RHS) + nnz(L+U)/s solve rate,
+  - refined backward error,
+  - same-host scipy splu (SuperLU serial, COLAMD) factor+solve wall time —
+    a contemporary CPU baseline, not the 1999 Cray figure.
 
-Default workload: 20³ 7-point Laplacian (n=8000) — a miniature of the 3D
-PDE problems the reference's own benchmarks target (SuiteSparse set).
-Override via SLU_TPU_BENCH_MATRIX=big.rua etc. Factor timing is amortized
-over chained device calls to exclude the host-dispatch round trip (the
-steady-state SamePattern_SameRowPerm refactorization cost).
+vs_baseline in the JSON stays the reference's only in-tree number
+(2.5 GFLOP/s SMP rate, reference: DOC/UG_superlu/intro.tex:699); the scipy
+column gives the modern comparison.
 
-Extra context (padded rate, solve, residuals) goes to stderr.
+Matrix set (override with SLU_TPU_BENCH_MATRIX=name or "all"):
+  lap3d20, lap3d32 — 3D 7-point Laplacians with the geometric-ND ordering
+  (structured-grid ordering; the general-graph default is also timed on
+  lap3d20 for honesty); big.rua (4960), cg20.cua (complex) from the
+  reference's EXAMPLE fixtures with the default ordering.
 """
 
 import json
@@ -26,14 +32,17 @@ import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/slu_tpu_jax_cache")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def scalar_lu_flops(A3) -> float:
+def scalar_lu_flops(A3):
     """Exact GESP flop count on the scalar L/U structure of A3 (natural
-    order): sum_j [ div flops + 2·|L_j|·|U_j| gemm flops ]."""
+    order): sum_j [ div flops + 2*|L_j|*|U_j| gemm flops ]. Returns
+    (flops, nnz(L)+nnz(U))."""
     import scipy.sparse.linalg as spla
     lu = spla.splu(A3.tocsc().astype(np.float64), permc_spec="NATURAL",
                    diag_pivot_thresh=0.0,
@@ -41,94 +50,182 @@ def scalar_lu_flops(A3) -> float:
     L, U = lu.L.tocsc(), lu.U.tocsr()
     nnzL_col = np.diff(L.indptr) - 1
     nnzU_row = np.diff(U.indptr)
-    return float(np.sum(nnzL_col) + np.sum(2.0 * nnzL_col * nnzU_row))
+    return (float(np.sum(nnzL_col) + np.sum(2.0 * nnzL_col * nnzU_row)),
+            int(L.nnz + U.nnz))
+
+
+def scipy_baseline(A, b):
+    """scipy.sparse.linalg.splu (serial SuperLU, COLAMD) factor + solve."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    Ad = sp.csc_matrix(A).astype(np.complex128 if A.dtype.kind == "c"
+                                 else np.float64)
+    t0 = time.perf_counter()
+    slu = spla.splu(Ad)
+    t_factor = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    x = slu.solve(b.astype(Ad.dtype))
+    t_solve = time.perf_counter() - t0
+    return t_factor, t_solve, x
+
+
+def bench_matrix(name, A, opts, reps):
+    import jax.numpy as jnp
+    from superlu_dist_tpu import SparseLU
+    from superlu_dist_tpu.ops.kernels import blocklu
+
+    n = A.shape[0]
+    t0 = time.time()
+    lu = SparseLU(A, opts)
+    t_first = time.time() - t0
+    log(f"[{name}] n={n} nnz={A.nnz} first factor (incl. compile) "
+        f"{t_first:.1f}s  nb={lu.plan.nb} slots={lu.plan.nslots} "
+        f"nlvl={lu.plan.n_flevels} pallas={lu._use_pallas()}")
+
+    A3 = lu._A_orig.multiply(lu.row_scale[:, None]) \
+        .multiply(lu.col_scale[None, :]).tocsc()
+    A3 = A3[lu.rowperm, :][lu.colperm, :][:, lu.colperm]
+    useful, nnz_lu = scalar_lu_flops(A3)
+    model = lu.plan.factor_flops
+
+    # amortized steady-state factor (SamePattern_SameRowPerm path)
+    pool0 = blocklu.init_pool(lu.plan, A3.data, lu.dtype)
+    thresh = jnp.asarray(lu._thresh(), dtype=np.float32
+                         if lu.dtype != np.float64 else np.float64)
+    best = np.inf
+    for _ in range(3):
+        pp = jnp.array(pool0)
+        _ = np.asarray(pp[0, 0, :2])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            pp, _l, _u, _t = lu._factor_fn(pp, thresh, lu.tapes)
+        _ = np.asarray(pp[0, 0, :2])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    gf_useful = useful / best / 1e9
+    gf_padded = model / best / 1e9
+    log(f"[{name}] useful {useful/1e9:.3f}G  model {model/1e9:.2f}G "
+        f"(pad {model/max(useful,1):.1f}x)")
+    log(f"[{name}] factor {best*1e3:.2f} ms  useful {gf_useful:.1f} GF/s  "
+        f"padded {gf_padded/1e3:.2f} TF/s")
+
+    # solves
+    rng = np.random.default_rng(0)
+    xt = rng.standard_normal(n)
+    if np.dtype(lu.dtype).kind == "c":
+        xt = xt + 1j * rng.standard_normal(n)
+    b = np.asarray(A @ xt)
+    x = lu.solve(b)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        x = lu.solve(b)
+    t_solve1 = (time.perf_counter() - t0) / 5
+    B32 = np.asarray(A @ (rng.standard_normal((n, 32))))
+    X32 = lu.solve(B32)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        X32 = lu.solve(B32)
+    t_solve32 = (time.perf_counter() - t0) / 3
+    resid = float(np.abs(b - A @ x).max() / np.abs(b).max())
+    xr, berr = lu.refine(b, x)
+    log(f"[{name}] solve {t_solve1*1e3:.2f} ms (1 rhs, "
+        f"{nnz_lu/t_solve1/1e9:.2f} Gnnz/s)  {t_solve32*1e3:.2f} ms "
+        f"(32 rhs)  rel resid {resid:.1e}  refined berr {berr.max():.1e}")
+
+    # contemporary CPU baseline on the same host
+    try:
+        t_cpu_f, t_cpu_s, x_cpu = scipy_baseline(A, b)
+        log(f"[{name}] scipy splu (CPU serial): factor {t_cpu_f*1e3:.1f} ms"
+            f"  solve {t_cpu_s*1e3:.2f} ms  -> TPU factor speedup "
+            f"{t_cpu_f/best:.1f}x")
+    except Exception as e:
+        log(f"[{name}] scipy baseline failed: {e}")
+        t_cpu_f = None
+
+    # per-phase stats (PStatPrint analog)
+    log(lu.stat.report())
+    return dict(name=name, n=n, factor_ms=best * 1e3,
+                useful_gflops=gf_useful, padded_gflops=gf_padded,
+                pad_ratio=model / max(useful, 1.0),
+                solve1_ms=t_solve1 * 1e3, solve32_ms=t_solve32 * 1e3,
+                berr=float(berr.max()),
+                scipy_factor_ms=None if t_cpu_f is None else t_cpu_f * 1e3)
 
 
 def main():
     import jax
-    import jax.numpy as jnp
 
-    from superlu_dist_tpu import Options, SparseLU
-    from superlu_dist_tpu.ops.kernels import blocklu
+    from superlu_dist_tpu import Options
+    from superlu_dist_tpu.utils.options import ColPerm
+    from superlu_dist_tpu.ops.host.ordering import geometric_nd
     from superlu_dist_tpu.utils.testing import (laplacian_2d, laplacian_3d,
                                                 reference_matrix)
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} ({dev.device_kind})")
 
-    which = os.environ.get("SLU_TPU_BENCH_MATRIX", "lap3d20")
-    if which.startswith("lap3d"):
-        A = laplacian_3d(int(which[5:] or 20))
-        name = which
+    which = os.environ.get("SLU_TPU_BENCH_MATRIX", "default")
+    reps = int(os.environ.get("SLU_TPU_BENCH_REPS", "8"))
+    chunk = int(os.environ.get("SLU_TPU_BENCH_CHUNK", "64"))
+    bs = int(os.environ.get("SLU_TPU_BENCH_BS", "128"))
+
+    def lap_opts(nx):
+        return Options(dtype="float32", block_size=bs, gemm_chunk=chunk,
+                       col_perm=ColPerm.MY_PERMC,
+                       user_colperm=geometric_nd((nx, nx, nx)))
+
+    jobs = []
+    if which in ("default", "all"):
+        jobs.append(("lap3d20_geo", laplacian_3d(20), lap_opts(20)))
+        jobs.append(("lap3d32_geo", laplacian_3d(32), lap_opts(32)))
+        A = reference_matrix("big.rua")
+        if A is not None:
+            jobs.append(("big.rua", A.astype(np.float64),
+                         Options(dtype="float32", block_size=bs,
+                                 gemm_chunk=chunk)))
+        C = reference_matrix("cg20.cua")
+        if C is not None:
+            jobs.append(("cg20.cua", C,
+                         Options(dtype="complex64", block_size=64,
+                                 gemm_chunk=chunk)))
+        if which == "all":
+            jobs.append(("lap3d20_generalnd", laplacian_3d(20),
+                         Options(dtype="float32", block_size=bs,
+                                 gemm_chunk=chunk)))
+    elif which.startswith("lap3d"):
+        nx = int(which[5:] or 20)
+        jobs.append((which + "_geo", laplacian_3d(nx), lap_opts(nx)))
     elif which.startswith("lap2d"):
-        A = laplacian_2d(int(which[5:] or 70))
-        name = which
+        nx = int(which[5:] or 70)
+        jobs.append((which, laplacian_2d(nx),
+                     Options(dtype="float32", block_size=bs,
+                             gemm_chunk=chunk)))
     else:
         A = reference_matrix(which)
-        name = which
-        if A is None:
-            A = laplacian_2d(70)
-            name = "lap4900"
-    n = A.shape[0]
-    log(f"matrix {name}: n={n} nnz={A.nnz}")
+        dt = "complex64" if A.dtype.kind == "c" else "float32"
+        jobs.append((which, A, Options(dtype=dt, block_size=bs,
+                                       gemm_chunk=chunk)))
 
-    bs = int(os.environ.get("SLU_TPU_BENCH_BS", "128"))
-    chunk = int(os.environ.get("SLU_TPU_BENCH_CHUNK", "64"))
-    opts = Options(dtype="float32", block_size=bs, gemm_chunk=chunk)
+    results = []
+    for name, A, opts in jobs:
+        try:
+            results.append(bench_matrix(name, A, opts, reps))
+        except Exception as e:
+            import traceback
+            log(f"[{name}] FAILED: {type(e).__name__}: {e}")
+            traceback.print_exc(file=sys.stderr)
 
-    t0 = time.time()
-    lu = SparseLU(A, opts)
-    log(f"first factor (incl. compile): {time.time()-t0:.2f}s  "
-        f"nb={lu.plan.nb} slots={lu.plan.nslots} nlvl={lu.plan.n_flevels} "
-        f"pallas={lu._use_pallas()}")
-
-    A3 = lu._A_orig.multiply(lu.row_scale[:, None]) \
-        .multiply(lu.col_scale[None, :]).tocsc()
-    A3 = A3[lu.rowperm, :][lu.colperm, :][:, lu.colperm]
-    useful_flops = scalar_lu_flops(A3)
-    model_flops = lu.plan.factor_flops
-    log(f"useful flops {useful_flops/1e9:.3f}G, padded-model "
-        f"{model_flops/1e9:.3f}G (pad ratio {model_flops/useful_flops:.1f}x)")
-
-    # amortized steady-state factor time: chain K factors on device, one
-    # readback (the SamePattern_SameRowPerm refactorization path)
-    pool0 = blocklu.init_pool(lu.plan, A3.data, lu.dtype)
-    thresh = jnp.asarray(np.float32(lu._thresh()))
-    K = int(os.environ.get("SLU_TPU_BENCH_REPS", "8"))
-    pp = jnp.array(pool0)
-    _ = np.asarray(pp[0, 0, :2])
-    best = np.inf
-    for _ in range(3):
-        pp = jnp.array(pool0)
-        _ = np.asarray(pp[0, 0, :2])
-        t0 = time.time()
-        for _ in range(K):
-            pp, _l, _u, _t = lu._factor_fn(pp, thresh, lu.tapes)
-        _ = np.asarray(pp[0, 0, :2])
-        best = min(best, (time.time() - t0) / K)
-    gflops_useful = useful_flops / best / 1e9
-    log(f"factor {best*1e3:.2f} ms  useful {gflops_useful:.2f} GF/s  "
-        f"padded {model_flops/best/1e9:.2f} GF/s")
-
-    # solve + accuracy
-    rng = np.random.default_rng(0)
-    xt = rng.standard_normal(n)
-    b = np.asarray(A @ xt)
-    x = lu.solve(b)
-    t0 = time.time()
-    for _ in range(5):
-        x = lu.solve(b)
-    log(f"solve (host-loop) {(time.time()-t0)/5*1e3:.2f} ms  "
-        f"rel resid {np.abs(b - A @ x).max()/np.abs(b).max():.2e}")
-    xr, berr = lu.refine(b, x)
-    log(f"refined berr {berr.max():.2e}")
-
+    head = next((r for r in results if r["name"] == "lap3d32_geo"),
+                results[0] if results else None)
+    if head is None:
+        print(json.dumps({"metric": "factor_useful_gflops", "value": 0.0,
+                          "unit": "GFLOP/s", "vs_baseline": 0.0}))
+        return
     baseline = 2.5  # GFLOP/s, DOC/UG_superlu/intro.tex:699
     print(json.dumps({
-        "metric": f"factor_useful_gflops_{name}_bs{bs}_f32",
-        "value": round(gflops_useful, 3),
+        "metric": f"factor_useful_gflops_{head['name']}_bs{bs}_f32",
+        "value": round(head["useful_gflops"], 3),
         "unit": "GFLOP/s",
-        "vs_baseline": round(gflops_useful / baseline, 3),
+        "vs_baseline": round(head["useful_gflops"] / baseline, 3),
     }))
 
 

@@ -260,6 +260,49 @@ def _lu_base(A, thresh):
     return A, tiny
 
 
+def _lu_base_masked(A, thresh):
+    """Scatter-free variant of :func:`_lu_base` (masks + static slices
+    only) — the Mosaic TPU lowering has no scatter primitive, so this is
+    the base case used inside Pallas kernels. Bit-compatible math."""
+    m = A.shape[0]
+    rows_i = lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    cols_i = lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    tiny = jnp.zeros((), jnp.int32)
+    for j in range(m):
+        piv, bad = _replace_tiny(A[j, j], thresh)
+        tiny = tiny + bad
+        A = jnp.where((rows_i == j) & (cols_i == j), piv, A)
+        A = jnp.where((rows_i > j) & (cols_i == j), A / piv, A)
+        if j + 1 < m:
+            col = jnp.where(rows_i[:, :1] > j, A[:, j:j + 1], 0.0)
+            row = jnp.where(cols_i[:1, :] > j, A[j:j + 1, :], 0.0)
+            A = A - col * row
+    return A, tiny
+
+
+def _base_invs_masked(LU):
+    """Scatter-free, 2D-shaped triangular inverses of a compact-LU block
+    (rows built by substitution and stacked — no dynamic-update ops)."""
+    m = LU.shape[0]
+    eye = jnp.eye(m, dtype=LU.dtype)
+    linv_rows = [eye[0:1, :]]
+    for i in range(1, m):
+        acc = eye[i:i + 1, :]
+        for j in range(i):
+            acc = acc - LU[i, j] * linv_rows[j]
+        linv_rows.append(acc)
+    linv = jnp.concatenate(linv_rows, axis=0)
+    uinv_rows = [None] * m
+    uinv_rows[m - 1] = eye[m - 1:m, :] / LU[m - 1, m - 1]
+    for i in range(m - 2, -1, -1):
+        acc = eye[i:i + 1, :]
+        for j in range(i + 1, m):
+            acc = acc - LU[i, j] * uinv_rows[j]
+        uinv_rows[i] = acc / LU[i, i]
+    uinv = jnp.concatenate(uinv_rows, axis=0)
+    return linv, uinv
+
+
 def _mm(a, b):
     """Full-precision matmul (TPU f32 defaults to bf16 passes otherwise)."""
     return jnp.matmul(a, b, precision=MATMUL_PRECISION)
@@ -288,7 +331,7 @@ def _base_invs(LU):
     return linv, uinv
 
 
-def block_lu_inv(A, thresh):
+def block_lu_inv(A, thresh, masked: bool = False):
     """Recursive blocked LU with triangular inverses (compact storage:
     unit-L below the diagonal, U on/above).
 
@@ -297,18 +340,25 @@ def block_lu_inv(A, thresh):
     is not precision-controlled). Returns (LU, Linv, Uinv, tiny_count).
     The inverses make every panel solve / solve-phase diag application a
     GEMM — the pdCompute_Diag_Inv idea (reference: pdgstrs.c:842).
+
+    ``masked=True`` uses the scatter-free base case so the whole function
+    lowers inside a Pallas TPU kernel (Mosaic has no scatter).
     """
     m = A.shape[0]
     if m <= _BASE:
-        LU, t = _lu_base(A, thresh)
-        linv, uinv = _base_invs(LU)
+        if masked:
+            LU, t = _lu_base_masked(A, thresh)
+            linv, uinv = _base_invs_masked(LU)
+        else:
+            LU, t = _lu_base(A, thresh)
+            linv, uinv = _base_invs(LU)
         return LU, linv, uinv, t
     h = m // 2
-    LU11, L11i, U11i, t1 = block_lu_inv(A[:h, :h], thresh)
+    LU11, L11i, U11i, t1 = block_lu_inv(A[:h, :h], thresh, masked)
     A12 = _mm(L11i, A[:h, h:])          # L11^{-1} A12
     A21 = _mm(A[h:, :h], U11i)          # A21 U11^{-1}
     S = A[h:, h:] - _mm(A21, A12)
-    LU22, L22i, U22i, t2 = block_lu_inv(S, thresh)
+    LU22, L22i, U22i, t2 = block_lu_inv(S, thresh, masked)
     z = jnp.zeros((h, m - h), dtype=A.dtype)
     LU = jnp.concatenate([
         jnp.concatenate([LU11, A12], axis=1),

@@ -138,3 +138,27 @@ def test_singularity_info():
                               col_perm=ColPerm.NATURAL, equil=Equil.NO))
     assert getattr(lu2, "info", 0) == 0
     assert lu2.stat.tiny_pivots >= 1
+
+
+def test_masked_block_lu_inv_matches():
+    """Scatter-free (Pallas-lowerable) block_lu_inv == standard one."""
+    import jax
+    import jax.numpy as jnp
+    from superlu_dist_tpu.ops.kernels.blocklu import block_lu_inv
+    rng = np.random.default_rng(0)
+    for m in (8, 16, 64):
+        A = jnp.asarray(rng.standard_normal((m, m)) + 3 * np.eye(m),
+                        jnp.float32)
+        lu0, li0, ui0, t0 = jax.jit(
+            lambda a: block_lu_inv(a, jnp.float32(1e-8)))(A)
+        lu1, li1, ui1, t1 = jax.jit(
+            lambda a: block_lu_inv(a, jnp.float32(1e-8), masked=True))(A)
+        # same math, but different XLA programs may fuse fmas differently:
+        # require agreement to f32 roundoff and true inverse quality
+        assert np.allclose(np.asarray(lu0), np.asarray(lu1),
+                           rtol=1e-3, atol=1e-5)
+        Lm = np.tril(np.asarray(lu1), -1) + np.eye(m)
+        Um = np.triu(np.asarray(lu1))
+        assert np.abs(np.asarray(li1) @ Lm - np.eye(m)).max() < 1e-3
+        assert np.abs(np.asarray(ui1) @ Um - np.eye(m)).max() < 1e-3
+        assert int(t0) == int(t1)
