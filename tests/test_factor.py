@@ -147,18 +147,25 @@ def test_masked_block_lu_inv_matches():
     from superlu_dist_tpu.ops.kernels.blocklu import block_lu_inv
     rng = np.random.default_rng(0)
     for m in (8, 16, 64):
-        A = jnp.asarray(rng.standard_normal((m, m)) + 3 * np.eye(m),
-                        jnp.float32)
-        lu0, li0, ui0, t0 = jax.jit(
-            lambda a: block_lu_inv(a, jnp.float32(1e-8)))(A)
-        lu1, li1, ui1, t1 = jax.jit(
-            lambda a: block_lu_inv(a, jnp.float32(1e-8), masked=True))(A)
-        # same math, but different XLA programs may fuse fmas differently:
-        # require agreement to f32 roundoff and true inverse quality
-        assert np.allclose(np.asarray(lu0), np.asarray(lu1),
-                           rtol=1e-3, atol=1e-5)
-        Lm = np.tril(np.asarray(lu1), -1) + np.eye(m)
-        Um = np.triu(np.asarray(lu1))
-        assert np.abs(np.asarray(li1) @ Lm - np.eye(m)).max() < 1e-3
-        assert np.abs(np.asarray(ui1) @ Um - np.eye(m)).max() < 1e-3
-        assert int(t0) == int(t1)
+        A64 = rng.standard_normal((m, m)) + 10 * np.eye(m)
+        # logic check in f64 (fma-fusion noise is ~1e-16 there): the two
+        # variants compute the same recurrence
+        with jax.enable_x64(True):
+            lu0, li0, ui0, t0 = jax.jit(
+                lambda a: block_lu_inv(a, jnp.float64(1e-8)))(
+                    jnp.asarray(A64, jnp.float64))
+            lu1, li1, ui1, t1 = jax.jit(
+                lambda a: block_lu_inv(a, jnp.float64(1e-8), masked=True))(
+                    jnp.asarray(A64, jnp.float64))
+            assert np.abs(np.asarray(lu0) - np.asarray(lu1)).max() < 1e-6
+            assert np.abs(np.asarray(li0) - np.asarray(li1)).max() < 1e-6
+            assert np.abs(np.asarray(ui0) - np.asarray(ui1)).max() < 1e-6
+            assert int(t0) == int(t1)
+        # f32: inverse quality of the masked variant
+        luf, lif, uif, _ = jax.jit(
+            lambda a: block_lu_inv(a, jnp.float32(1e-8), masked=True))(
+                jnp.asarray(A64, jnp.float32))
+        Lm = np.tril(np.asarray(luf), -1) + np.eye(m)
+        Um = np.triu(np.asarray(luf))
+        assert np.abs(np.asarray(lif) @ Lm - np.eye(m)).max() < 1e-3
+        assert np.abs(np.asarray(uif) @ Um - np.eye(m)).max() < 1e-3
