@@ -29,6 +29,9 @@ from .driver import SparseLU, _real_base
 class DistributedSparseLU(SparseLU):
 
     _fused_refine_ok = False
+    #: the distributed executors use native complex (CPU-mesh capable);
+    #: planar recasting of the distributed path is not implemented yet
+    _planar = False
     """2D block-cyclic distributed factorization (pdgssvx analog)."""
 
     def __init__(self, A: sp.spmatrix, grid: Grid2D,

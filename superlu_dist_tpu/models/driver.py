@@ -243,7 +243,13 @@ class SparseLU:
                 self.info = int(bad[0]) + 1
 
         # COO of the original A for refinement residuals (mixed precision)
-        self._coo_ref = _spmv.coo_arrays(A, jnp.dtype(self.refine_dtype))
+        if self._use_planar():
+            rdt = _real_base(self.refine_dtype)
+            self._coo_ref = _spmv.coo_arrays_planar(A, jnp.dtype(rdt))
+            vr, vi = self._coo_ref[2]
+            self._coo_abs = jnp.sqrt(vr * vr + vi * vi)
+        else:
+            self._coo_ref = _spmv.coo_arrays(A, jnp.dtype(self.refine_dtype))
 
     def _thresh(self) -> float:
         return (np.sqrt(_real_eps(self.dtype)) * self._anorm
@@ -263,22 +269,48 @@ class SparseLU:
             return True
         return jax.devices()[0].platform == "tpu"
 
+    def _use_planar(self) -> bool:
+        """Complex matrices run as planar (re, im) real arithmetic on
+        accelerators — the TPU backend has no complex dtype at all. On CPU
+        the native complex executor is used (force with
+        SLU_TPU_FORCE_PLANAR=1/0 for testing)."""
+        if getattr(self, "_planar", None) is not None:
+            return self._planar
+        if np.dtype(self.dtype).kind != "c":
+            return False
+        import os
+        import jax
+        force = os.environ.get("SLU_TPU_FORCE_PLANAR", "")
+        if force == "1":
+            return True
+        if force == "0":
+            return False
+        return jax.devices()[0].platform != "cpu"
+
     def _device_factor(self, A3: sp.csc_matrix):
         """Distribute values into the device pool and run the factorization
         (overridden by the mesh-distributed driver)."""
         opts, stat, plan = self.options, self.stat, self.plan
+        self._planar = self._use_planar()
         with stat.phase("DIST"):
             self.ltape = _blocklu.make_solve_tapes(plan, "L")
             self.utape = _blocklu.make_solve_tapes(plan, "U")
-            pool = _blocklu.init_pool(plan, A3.data, self.dtype)
-            if self._use_pallas():
+            if self._planar:
+                from ..ops.kernels import planar as _planar
+                pool = _planar.init_pool_planar(plan, A3.data, self.dtype)
+                self.tapes = _blocklu.make_factor_tapes(plan)
+                self._factor_fn = _planar.build_factor_fn_planar(
+                    plan, chunk=opts.gemm_chunk)
+            elif self._use_pallas():
                 import os
                 from ..ops.kernels import pallas_exec as _pe
+                pool = _blocklu.init_pool(plan, A3.data, self.dtype)
                 interp = (os.environ.get("SLU_TPU_FORCE_PALLAS", "")
                           == "interpret")
                 self._factor_fn, self.tapes = _pe.build_factor_fn_pallas(
                     plan, chunk=min(opts.gemm_chunk, 16), interpret=interp)
             else:
+                pool = _blocklu.init_pool(plan, A3.data, self.dtype)
                 self.tapes = _blocklu.make_factor_tapes(plan)
                 self._factor_fn = _blocklu.build_factor_fn(
                     plan, chunk=opts.gemm_chunk)
@@ -330,6 +362,17 @@ class SparseLU:
         """L U y = b in factorization coordinates; bp padded to
         _bpad_rows() rows. Overridden by the mesh-distributed drivers."""
         nrhs = bp.shape[1]
+        if self._use_planar():
+            from ..ops.kernels import planar as _planar
+            key = ("C", nrhs)
+            if key not in self._solve_fns:
+                self._solve_fns[key] = _planar.build_solve_fn_planar(
+                    self.plan, nrhs, chunk=self.options.gemm_chunk)
+            b2 = jnp.asarray(np.stack([bp.real, bp.imag]).astype(
+                _real_base(self.dtype)))
+            y2 = self._solve_fns[key](self.pool, self.linv, self.uinv,
+                                      self.ltape, self.utape, b2)
+            return _planar.planar_to_complex(np.asarray(y2))
         if self._use_pallas():
             import os
             from ..ops.kernels import pallas_exec as _pe
@@ -390,9 +433,26 @@ class SparseLU:
         bp = np.zeros((self._bpad_rows(), nrhs), dtype=self.dtype)
         bp[: self.n] = self.col_scale[self.colperm, None] * b[self.colperm]
         with self.stat.phase("SOLVE"):
-            y = np.asarray(self._trans_solve_fn(nrhs)(
-                self.pool, self.uinv, self.linv, self.ttape_u, self.ttape_l,
-                jnp.asarray(bp)))[: self.n]
+            if self._use_planar():
+                from ..ops.kernels import planar as _planar
+                key = ("CT", nrhs)
+                if key not in self._solve_fns:
+                    if not hasattr(self, "ttape_u"):
+                        self.ttape_u = _blocklu.make_trans_solve_tapes(
+                            self.plan, "U")
+                        self.ttape_l = _blocklu.make_trans_solve_tapes(
+                            self.plan, "L")
+                    self._solve_fns[key] = _planar.build_trans_solve_fn_planar(
+                        self.plan, nrhs, chunk=self.options.gemm_chunk)
+                b2 = jnp.asarray(np.stack([bp.real, bp.imag]).astype(
+                    _real_base(self.dtype)))
+                y2 = self._solve_fns[key](self.pool, self.uinv, self.linv,
+                                          self.ttape_u, self.ttape_l, b2)
+                y = _planar.planar_to_complex(np.asarray(y2))[: self.n]
+            else:
+                y = np.asarray(self._trans_solve_fn(nrhs)(
+                    self.pool, self.uinv, self.linv, self.ttape_u,
+                    self.ttape_l, jnp.asarray(bp)))[: self.n]
         prc = self.rowperm[self.colperm]
         x = np.empty((self.n, nrhs), dtype=y.dtype)
         x[prc] = self.row_scale[prc, None] * y
@@ -428,14 +488,36 @@ class SparseLU:
         checked — the residual/denominator follow options->Trans as in
         the reference's transpose branches."""
         rows, cols, vals = self._coo_ref
-        xj = jnp.asarray(x, dtype=self.refine_dtype)
-        bj = jnp.asarray(b, dtype=self.refine_dtype)
-        if trans == Trans.NOTRANS:
+        if self._use_planar():
+            rdt = _real_base(self.refine_dtype)
+            x = np.asarray(x, dtype=self.refine_dtype)
+            b = np.asarray(b, dtype=self.refine_dtype)
+            x2 = jnp.asarray(np.stack([x.real, x.imag]).astype(rdt))
+            vr, vi = vals
+            if trans == Trans.NOTRANS:
+                ax2 = _spmv.spmv_planar(rows, cols, vr, vi, x2, self.n)
+                dn = _spmv.abs_spmv_planar(
+                    rows, cols, self._coo_abs,
+                    jnp.sqrt(x2[0] ** 2 + x2[1] ** 2), self.n)
+            else:
+                vj = -vi if trans == Trans.CONJ else vi
+                ax2 = _spmv.spmv_t_planar(rows, cols, vr, vj, x2, self.n)
+                dn = _spmv.abs_spmv_t_planar(
+                    rows, cols, self._coo_abs,
+                    jnp.sqrt(x2[0] ** 2 + x2[1] ** 2), self.n)
+            ax = np.asarray(ax2)
+            r = b - (ax[0] + 1j * ax[1])
+            denom = np.asarray(dn) + np.abs(b)
+        elif trans == Trans.NOTRANS:
+            xj = jnp.asarray(x, dtype=self.refine_dtype)
+            bj = jnp.asarray(b, dtype=self.refine_dtype)
             r = np.asarray(bj - _spmv.spmv(rows, cols, vals, xj, self.n))
             denom = np.asarray(
                 _spmv.abs_spmv(rows, cols, vals, jnp.abs(xj), self.n)
                 + jnp.abs(bj))
         else:
+            xj = jnp.asarray(x, dtype=self.refine_dtype)
+            bj = jnp.asarray(b, dtype=self.refine_dtype)
             v = jnp.conj(vals) if trans == Trans.CONJ else vals
             r = np.asarray(bj - _spmv.spmv_t(rows, cols, v, xj, self.n))
             denom = np.asarray(
@@ -553,6 +635,10 @@ class SparseLU:
         """
         if trans != Trans.NOTRANS:
             return self._refine_hostloop(b, x0, trans=trans)
+        if self._use_planar():
+            # planar complex: host refinement loop (residuals via planar
+            # spmv); the one-dispatch fused loop is real-only for now
+            return self._refine_hostloop(b, x0)
         if self._fused_refine_ok:
             bb = np.asarray(b)
             squeeze = bb.ndim == 1
@@ -645,6 +731,8 @@ class SparseLU:
     def diag_u(self) -> np.ndarray:
         """Diagonal of U in elimination order (reference: pdGetDiagU.c)."""
         pool = np.asarray(self.pool)
+        if pool.ndim == 4:   # planar complex layout (slots, 2, bs, bs)
+            pool = pool[:, 0] + 1j * pool[:, 1]
         bs, nb = self.plan.bs, self.plan.nb
         d = pool[np.asarray(self.plan.diag_slot)][:, np.arange(bs),
                                                   np.arange(bs)]
@@ -773,6 +861,14 @@ def load_factors(path, options: Optional[Options] = None) -> SparseLU:
     lu._solve_fns = {}
     lu.ltape = _blocklu.make_solve_tapes(lu.plan, "L")
     lu.utape = _blocklu.make_solve_tapes(lu.plan, "U")
-    lu._coo_ref = _spmv.coo_arrays(lu._A_orig, jnp.dtype(lu.refine_dtype))
+    lu._planar = z["pool"].ndim == 4   # planar layout self-describes
+    if lu._planar:
+        rdt = _real_base(lu.refine_dtype)
+        lu._coo_ref = _spmv.coo_arrays_planar(lu._A_orig, jnp.dtype(rdt))
+        vr, vi = lu._coo_ref[2]
+        lu._coo_abs = jnp.sqrt(vr * vr + vi * vi)
+    else:
+        lu._coo_ref = _spmv.coo_arrays(lu._A_orig,
+                                       jnp.dtype(lu.refine_dtype))
     lu.info = 0
     return lu

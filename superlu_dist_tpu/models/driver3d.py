@@ -26,6 +26,8 @@ from .driver import SparseLU, _real_base
 
 class Distributed3DSparseLU(SparseLU):
 
+    _planar = False   # distributed executors use native complex
+
     _fused_refine_ok = False
     """3D (z × r × c) distributed factorization."""
 

@@ -51,3 +51,52 @@ def abs_spmv(rows, cols, vals, x, n_rows: int):
     (|A|·|x| + |b|, reference: pdgsrfs.c:189-231)."""
     contrib = jnp.abs(vals)[:, None] * x[cols]
     return jax.ops.segment_sum(contrib, rows, num_segments=n_rows)
+
+
+# ---------------------------------------------------------------------------
+# planar-complex variants (TPU has no complex dtype: values as (re, im))
+# ---------------------------------------------------------------------------
+
+
+def coo_arrays_planar(A: sp.spmatrix, real_dtype):
+    """Host → device COO with planar complex values: (rows, cols, (vr, vi))."""
+    C = sp.coo_matrix(A)
+    return (jnp.asarray(C.row, dtype=jnp.int32),
+            jnp.asarray(C.col, dtype=jnp.int32),
+            (jnp.asarray(C.data.real, dtype=real_dtype),
+             jnp.asarray(C.data.imag, dtype=real_dtype)))
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def spmv_planar(rows, cols, vr, vi, x2, n_rows: int):
+    """y = A @ x, planar: x2 is (2, n, k); returns (2, n_rows, k)."""
+    xr, xi = x2[0][cols], x2[1][cols]
+    cr = vr[:, None] * xr - vi[:, None] * xi
+    ci = vr[:, None] * xi + vi[:, None] * xr
+    return jnp.stack([
+        jax.ops.segment_sum(cr, rows, num_segments=n_rows),
+        jax.ops.segment_sum(ci, rows, num_segments=n_rows)])
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def spmv_t_planar(rows, cols, vr, vi, x2, n_cols: int):
+    """y = Aᵀ @ x planar (caller conjugates for Aᴴ)."""
+    xr, xi = x2[0][rows], x2[1][rows]
+    cr = vr[:, None] * xr - vi[:, None] * xi
+    ci = vr[:, None] * xi + vi[:, None] * xr
+    return jnp.stack([
+        jax.ops.segment_sum(cr, cols, num_segments=n_cols),
+        jax.ops.segment_sum(ci, cols, num_segments=n_cols)])
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def abs_spmv_planar(rows, cols, vabs, xabs, n_rows: int):
+    """y = |A| @ |x| with precomputed |values| (planar berr denominator)."""
+    return jax.ops.segment_sum(vabs[:, None] * xabs[cols], rows,
+                               num_segments=n_rows)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def abs_spmv_t_planar(rows, cols, vabs, xabs, n_cols: int):
+    return jax.ops.segment_sum(vabs[:, None] * xabs[rows], cols,
+                               num_segments=n_cols)
