@@ -89,7 +89,11 @@ def bench_matrix(name, A, opts, reps):
     model = lu.plan.factor_flops
 
     # amortized steady-state factor (SamePattern_SameRowPerm path)
-    pool0 = blocklu.init_pool(lu.plan, A3.data, lu.dtype)
+    if lu._use_planar():
+        from superlu_dist_tpu.ops.kernels import planar as _planar
+        pool0 = _planar.init_pool_planar(lu.plan, A3.data, lu.dtype)
+    else:
+        pool0 = blocklu.init_pool(lu.plan, A3.data, lu.dtype)
     thresh = jnp.asarray(lu._thresh(), dtype=np.float32
                          if lu.dtype != np.float64 else np.float64)
     best = np.inf
