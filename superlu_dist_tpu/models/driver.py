@@ -303,12 +303,21 @@ class SparseLU:
                     plan, chunk=opts.gemm_chunk)
             elif self._use_pallas():
                 import os
-                from ..ops.kernels import pallas_exec as _pe
                 pool = _blocklu.init_pool(plan, A3.data, self.dtype)
                 interp = (os.environ.get("SLU_TPU_FORCE_PALLAS", "")
                           == "interpret")
-                self._factor_fn, self.tapes = _pe.build_factor_fn_pallas(
-                    plan, chunk=min(opts.gemm_chunk, 16), interpret=interp)
+                if os.environ.get("SLU_TPU_EXECUTOR", "flk") == "flk":
+                    # fused left-looking single-call kernel (flk.py) —
+                    # measured 1.1-2.4x the per-level hybrid and ~20x
+                    # faster to compile (loop-based Mosaic kernel)
+                    from ..ops.kernels import flk as _flk
+                    self._factor_fn, self.tapes = _flk.build_factor_fn_flk(
+                        plan, interpret=interp)
+                else:
+                    from ..ops.kernels import pallas_exec as _pe
+                    self._factor_fn, self.tapes = _pe.build_factor_fn_pallas(
+                        plan, chunk=min(opts.gemm_chunk, 16),
+                        interpret=interp)
             else:
                 pool = _blocklu.init_pool(plan, A3.data, self.dtype)
                 self.tapes = _blocklu.make_factor_tapes(plan)

@@ -1,0 +1,420 @@
+"""Fused left-looking factorization kernel (one pallas_call per factor).
+
+Motivation (measured, spikes 9-11): the per-level executor is bound by
+per-level fixed costs — 3 pallas calls + an XLA diagonal batch per
+elimination level ≈ 300µs/level — while most levels hold a single block
+(the elimination chain of the top separators is sequential: on lap3d20
+*every* level has one block). The per-level structure also forces the
+right-looking read-modify-write Schur pattern (4 block transfers per
+GEMM + window hazard scheduling).
+
+This kernel restructures the numeric factorization as **left-looking
+(fan-in) over write-once targets** inside a single sequential Pallas
+grid:
+
+- every stored block (diagonal, L panel, U panel) is a *target* visited
+  exactly once, in elimination order (diag k, then step-k panels);
+- a target's updates  T -= Σ_j L(I,j)·U(j,k)  accumulate into a VMEM
+  resident block across its tape windows (2 HBM reads per GEMM, one
+  write per block — no read-modify-write, no duplicate-target windows);
+- when a target finishes accumulating it is *finalized in kernel*:
+  diagonal blocks run a full-tile Doolittle LU with fused L-inverse and
+  a backward U-inverse sweep (ReplaceTinyPivot semantics, reference:
+  pdgstrf2.c:142-360); panels multiply by the step's uinv/linv
+  (pdCompute_Diag_Inv applied at factor time, pdgstrs.c:842);
+- write-after-write/read-after-write hazards are resolved by host-side
+  distance analysis: windows whose reads touch blocks finalized fewer
+  than two targets earlier carry a sync flag (drain outstanding writes).
+
+The left-looking regroup is exact: a target owned by step m receives
+updates only from steps adjacent in the filled pattern, whose
+elimination level is strictly lower (symbolic.py step_level), so by the
+time target m is visited every contributing panel is final.
+
+Reference analog: this fuses pdgstrf's panel factorization, TRSMs and
+Schur updates (pdgstrf.c:243-2003, dSchCompUdt-2Ddynamic.c) into the
+TPU-idiomatic form: one kernel, tape-driven, MXU GEMMs, async DMA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..host.symbolic import SymbolicPlan
+from . import blocklu as _bl
+
+BS = 128
+
+# finalize codes
+FIN_NONE = 0
+FIN_DIAG = 1
+FIN_L = 2     # X <- X @ uinv[step]
+FIN_U = 3     # X <- linv[step] @ X
+
+
+# ---------------------------------------------------------------------------
+# host: tape construction
+# ---------------------------------------------------------------------------
+
+
+def build_flk_tapes(plan: SymbolicPlan, Kc: int = 8):
+    """Window tape for the fused kernel.
+
+    Returns (tapes: dict of device arrays, consts: dict of ints).
+    Window w processes up to Kc contributions into the current target;
+    w_first marks the window that loads the target block, w_fin the
+    finalize action on the last window of a target.
+    """
+    nb, nslots = plan.nb, plan.nslots
+    g_t = np.asarray(plan.g_t, dtype=np.int64)
+    order = np.argsort(g_t, kind="stable")
+    gl_s = np.asarray(plan.g_l, dtype=np.int32)[order]
+    gu_s = np.asarray(plan.g_u, dtype=np.int32)[order]
+    counts = np.bincount(g_t, minlength=nslots) if len(g_t) else \
+        np.zeros(nslots, np.int64)
+    cptr = np.zeros(nslots + 1, dtype=np.int64)
+    cptr[1:] = np.cumsum(counts)
+
+    # target sequence: diag k, then L panels of k, then U panels of k
+    l_ptr, u_ptr = plan.l_ptr, plan.u_ptr
+    tgt_list = []
+    kind_list = []
+    step_list = []
+    for k in range(nb):
+        ls = plan.l_slots[l_ptr[k]:l_ptr[k + 1]]
+        us = plan.u_slots[u_ptr[k]:u_ptr[k + 1]]
+        tgt_list.append(np.array([plan.diag_slot[k]], dtype=np.int64))
+        tgt_list.append(np.asarray(ls, dtype=np.int64))
+        tgt_list.append(np.asarray(us, dtype=np.int64))
+        kind_list.append(np.array([FIN_DIAG], dtype=np.int32))
+        kind_list.append(np.full(len(ls), FIN_L, dtype=np.int32))
+        kind_list.append(np.full(len(us), FIN_U, dtype=np.int32))
+        step_list.append(np.full(1 + len(ls) + len(us), k, dtype=np.int32))
+    tgts = np.concatenate(tgt_list) if tgt_list else np.empty(0, np.int64)
+    kinds = np.concatenate(kind_list) if kind_list else np.empty(0, np.int32)
+    steps = np.concatenate(step_list) if step_list else np.empty(0, np.int32)
+    ntgt = len(tgts)
+
+    nwin_t = np.maximum(1, -(-counts[tgts] // Kc))
+    wptr = np.zeros(ntgt + 1, dtype=np.int64)
+    wptr[1:] = np.cumsum(nwin_t)
+    nw = int(wptr[-1])
+
+    w_tgt = np.empty(nw, dtype=np.int32)
+    w_step = np.empty(nw, dtype=np.int32)
+    w_first = np.zeros(nw, dtype=np.int32)
+    w_fin = np.zeros(nw, dtype=np.int32)
+    w_nc = np.zeros(nw, dtype=np.int32)
+    c_a = np.full(nw * Kc, plan.zero_slot, dtype=np.int32)
+    c_b = np.full(nw * Kc, plan.zero_slot, dtype=np.int32)
+
+    for t in range(ntgt):
+        w0, w1 = int(wptr[t]), int(wptr[t + 1])
+        sl = int(tgts[t])
+        lo, hi = int(cptr[sl]), int(cptr[sl + 1])
+        w_tgt[w0:w1] = sl
+        w_step[w0:w1] = steps[t]
+        w_first[w0] = 1
+        w_fin[w1 - 1] = kinds[t]
+        pos = lo
+        for w in range(w0, w1):
+            m = min(Kc, hi - pos)
+            w_nc[w] = m
+            if m:
+                c_a[w * Kc:w * Kc + m] = gl_s[pos:pos + m]
+                c_b[w * Kc:w * Kc + m] = gu_s[pos:pos + m]
+            pos += m
+
+    # ---- hazard analysis: which windows must drain outstanding writes ----
+    # finalize windows write pool[tgt] (+ linv/uinv[step] for diags). A
+    # window whose reads touch data written in the previous SYNC_DIST
+    # targets must carry a sync flag. Writes are waited within their own
+    # bank (2-target ping-pong), so distance >= 2 targets is always safe.
+    SYNC_DIST = 2
+    fin_windows = np.flatnonzero(w_fin)          # one per target, ordered
+    slot_fin_w = np.full(nslots + 2, -(10 ** 9), dtype=np.int64)
+    slot_fin_w[tgts] = fin_windows               # window finalizing slot
+    diag_fin_w = np.full(nb, -(10 ** 9), dtype=np.int64)
+    diag_fin_w[steps[kinds == FIN_DIAG]] = fin_windows[kinds == FIN_DIAG]
+
+    w_sync = np.zeros(nw, dtype=np.int32)
+    # reads: contribution lanes read pool[c_a], pool[c_b]
+    lane_w = np.repeat(np.arange(nw, dtype=np.int64), Kc)
+    # window of the target that is SYNC_DIST targets before lane's target:
+    # approximate via window distance: within-bank safety needs the
+    # producer's fin window to be at least "start window of target t-2"
+    # behind. Conservative and cheap: producer within the last
+    # (max windows of 2 targets) — use exact target indices instead.
+    w_of_tgt = np.zeros(nw, dtype=np.int64)      # target index per window
+    for t in range(ntgt):
+        w_of_tgt[wptr[t]:wptr[t + 1]] = t
+    fin_tgt_of_slot = np.full(nslots + 2, -(10 ** 9), dtype=np.int64)
+    fin_tgt_of_slot[tgts] = np.arange(ntgt)
+    fin_tgt_of_diag = np.full(nb, -(10 ** 9), dtype=np.int64)
+    fin_tgt_of_diag[steps[kinds == FIN_DIAG]] = \
+        np.flatnonzero(kinds == FIN_DIAG)
+
+    for src in (c_a, c_b):
+        prod_t = fin_tgt_of_slot[src]            # (nw*Kc,)
+        close = prod_t >= (w_of_tgt[lane_w] - (SYNC_DIST - 1))
+        np.logical_or.at(w_sync, lane_w[close], True)
+    # finalize windows read linv/uinv[step] (panels) — producer = diag fin
+    pan = w_fin >= FIN_L
+    prod_t = fin_tgt_of_diag[w_step[pan]]
+    close = prod_t >= (w_of_tgt[np.flatnonzero(pan)] - (SYNC_DIST - 1))
+    w_sync[np.flatnonzero(pan)[close]] = 1
+
+    nwp = _bl.bucket125(nw, lo=1)
+    pad = nwp - nw
+
+    def p(a, fill=0):
+        return jnp.asarray(np.concatenate(
+            [a, np.full(pad * (len(a) // nw), fill, a.dtype)])
+            if pad else a)
+
+    nbp = _bl.bucket125(plan.nb)
+    tapes = dict(
+        w_tgt=p(w_tgt, plan.trash_slot), w_step=p(w_step, nbp),
+        w_first=p(w_first), w_fin=p(w_fin), w_nc=p(w_nc), w_sync=p(w_sync),
+        c_a=p(c_a, plan.zero_slot), c_b=p(c_b, plan.zero_slot),
+    )
+    consts = dict(nw=nwp, nbp=nbp, poolp=_bl.bucket125(plan.nslots + 2))
+    return tapes, consts
+
+
+# ---------------------------------------------------------------------------
+# kernel: in-kernel full-tile LU with fused inverses
+# ---------------------------------------------------------------------------
+
+
+def _lu_tile_inkernel(X, thresh):
+    """Doolittle LU of a (BS, BS) tile with fused L-inverse accumulation
+    and a backward U-inverse sweep. No pivoting (GESP); tiny pivots are
+    replaced by sign(piv)·thresh and counted (pdgstrf2.c ReplaceTinyPivot).
+    Returns (LU_compact, linv, uinv, ntiny:f32 (1,1))."""
+    m = BS
+    rows = lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    one = jnp.ones((), X.dtype)
+    zero = jnp.zeros((), X.dtype)
+    eye = jnp.where(rows == cols, one, zero)
+    colv = rows[:, :1]          # (m,1) row index column
+    roww = cols[:1, :]          # (1,m) col index row
+
+    def fwd(j, carry):
+        X, R, tiny = carry
+        pivrow = jnp.sum(jnp.where(rows == j, X, 0.0), axis=0,
+                         keepdims=True)                      # (1,m)
+        piv = jnp.sum(jnp.where(roww == j, pivrow, 0.0), axis=1,
+                      keepdims=True)                         # (1,1)
+        apiv = jnp.abs(piv)
+        bad = apiv < thresh
+        sgn = jnp.where(apiv > 0.0,
+                        piv / jnp.maximum(apiv, jnp.finfo(X.dtype).tiny),
+                        1.0)
+        piv = jnp.where(bad, sgn * thresh, piv)
+        tiny = tiny + jnp.where(bad, jnp.ones_like(tiny),
+                                jnp.zeros_like(tiny))
+        pivrow = jnp.where(roww == j, piv, pivrow)
+        X = jnp.where((rows == j) & (cols == j), piv, X)
+        colj = jnp.sum(jnp.where(cols == j, X, 0.0), axis=1,
+                       keepdims=True)                        # (m,1)
+        factor = jnp.where(colv > j, colj / piv, 0.0)        # (m,1)
+        urow = jnp.where(roww > j, pivrow, 0.0)              # (1,m)
+        X = X - factor * urow
+        X = jnp.where((cols == j) & (rows > j),
+                      jnp.broadcast_to(factor, (m, m)), X)
+        Rj = jnp.sum(jnp.where(rows == j, R, 0.0), axis=0, keepdims=True)
+        R = R - factor * Rj
+        return X, R, tiny
+
+    X, linv, tiny = lax.fori_loop(
+        jnp.int32(0), jnp.int32(m), fwd,
+        (X, eye, jnp.zeros((1, 1), X.dtype)))
+
+    # U^{-1} by column-product form: U = (I + C)·D with C = strictU·D^{-1},
+    # so U^{-1} = D^{-1}·Π_j (I − c_j e_jᵀ) accumulated for j descending —
+    # the same masked-reduce op shapes as the forward loop (no row
+    # extraction, no narrow dots).
+    def bwd(i, R):
+        j = jnp.int32(m - 1) - i
+        colj = jnp.sum(jnp.where(cols == j, X, 0.0), axis=1,
+                       keepdims=True)                        # (m,1) col j
+        piv = jnp.sum(jnp.where(colv == j, colj, 0.0), axis=0,
+                      keepdims=True)                         # (1,1) U[j,j]
+        factor = jnp.where(colv < j, colj / piv, 0.0)
+        Rj = jnp.sum(jnp.where(rows == j, R, 0.0), axis=0, keepdims=True)
+        return R - factor * Rj
+
+    R = lax.fori_loop(jnp.int32(0), jnp.int32(m), bwd, eye)
+    dcol = jnp.sum(jnp.where(rows == cols, X, 0.0), axis=1, keepdims=True)
+    uinv = R / dcol
+    return X, linv, uinv, tiny
+
+
+def _flk_kernel(Kc, exact, nbp):
+    prec = "highest" if exact else "default"
+
+    def dot(a, b):
+        return jnp.dot(a, b, precision=prec,
+                       preferred_element_type=jnp.float32)
+
+    def kern(w_tgt, w_step, w_first, w_fin, w_nc, w_sync, c_a, c_b,
+             consts_ref, pool_ref, pool_out, linv_out, uinv_out, tiny_out,
+             sT, sA, sB, sD, sLi, sUi, sCnt, semT, semA, semB, semD, semW):
+        thresh = lax.bitcast_convert_type(
+            jnp.full((1, 128), consts_ref[0], jnp.int32),
+            jnp.float32)[0, 0]
+        w = pl.program_id(0)
+        nw = pl.num_programs(0)
+        base = w * jnp.int32(Kc)
+        first = w_first[w] == 1
+        fin = w_fin[w]
+        nc = w_nc[w]
+        tgt = w_tgt[w]
+        step = w_step[w]
+
+        # ---- init persistent state at first grid step ----
+        @pl.when(w == 0)
+        def _():
+            sCnt[...] = jnp.zeros_like(sCnt)
+
+        # ---- load target ----
+        @pl.when(first)
+        def _():
+            pltpu.make_async_copy(pool_out.at[tgt], sT, semT).start()
+
+        # ---- contribution DMAs (NOTE: every finalize below waits its
+        # own write DMAs, so no read here can race an in-flight write) ----
+        for j in range(Kc):
+            @pl.when(j < nc)
+            def _(j=j):
+                pltpu.make_async_copy(pool_out.at[c_a[base + j]],
+                                      sA.at[jnp.int32(j)], semA.at[jnp.int32(j)]).start()
+                pltpu.make_async_copy(pool_out.at[c_b[base + j]],
+                                      sB.at[jnp.int32(j)], semB.at[jnp.int32(j)]).start()
+
+        @pl.when(first)
+        def _():
+            pltpu.make_async_copy(pool_out.at[tgt], sT, semT).wait()
+
+        for j in range(Kc):
+            @pl.when(j < nc)
+            def _(j=j):
+                pltpu.make_async_copy(pool_out.at[c_a[base + j]],
+                                      sA.at[jnp.int32(j)], semA.at[jnp.int32(j)]).wait()
+                pltpu.make_async_copy(pool_out.at[c_b[base + j]],
+                                      sB.at[jnp.int32(j)], semB.at[jnp.int32(j)]).wait()
+                sT[...] = sT[...] - dot(sA[jnp.int32(j)], sB[jnp.int32(j)])
+
+        # ---- finalize ----
+        @pl.when(fin == FIN_DIAG)
+        def _():
+            import os as _os
+            _bis = _os.environ.get("SLU_FLK_BISECT", "")
+            LU, li, ui, nt = _lu_tile_inkernel(sT[...], thresh)
+            sT[...] = LU
+            sLi[...] = li if _bis != "skipli" else LU
+            sUi[...] = ui if _bis != "skipui" else LU
+            if _bis != "skipcnt":
+                sCnt[...] = sCnt[...] + jnp.broadcast_to(nt, sCnt.shape)
+            pltpu.make_async_copy(sT, pool_out.at[tgt], semW.at[jnp.int32(0)]).start()
+            pltpu.make_async_copy(sLi, linv_out.at[step],
+                                  semW.at[jnp.int32(1)]).start()
+            pltpu.make_async_copy(sUi, uinv_out.at[step],
+                                  semW.at[jnp.int32(2)]).start()
+            pltpu.make_async_copy(sT, pool_out.at[tgt], semW.at[jnp.int32(0)]).wait()
+            pltpu.make_async_copy(sLi, linv_out.at[step],
+                                  semW.at[jnp.int32(1)]).wait()
+            pltpu.make_async_copy(sUi, uinv_out.at[step],
+                                  semW.at[jnp.int32(2)]).wait()
+
+        @pl.when(fin == FIN_L)
+        def _():
+            pltpu.make_async_copy(uinv_out.at[step], sD, semD).start()
+            pltpu.make_async_copy(uinv_out.at[step], sD, semD).wait()
+            sT[...] = dot(sT[...], sD[...])
+            pltpu.make_async_copy(sT, pool_out.at[tgt], semW.at[jnp.int32(0)]).start()
+            pltpu.make_async_copy(sT, pool_out.at[tgt], semW.at[jnp.int32(0)]).wait()
+
+        @pl.when(fin == FIN_U)
+        def _():
+            pltpu.make_async_copy(linv_out.at[step], sD, semD).start()
+            pltpu.make_async_copy(linv_out.at[step], sD, semD).wait()
+            sT[...] = dot(sD[...], sT[...])
+            pltpu.make_async_copy(sT, pool_out.at[tgt], semW.at[jnp.int32(0)]).start()
+            pltpu.make_async_copy(sT, pool_out.at[tgt], semW.at[jnp.int32(0)]).wait()
+
+        # ---- emit the tiny-pivot counter on the last window ----
+        @pl.when(w == nw - 1)
+        def _():
+            pltpu.make_async_copy(sCnt, tiny_out, semW.at[jnp.int32(1)]).start()
+            pltpu.make_async_copy(sCnt, tiny_out, semW.at[jnp.int32(1)]).wait()
+
+    return kern
+
+
+@functools.lru_cache(maxsize=32)
+def _flk_executor(nw, nbp, poolp, Kc, exact, interpret):
+    kern = _flk_kernel(Kc, exact, nbp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(nw,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        scratch_shapes=[pltpu.VMEM((BS, BS), jnp.float32),
+                        pltpu.VMEM((Kc, BS, BS), jnp.float32),
+                        pltpu.VMEM((Kc, BS, BS), jnp.float32),
+                        pltpu.VMEM((BS, BS), jnp.float32),
+                        pltpu.VMEM((BS, BS), jnp.float32),
+                        pltpu.VMEM((BS, BS), jnp.float32),
+                        pltpu.VMEM((8, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA((Kc,)),
+                        pltpu.SemaphoreType.DMA((Kc,)),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA((3,))],
+    )
+
+    def factor(pool, thresh, tapes):
+        consts = jnp.reshape(lax.bitcast_convert_type(
+            thresh.astype(jnp.float32), jnp.int32), (1,))
+        pool2, linv, uinv, tiny = pl.pallas_call(
+            kern,
+            out_shape=[
+                jax.ShapeDtypeStruct(pool.shape, pool.dtype),
+                jax.ShapeDtypeStruct((nbp + 1, BS, BS), pool.dtype),
+                jax.ShapeDtypeStruct((nbp + 1, BS, BS), pool.dtype),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            ],
+            grid_spec=grid_spec,
+            input_output_aliases={9: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(tapes["w_tgt"], tapes["w_step"], tapes["w_first"],
+          tapes["w_fin"], tapes["w_nc"], tapes["w_sync"],
+          tapes["c_a"], tapes["c_b"], consts, pool)
+        return pool2, linv[:nbp + 1], uinv[:nbp + 1], \
+            tiny[0, 0].astype(jnp.int32)
+
+    return jax.jit(factor, donate_argnums=(0,))
+
+
+def build_factor_fn_flk(plan: SymbolicPlan, *, Kc: int = 8,
+                        exact: bool = True, interpret: bool = False):
+    """Single-call fused factor executor. Same contract as the other
+    executors: factor(pool, thresh, tapes) -> (pool, linv, uinv, tiny);
+    linv/uinv rows [0, nb) are valid, pool holds the finalized compact
+    factors (L panels post-TRSM, U panels post-solve, compact LU diag)."""
+    assert plan.bs == BS, "flk requires block size 128"
+    tapes, consts = build_flk_tapes(plan, Kc)
+    fn = _flk_executor(consts["nw"], consts["nbp"], consts["poolp"],
+                       Kc, exact, interpret)
+    return fn, tapes
