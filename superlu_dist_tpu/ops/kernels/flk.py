@@ -132,44 +132,30 @@ def build_flk_tapes(plan: SymbolicPlan, Kc: int = 8):
                 c_b[w * Kc:w * Kc + m] = gu_s[pos:pos + m]
             pos += m
 
-    # ---- hazard analysis: which windows must drain outstanding writes ----
-    # finalize windows write pool[tgt] (+ linv/uinv[step] for diags). A
-    # window whose reads touch data written in the previous SYNC_DIST
-    # targets must carry a sync flag. Writes are waited within their own
-    # bank (2-target ping-pong), so distance >= 2 targets is always safe.
+    # ---- hazard analysis: which windows must NOT be prefetched ----
+    # The kernel prefetches window w+1's contribution blocks while window
+    # w computes/finalizes. At prefetch time every finalize up to target
+    # t(w)-1 has landed (writes are waited inside their window), but t(w)
+    # itself finalizes AFTER the prefetch is issued. A window whose reads
+    # touch a block finalized at target >= t(w) = t(w+1)-1 (or t(w+1) when
+    # w+1 continues the same target) therefore carries a sync flag and
+    # loads its contributions synchronously at its own step instead.
     SYNC_DIST = 2
-    fin_windows = np.flatnonzero(w_fin)          # one per target, ordered
-    slot_fin_w = np.full(nslots + 2, -(10 ** 9), dtype=np.int64)
-    slot_fin_w[tgts] = fin_windows               # window finalizing slot
-    diag_fin_w = np.full(nb, -(10 ** 9), dtype=np.int64)
-    diag_fin_w[steps[kinds == FIN_DIAG]] = fin_windows[kinds == FIN_DIAG]
-
     w_sync = np.zeros(nw, dtype=np.int32)
     # reads: contribution lanes read pool[c_a], pool[c_b]
     lane_w = np.repeat(np.arange(nw, dtype=np.int64), Kc)
-    # window of the target that is SYNC_DIST targets before lane's target:
-    # approximate via window distance: within-bank safety needs the
-    # producer's fin window to be at least "start window of target t-2"
-    # behind. Conservative and cheap: producer within the last
-    # (max windows of 2 targets) — use exact target indices instead.
     w_of_tgt = np.zeros(nw, dtype=np.int64)      # target index per window
     for t in range(ntgt):
         w_of_tgt[wptr[t]:wptr[t + 1]] = t
     fin_tgt_of_slot = np.full(nslots + 2, -(10 ** 9), dtype=np.int64)
     fin_tgt_of_slot[tgts] = np.arange(ntgt)
-    fin_tgt_of_diag = np.full(nb, -(10 ** 9), dtype=np.int64)
-    fin_tgt_of_diag[steps[kinds == FIN_DIAG]] = \
-        np.flatnonzero(kinds == FIN_DIAG)
 
     for src in (c_a, c_b):
         prod_t = fin_tgt_of_slot[src]            # (nw*Kc,)
         close = prod_t >= (w_of_tgt[lane_w] - (SYNC_DIST - 1))
         np.logical_or.at(w_sync, lane_w[close], True)
-    # finalize windows read linv/uinv[step] (panels) — producer = diag fin
-    pan = w_fin >= FIN_L
-    prod_t = fin_tgt_of_diag[w_step[pan]]
-    close = prod_t >= (w_of_tgt[np.flatnonzero(pan)] - (SYNC_DIST - 1))
-    w_sync[np.flatnonzero(pan)[close]] = 1
+    # (panel finalizes read the step's linv/uinv from the VMEM cache the
+    # diagonal finalize left behind — no HBM read, no hazard)
 
     nwp = _bl.bucket125(nw, lo=1)
     pad = nwp - nw
@@ -195,11 +181,11 @@ def build_flk_tapes(plan: SymbolicPlan, Kc: int = 8):
 
 
 def _lu_tile_inkernel(X, thresh):
-    """Doolittle LU of a (BS, BS) tile with fused L-inverse accumulation
+    """Doolittle LU of a (bs, bs) tile with fused L-inverse accumulation
     and a backward U-inverse sweep. No pivoting (GESP); tiny pivots are
     replaced by sign(piv)·thresh and counted (pdgstrf2.c ReplaceTinyPivot).
     Returns (LU_compact, linv, uinv, ntiny:f32 (1,1))."""
-    m = BS
+    m = X.shape[0]
     rows = lax.broadcasted_iota(jnp.int32, (m, m), 0)
     cols = lax.broadcasted_iota(jnp.int32, (m, m), 1)
     one = jnp.ones((), X.dtype)
@@ -259,6 +245,101 @@ def _lu_tile_inkernel(X, thresh):
     return X, linv, uinv, tiny
 
 
+def _lu_tile_blocked(X, thresh, pb: int = 32):
+    """Blocked right-looking LU of an (m, m) tile with full L/U inverses.
+
+    Same math and ReplaceTinyPivot semantics as ``_lu_tile_inkernel`` but
+    restructured so the sequential scalar recurrence runs on (pb, pb)
+    subtiles (cheap vector ops) while all rank-pb work is MXU dots:
+      per panel p: scalar LU+inverses of the (pb,pb) diagonal subtile,
+      then L[below,p] = A·ui_p, U[p,right] = li_p·A, trailing GEMM update;
+      finally Linv/Uinv assembled by block (back)substitution with the
+      per-panel inverses. Measured ~8x faster per diagonal than the
+      full-tile scalar Doolittle on TPU (the recurrence touches 16x fewer
+      vector registers per step). Reference analog: the blocked panel
+      factorization of pdgstrf2_trsm (pdgstrf2.c:142-360).
+
+    Returns (LU_compact, linv, uinv, ntiny:f32 (1,1))."""
+    m = X.shape[0]
+    if m <= pb:
+        return _lu_tile_inkernel(X, thresh)
+    P = m // pb
+    assert P * pb == m
+
+    def dot(a, b):
+        return jnp.dot(a, b, precision="highest",
+                       preferred_element_type=X.dtype)
+
+    # right-looking panel sweep on a shrinking trailing block. Only value
+    # reads (slices) + concatenates — Mosaic has no in-kernel scatter, so
+    # no .at[].set on values.
+    lus = []     # per panel: compact LU of the (pb, pb) diagonal subtile
+    Lcols = []   # per panel: L[hi:, lo:hi]  (m-hi, pb)
+    Urows = []   # per panel: U[lo:hi, hi:]  (pb, m-hi)
+    li = []
+    ui = []
+    tiny = jnp.zeros((1, 1), X.dtype)
+    T = X
+    for p in range(P):
+        lu_pp, li_pp, ui_pp, t = _lu_tile_inkernel(T[:pb, :pb], thresh)
+        tiny = tiny + t
+        lus.append(lu_pp)
+        li.append(li_pp)
+        ui.append(ui_pp)
+        if p < P - 1:
+            Lp = dot(T[pb:, :pb], ui_pp)          # (rest, pb)
+            Up = dot(li_pp, T[:pb, pb:])          # (pb, rest)
+            Lcols.append(Lp)
+            Urows.append(Up)
+            T = T[pb:, pb:] - dot(Lp, Up)
+
+    def Lblk(p, q):      # L[p-strip, q-panel], q < p
+        off = (p - q - 1) * pb
+        return Lcols[q][off:off + pb]
+
+    def Ublk(p, q):      # U[p-strip, q-panel], q > p
+        off = (q - p - 1) * pb
+        return Urows[p][:, off:off + pb]
+
+    # compact LU rows: [ L[p,0..p-1] | lu_pp | U[p,p+1..] ]
+    strips = []
+    for p in range(P):
+        parts = [Lblk(p, q) for q in range(p)] + [lus[p]]
+        if p < P - 1:
+            parts.append(Urows[p])
+        strips.append(jnp.concatenate(parts, axis=1) if len(parts) > 1
+                      else parts[0])
+    LU = jnp.concatenate(strips, axis=0)
+
+    rows = lax.broadcasted_iota(jnp.int32, (pb, m), 1)
+
+    def eye_strip(p):
+        return jnp.where(
+            (rows - jnp.int32(p * pb))
+            == lax.broadcasted_iota(jnp.int32, (pb, m), 0),
+            jnp.ones((), X.dtype), jnp.zeros((), X.dtype))
+
+    # Linv rows by forward block substitution: row-strip p of L^{-1} is
+    # li_p · (E_p − Σ_{q<p} L[p,q] · Linv[q,:])
+    lrows = []
+    for p in range(P):
+        acc = eye_strip(p)
+        for q in range(p):
+            acc = acc - dot(Lblk(p, q), lrows[q])
+        lrows.append(dot(li[p], acc))
+    linv = jnp.concatenate(lrows, axis=0)
+
+    # Uinv rows by backward block substitution
+    urows = [None] * P
+    for p in range(P - 1, -1, -1):
+        acc = eye_strip(p)
+        for q in range(p + 1, P):
+            acc = acc - dot(Ublk(p, q), urows[q])
+        urows[p] = dot(ui[p], acc)
+    uinv = jnp.concatenate(urows, axis=0)
+    return LU, linv, uinv, tiny
+
+
 def _flk_kernel(Kc, exact, nbp):
     prec = "highest" if exact else "default"
 
@@ -268,7 +349,8 @@ def _flk_kernel(Kc, exact, nbp):
 
     def kern(w_tgt, w_step, w_first, w_fin, w_nc, w_sync, c_a, c_b,
              consts_ref, pool_ref, pool_out, linv_out, uinv_out, tiny_out,
-             sT, sA, sB, sD, sLi, sUi, sCnt, semT, semA, semB, semD, semW):
+             sT, sA, sB, sLi, sUi, sCnt, semT, semA, semB,
+             semWT, semWL, semWU):
         thresh = lax.bitcast_convert_type(
             jnp.full((1, 128), consts_ref[0], jnp.int32),
             jnp.float32)[0, 0]
@@ -280,26 +362,45 @@ def _flk_kernel(Kc, exact, nbp):
         nc = w_nc[w]
         tgt = w_tgt[w]
         step = w_step[w]
+        two = jnp.int32(2)
+        bank = lax.rem(w, two)
+        nbank = lax.rem(w + jnp.int32(1), two)
+
+        def start_reads(b0, cnt, bk):
+            for j in range(Kc):
+                @pl.when(j < cnt)
+                def _(j=j):
+                    pltpu.make_async_copy(
+                        pool_out.at[c_a[b0 + j]], sA.at[bk, jnp.int32(j)],
+                        semA.at[bk, jnp.int32(j)]).start()
+                    pltpu.make_async_copy(
+                        pool_out.at[c_b[b0 + j]], sB.at[bk, jnp.int32(j)],
+                        semB.at[bk, jnp.int32(j)]).start()
 
         # ---- init persistent state at first grid step ----
         @pl.when(w == 0)
         def _():
             sCnt[...] = jnp.zeros_like(sCnt)
 
+        # ---- own contribution reads, unless window w-1 prefetched them
+        # (it did iff w > 0 and w_sync[w] == 0) ----
+        @pl.when((w == 0) | (w_sync[w] == 1))
+        def _():
+            start_reads(base, nc, bank)
+
         # ---- load target ----
         @pl.when(first)
         def _():
             pltpu.make_async_copy(pool_out.at[tgt], sT, semT).start()
 
-        # ---- contribution DMAs (NOTE: every finalize below waits its
-        # own write DMAs, so no read here can race an in-flight write) ----
-        for j in range(Kc):
-            @pl.when(j < nc)
-            def _(j=j):
-                pltpu.make_async_copy(pool_out.at[c_a[base + j]],
-                                      sA.at[jnp.int32(j)], semA.at[jnp.int32(j)]).start()
-                pltpu.make_async_copy(pool_out.at[c_b[base + j]],
-                                      sB.at[jnp.int32(j)], semB.at[jnp.int32(j)]).start()
+        # ---- prefetch window w+1's contributions into the other bank
+        # while this window computes (hazard windows load at their own
+        # step instead — see build_flk_tapes sync analysis) ----
+        nxt = jnp.minimum(w + jnp.int32(1), nw - jnp.int32(1))
+
+        @pl.when((w + jnp.int32(1) < nw) & (w_sync[nxt] == 0))
+        def _():
+            start_reads(nxt * jnp.int32(Kc), w_nc[nxt], nbank)
 
         @pl.when(first)
         def _():
@@ -308,79 +409,76 @@ def _flk_kernel(Kc, exact, nbp):
         for j in range(Kc):
             @pl.when(j < nc)
             def _(j=j):
-                pltpu.make_async_copy(pool_out.at[c_a[base + j]],
-                                      sA.at[jnp.int32(j)], semA.at[jnp.int32(j)]).wait()
-                pltpu.make_async_copy(pool_out.at[c_b[base + j]],
-                                      sB.at[jnp.int32(j)], semB.at[jnp.int32(j)]).wait()
-                sT[...] = sT[...] - dot(sA[jnp.int32(j)], sB[jnp.int32(j)])
+                pltpu.make_async_copy(
+                    pool_out.at[c_a[base + j]], sA.at[bank, jnp.int32(j)],
+                    semA.at[bank, jnp.int32(j)]).wait()
+                pltpu.make_async_copy(
+                    pool_out.at[c_b[base + j]], sB.at[bank, jnp.int32(j)],
+                    semB.at[bank, jnp.int32(j)]).wait()
+                sT[...] = sT[...] - dot(sA[bank, jnp.int32(j)],
+                                        sB[bank, jnp.int32(j)])
 
-        # ---- finalize ----
+        # ---- finalize (panel TRSMs read the step's inverses from the
+        # VMEM cache left by the step's diagonal finalize, which always
+        # precedes them in target order). Write waits stay synchronous:
+        # a deferred-wait variant (wait at the next target's first
+        # window) measured ~25% SLOWER — the wait at a window top stalls
+        # the scalar core's run-ahead DMA issue. ----
         @pl.when(fin == FIN_DIAG)
         def _():
-            import os as _os
-            _bis = _os.environ.get("SLU_FLK_BISECT", "")
-            LU, li, ui, nt = _lu_tile_inkernel(sT[...], thresh)
+            LU, li, ui, nt = _lu_tile_blocked(sT[...], thresh)
             sT[...] = LU
-            sLi[...] = li if _bis != "skipli" else LU
-            sUi[...] = ui if _bis != "skipui" else LU
-            if _bis != "skipcnt":
-                sCnt[...] = sCnt[...] + jnp.broadcast_to(nt, sCnt.shape)
-            pltpu.make_async_copy(sT, pool_out.at[tgt], semW.at[jnp.int32(0)]).start()
-            pltpu.make_async_copy(sLi, linv_out.at[step],
-                                  semW.at[jnp.int32(1)]).start()
-            pltpu.make_async_copy(sUi, uinv_out.at[step],
-                                  semW.at[jnp.int32(2)]).start()
-            pltpu.make_async_copy(sT, pool_out.at[tgt], semW.at[jnp.int32(0)]).wait()
-            pltpu.make_async_copy(sLi, linv_out.at[step],
-                                  semW.at[jnp.int32(1)]).wait()
-            pltpu.make_async_copy(sUi, uinv_out.at[step],
-                                  semW.at[jnp.int32(2)]).wait()
+            sLi[...] = li
+            sUi[...] = ui
+            sCnt[...] = sCnt[...] + jnp.broadcast_to(nt, sCnt.shape)
+            pltpu.make_async_copy(sT, pool_out.at[tgt], semWT).start()
+            pltpu.make_async_copy(sLi, linv_out.at[step], semWL).start()
+            pltpu.make_async_copy(sUi, uinv_out.at[step], semWU).start()
+            pltpu.make_async_copy(sT, pool_out.at[tgt], semWT).wait()
+            pltpu.make_async_copy(sLi, linv_out.at[step], semWL).wait()
+            pltpu.make_async_copy(sUi, uinv_out.at[step], semWU).wait()
 
         @pl.when(fin == FIN_L)
         def _():
-            pltpu.make_async_copy(uinv_out.at[step], sD, semD).start()
-            pltpu.make_async_copy(uinv_out.at[step], sD, semD).wait()
-            sT[...] = dot(sT[...], sD[...])
-            pltpu.make_async_copy(sT, pool_out.at[tgt], semW.at[jnp.int32(0)]).start()
-            pltpu.make_async_copy(sT, pool_out.at[tgt], semW.at[jnp.int32(0)]).wait()
+            sT[...] = dot(sT[...], sUi[...])
+            pltpu.make_async_copy(sT, pool_out.at[tgt], semWT).start()
+            pltpu.make_async_copy(sT, pool_out.at[tgt], semWT).wait()
 
         @pl.when(fin == FIN_U)
         def _():
-            pltpu.make_async_copy(linv_out.at[step], sD, semD).start()
-            pltpu.make_async_copy(linv_out.at[step], sD, semD).wait()
-            sT[...] = dot(sD[...], sT[...])
-            pltpu.make_async_copy(sT, pool_out.at[tgt], semW.at[jnp.int32(0)]).start()
-            pltpu.make_async_copy(sT, pool_out.at[tgt], semW.at[jnp.int32(0)]).wait()
+            sT[...] = dot(sLi[...], sT[...])
+            pltpu.make_async_copy(sT, pool_out.at[tgt], semWT).start()
+            pltpu.make_async_copy(sT, pool_out.at[tgt], semWT).wait()
 
         # ---- emit the tiny-pivot counter on the last window ----
         @pl.when(w == nw - 1)
         def _():
-            pltpu.make_async_copy(sCnt, tiny_out, semW.at[jnp.int32(1)]).start()
-            pltpu.make_async_copy(sCnt, tiny_out, semW.at[jnp.int32(1)]).wait()
+            pltpu.make_async_copy(sCnt, tiny_out, semWT).start()
+            pltpu.make_async_copy(sCnt, tiny_out, semWT).wait()
 
     return kern
 
 
 @functools.lru_cache(maxsize=32)
-def _flk_executor(nw, nbp, poolp, Kc, exact, interpret):
+def _flk_executor(nw, nbp, poolp, Kc, bs, exact, interpret):
     kern = _flk_kernel(Kc, exact, nbp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
         grid=(nw,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        scratch_shapes=[pltpu.VMEM((BS, BS), jnp.float32),
-                        pltpu.VMEM((Kc, BS, BS), jnp.float32),
-                        pltpu.VMEM((Kc, BS, BS), jnp.float32),
-                        pltpu.VMEM((BS, BS), jnp.float32),
-                        pltpu.VMEM((BS, BS), jnp.float32),
-                        pltpu.VMEM((BS, BS), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bs, bs), jnp.float32),
+                        pltpu.VMEM((2, Kc, bs, bs), jnp.float32),
+                        pltpu.VMEM((2, Kc, bs, bs), jnp.float32),
+                        pltpu.VMEM((bs, bs), jnp.float32),
+                        pltpu.VMEM((bs, bs), jnp.float32),
                         pltpu.VMEM((8, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA(()),
-                        pltpu.SemaphoreType.DMA((Kc,)),
-                        pltpu.SemaphoreType.DMA((Kc,)),
+                        pltpu.SemaphoreType.DMA((2, Kc)),
+                        pltpu.SemaphoreType.DMA((2, Kc)),
                         pltpu.SemaphoreType.DMA(()),
-                        pltpu.SemaphoreType.DMA((3,))],
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
     )
 
     def factor(pool, thresh, tapes):
@@ -390,8 +488,8 @@ def _flk_executor(nw, nbp, poolp, Kc, exact, interpret):
             kern,
             out_shape=[
                 jax.ShapeDtypeStruct(pool.shape, pool.dtype),
-                jax.ShapeDtypeStruct((nbp + 1, BS, BS), pool.dtype),
-                jax.ShapeDtypeStruct((nbp + 1, BS, BS), pool.dtype),
+                jax.ShapeDtypeStruct((nbp + 1, bs, bs), pool.dtype),
+                jax.ShapeDtypeStruct((nbp + 1, bs, bs), pool.dtype),
                 jax.ShapeDtypeStruct((8, 128), jnp.float32),
             ],
             grid_spec=grid_spec,
@@ -412,9 +510,14 @@ def build_factor_fn_flk(plan: SymbolicPlan, *, Kc: int = 8,
     """Single-call fused factor executor. Same contract as the other
     executors: factor(pool, thresh, tapes) -> (pool, linv, uinv, tiny);
     linv/uinv rows [0, nb) are valid, pool holds the finalized compact
-    factors (L panels post-TRSM, U panels post-solve, compact LU diag)."""
-    assert plan.bs == BS, "flk requires block size 128"
+    factors (L panels post-TRSM, U panels post-solve, compact LU diag).
+
+    Any block size with bs % 8 == 0 is accepted; sub-128 blocks trade MXU
+    width for a smaller padded flop model (the win for irregular
+    matrices — the reference's variable supernode width, relax_snode
+    symbfact.c:238-272, recast as a per-matrix block-size choice)."""
+    assert plan.bs % 8 == 0, "flk requires block size divisible by 8"
     tapes, consts = build_flk_tapes(plan, Kc)
     fn = _flk_executor(consts["nw"], consts["nbp"], consts["poolp"],
-                       Kc, exact, interpret)
+                       Kc, plan.bs, exact, interpret)
     return fn, tapes

@@ -755,7 +755,7 @@ def _sweep_kernel(C, W, exact):
 
 
 def make_sweep_call(n_windows: int, C: int, W: int, exact: bool,
-                    interpret: bool = False):
+                    interpret: bool = False, bs: int = BS):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_windows,),
@@ -763,9 +763,9 @@ def make_sweep_call(n_windows: int, C: int, W: int, exact: bool,
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[pltpu.VMEM((C, BS, BS), jnp.float32),
-                        pltpu.VMEM((C, BS, W), jnp.float32),
-                        pltpu.VMEM((C, BS, W), jnp.float32)]
+        scratch_shapes=[pltpu.VMEM((C, bs, bs), jnp.float32),
+                        pltpu.VMEM((C, bs, W), jnp.float32),
+                        pltpu.VMEM((C, bs, W), jnp.float32)]
         + [pltpu.SemaphoreType.DMA((C,))] * 4,
     )
 
@@ -849,16 +849,16 @@ def sweep_tape(plan: SymbolicPlan, which: str, C: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _fused_solve_executor(nbp, nw_l, nw_u, C, W, exact, interpret):
-    sweep_l = make_sweep_call(nw_l, C, W, exact, interpret)
-    sweep_u = make_sweep_call(nw_u, C, W, exact, interpret)
+def _fused_solve_executor(nbp, nw_l, nw_u, C, W, exact, interpret, bs=BS):
+    sweep_l = make_sweep_call(nw_l, C, W, exact, interpret, bs)
+    sweep_u = make_sweep_call(nw_u, C, W, exact, interpret, bs)
 
     def solve(pool, linv, uinv, tl, tu, b):
-        X = b.reshape(nbp, BS, W)
-        X = jnp.concatenate([X, jnp.zeros((1, BS, W), X.dtype)], axis=0)
+        X = b.reshape(nbp, bs, W)
+        X = jnp.concatenate([X, jnp.zeros((1, bs, W), X.dtype)], axis=0)
         X = sweep_l(pool, linv, X, *tl)
         X = sweep_u(pool, uinv, X, *tu)
-        return X[:nbp].reshape(nbp * BS, W)
+        return X[:nbp].reshape(nbp * bs, W)
 
     return jax.jit(solve)
 
@@ -868,12 +868,13 @@ def build_solve_fn_pallas_fused(plan: SymbolicPlan, nrhs: int, *,
                                 interpret: bool = False):
     """One pallas call per triangular sweep. Same contract as
     build_solve_fn_pallas: returns (solve_fn, (tl, tu), W)."""
-    assert plan.bs == BS
+    assert plan.bs % 8 == 0
     W = max(128, -(-nrhs // 128) * 128)
     opl, tal, tbl, tcl, nwl = sweep_tape(plan, "L", chunk)
     opu, tau, tbu, tcu, nwu = sweep_tape(plan, "U", chunk)
     nbp = _bl.bucket125(plan.nb)
-    fn = _fused_solve_executor(nbp, nwl, nwu, chunk, W, exact, interpret)
+    fn = _fused_solve_executor(nbp, nwl, nwu, chunk, W, exact, interpret,
+                               plan.bs)
     return fn, ((opl, tal, tbl, tcl), (opu, tau, tbu, tcu)), W
 
 
