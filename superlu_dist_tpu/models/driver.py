@@ -256,17 +256,26 @@ class SparseLU:
                 if self.options.replace_tiny_pivot else 0.0)
 
     def _use_pallas(self) -> bool:
-        """The Pallas executor needs B=128 f32 on a real TPU (or interpret
-        mode for tests via SLU_TPU_FORCE_PALLAS=interpret)."""
+        """The Pallas path needs B=128 f32 on a real TPU (or interpret mode
+        for tests via SLU_TPU_FORCE_PALLAS=interpret). Mosaic requires DMA
+        block slices to be lane-aligned to 128, so sub-128 pools cannot
+        compile on hardware (measured: bs=64 is rejected at memref_slice);
+        interpret mode accepts any bs divisible by 8 for the flk executor.
+        Smaller blocks are also a wall-clock loss on hardware: the fused
+        kernel is per-op latency-bound (~2.5 TF/s padded vs ~100 TF/s MXU
+        peak), so halving bs multiplies op count without saving time."""
         import os
         import jax
         force = os.environ.get("SLU_TPU_FORCE_PALLAS", "")
         if force == "off":
             return False
-        if self.plan.bs != 128 or self.dtype != np.dtype(np.float32):
+        if self.dtype != np.dtype(np.float32):
             return False
+        flk = os.environ.get("SLU_TPU_EXECUTOR", "flk") == "flk"
         if force == "interpret":
-            return True
+            return self.plan.bs % 8 == 0 if flk else self.plan.bs == 128
+        if self.plan.bs != 128:
+            return False
         return jax.devices()[0].platform == "tpu"
 
     def _use_planar(self) -> bool:

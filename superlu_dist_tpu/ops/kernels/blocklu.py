@@ -582,15 +582,20 @@ def build_solve_fn(plan: SymbolicPlan, nrhs: int, *, chunk: int = 32):
 def init_pool(plan: SymbolicPlan, a_data, dtype) -> jax.Array:
     """Scatter the (permuted, scaled) matrix values into the bucket-padded
     block pool. ``a_data`` must be in the CSC data order of the matrix the
-    plan was built from; padding diagonal entries get 1.0."""
+    plan was built from; padding diagonal entries get 1.0.
+
+    The scatter runs in numpy on the host and the finished pool is a single
+    device_put: an on-device scatter would cost one XLA compile per
+    (pool, nnz) shape signature (measured ~5s each on the TPU), which
+    dominated the DIST phase of pddistribute-style setup."""
     b = factor_buckets(plan)
-    vals = jnp.asarray(a_data, dtype=dtype)
+    vals = np.asarray(a_data, dtype=dtype)
+    flat = np.zeros(b.poolp * plan.bs * plan.bs, dtype=dtype)
+    idx = np.asarray(plan.init_idx)
+    np.add.at(flat, idx[: len(vals)], vals)
     if plan.init_ones:
-        vals = jnp.concatenate(
-            [vals, jnp.ones((plan.init_ones,), dtype=dtype)])
-    flat = jnp.zeros(b.poolp * plan.bs * plan.bs, dtype=dtype)
-    flat = flat.at[jnp.asarray(plan.init_idx)].add(vals)
-    return flat.reshape(b.poolp, plan.bs, plan.bs)
+        flat[idx[len(vals):]] += 1
+    return jax.device_put(flat.reshape(b.poolp, plan.bs, plan.bs))
 
 
 # ---------------------------------------------------------------------------

@@ -374,18 +374,20 @@ def init_pool_planar(plan: SymbolicPlan, a_data, dtype) -> jax.Array:
     b = factor_buckets(plan)
     rdt = _real_base(dtype)
     a = np.asarray(a_data)
-    vr = jnp.asarray(a.real, dtype=rdt)
-    vi = jnp.asarray(a.imag, dtype=rdt)
+    vr = np.asarray(a.real, dtype=rdt)
+    vi = np.asarray(a.imag, dtype=rdt)
     if plan.init_ones:
-        vr = jnp.concatenate([vr, jnp.ones((plan.init_ones,), dtype=rdt)])
-        vi = jnp.concatenate([vi, jnp.zeros((plan.init_ones,), dtype=rdt)])
+        vr = np.concatenate([vr, np.ones((plan.init_ones,), dtype=rdt)])
+        vi = np.concatenate([vi, np.zeros((plan.init_ones,), dtype=rdt)])
     bb = plan.bs * plan.bs
-    idx = jnp.asarray(plan.init_idx)
+    idx = np.asarray(plan.init_idx)
     # flat layout (poolp, 2, bs, bs): slot s, plane p, offset o
     #   flat = s*2*bb + p*bb + o  where init_idx = s*bb + o
+    # Host numpy scatter + one device_put: an on-device scatter costs an
+    # XLA compile per shape signature (~5s each through the TPU tunnel).
     slot = idx // bb
     off = idx % bb
-    flat = jnp.zeros(b.poolp * 2 * bb, dtype=rdt)
-    flat = flat.at[slot * (2 * bb) + off].add(vr)
-    flat = flat.at[slot * (2 * bb) + bb + off].add(vi)
-    return flat.reshape(b.poolp, 2, plan.bs, plan.bs)
+    flat = np.zeros(b.poolp * 2 * bb, dtype=rdt)
+    np.add.at(flat, slot * (2 * bb) + off, vr)
+    np.add.at(flat, slot * (2 * bb) + bb + off, vi)
+    return jax.device_put(flat.reshape(b.poolp, 2, plan.bs, plan.bs))
