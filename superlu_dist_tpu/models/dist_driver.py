@@ -53,6 +53,8 @@ class DistributedSparseLU(SparseLU):
                                             self.dtype, self.grid)
             self._factor_fn = dist2d.build_dist_factor_fn(
                 plan, self.dplan, self.grid, chunk=opts.gemm_chunk)
+            stat.counters.update(self.dplan.comm_volume(
+                np.dtype(self.dtype).itemsize))
 
         with stat.phase("FACT"):
             pools, linv, uinv, tiny = self._factor_fn(

@@ -340,7 +340,7 @@ def _lu_tile_blocked(X, thresh, pb: int = 32):
     return LU, linv, uinv, tiny
 
 
-def _flk_kernel(Kc, exact, nbp):
+def _flk_kernel(Kc, exact, nbp, bs):
     prec = "highest" if exact else "default"
 
     def dot(a, b):
@@ -367,15 +367,22 @@ def _flk_kernel(Kc, exact, nbp):
         nbank = lax.rem(w + jnp.int32(1), two)
 
         def start_reads(b0, cnt, bk):
+            # all Kc lanes unconditionally: invalid lanes read the zero
+            # block (tape fill = zero_slot), whose product is exactly 0.
+            # The per-lane pl.when branches cost more scalar-core time
+            # than the wasted DMA bandwidth (the kernel is scalar-bound:
+            # noop ablation = 2.2us/window with GEMMs fully hidden).
+            # A lanes land side by side in a (bs, Kc*bs) strip so the
+            # window's contraction is a single wide matmul.
+            del cnt
             for j in range(Kc):
-                @pl.when(j < cnt)
-                def _(j=j):
-                    pltpu.make_async_copy(
-                        pool_out.at[c_a[b0 + j]], sA.at[bk, jnp.int32(j)],
-                        semA.at[bk, jnp.int32(j)]).start()
-                    pltpu.make_async_copy(
-                        pool_out.at[c_b[b0 + j]], sB.at[bk, jnp.int32(j)],
-                        semB.at[bk, jnp.int32(j)]).start()
+                pltpu.make_async_copy(
+                    pool_out.at[c_a[b0 + j]],
+                    sA.at[bk, slice(None), pl.ds(j * bs, bs)],
+                    semA.at[bk, jnp.int32(j)]).start()
+                pltpu.make_async_copy(
+                    pool_out.at[c_b[b0 + j]], sB.at[bk, jnp.int32(j)],
+                    semB.at[bk, jnp.int32(j)]).start()
 
         # ---- init persistent state at first grid step ----
         @pl.when(w == 0)
@@ -407,16 +414,23 @@ def _flk_kernel(Kc, exact, nbp):
             pltpu.make_async_copy(pool_out.at[tgt], sT, semT).wait()
 
         for j in range(Kc):
-            @pl.when(j < nc)
-            def _(j=j):
-                pltpu.make_async_copy(
-                    pool_out.at[c_a[base + j]], sA.at[bank, jnp.int32(j)],
-                    semA.at[bank, jnp.int32(j)]).wait()
-                pltpu.make_async_copy(
-                    pool_out.at[c_b[base + j]], sB.at[bank, jnp.int32(j)],
-                    semB.at[bank, jnp.int32(j)]).wait()
-                sT[...] = sT[...] - dot(sA[bank, jnp.int32(j)],
-                                        sB[bank, jnp.int32(j)])
+            pltpu.make_async_copy(
+                pool_out.at[c_a[base + j]],
+                sA.at[bank, slice(None), pl.ds(j * bs, bs)],
+                semA.at[bank, jnp.int32(j)]).wait()
+            pltpu.make_async_copy(
+                pool_out.at[c_b[base + j]], sB.at[bank, jnp.int32(j)],
+                semB.at[bank, jnp.int32(j)]).wait()
+
+        # The window's whole contraction as ONE wide matmul,
+        # (bs, Kc·bs)×(Kc·bs, bs): a single scalar-core issue that the
+        # MXU executes as Kc accumulation passes. (Earlier forms —
+        # per-lane sT RMW, then Kc independent dots + add tree — cost
+        # ~15 scalar issues per window; the kernel is scalar-issue-bound
+        # at ~80ns/op.) Invalid lanes hold the zero block, so their
+        # passes contribute nothing.
+        sT[...] = sT[...] - dot(sA[bank],
+                                sB[bank].reshape(Kc * bs, bs))
 
         # ---- finalize (panel TRSMs read the step's inverses from the
         # VMEM cache left by the step's diagonal finalize, which always
@@ -461,14 +475,14 @@ def _flk_kernel(Kc, exact, nbp):
 
 @functools.lru_cache(maxsize=32)
 def _flk_executor(nw, nbp, poolp, Kc, bs, exact, interpret):
-    kern = _flk_kernel(Kc, exact, nbp)
+    kern = _flk_kernel(Kc, exact, nbp, bs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
         grid=(nw,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         scratch_shapes=[pltpu.VMEM((bs, bs), jnp.float32),
-                        pltpu.VMEM((2, Kc, bs, bs), jnp.float32),
+                        pltpu.VMEM((2, bs, Kc * bs), jnp.float32),
                         pltpu.VMEM((2, Kc, bs, bs), jnp.float32),
                         pltpu.VMEM((bs, bs), jnp.float32),
                         pltpu.VMEM((bs, bs), jnp.float32),

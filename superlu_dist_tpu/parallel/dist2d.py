@@ -60,6 +60,8 @@ class DistPlan2D:
     n_local: int          # local pool slots (incl. zero/trash)
     max_lbuf: int         # L broadcast buffer rows per level
     max_ubuf: int
+    max_dlvl: int         # max elimination steps per level (compact
+                          # inverse-broadcast buffer rows)
 
     # value placement: global slot -> (device, local slot)
     owner_dev: np.ndarray     # (nslots,) linear device id r*pc + c
@@ -69,28 +71,60 @@ class DistPlan2D:
     dptr: np.ndarray          # (pr, pc, nlvl+1) owned diag ranges
     dstep: np.ndarray         # step ids of owned diag blocks
     dloc: np.ndarray          # local slots of owned diag blocks
+    dpos: np.ndarray          # position of the step within its level
     lptr: np.ndarray          # (pr, pc, nlvl+1)
     lloc: np.ndarray          # owned L-panel local slots
     lpos: np.ndarray          # fill position in the level's L buffer
-    lstep: np.ndarray         # owning elimination step
+    lpil: np.ndarray          # owning step's position within its level
     uptr: np.ndarray
     uloc: np.ndarray
     upos: np.ndarray
-    ustep: np.ndarray
+    upil: np.ndarray
     gptr: np.ndarray
     glpos: np.ndarray
     gupos: np.ndarray
     gtloc: np.ndarray
+    dinv_idx: np.ndarray      # (nb,) owner-local inverse index of step k
 
     # solve tapes (L then U), per device, grouped by level
     lsol_gptr: np.ndarray
     lsol_gloc: np.ndarray
     lsol_gsrc: np.ndarray
-    lsol_gdst: np.ndarray
+    lsol_gdst: np.ndarray     # compact position within the level's buffer
     usol_gptr: np.ndarray
     usol_gloc: np.ndarray
     usol_gsrc: np.ndarray
     usol_gdst: np.ndarray
+    # replicated: global rows of each solve level's compact delta buffer
+    lsol_rows: np.ndarray     # (lsol_nlvl, max_lact) fill nb
+    usol_rows: np.ndarray
+    # owner-only diagonal applies per solve level
+    ldsol_ptr: np.ndarray     # (pr, pc, lsol_nlvl+1)
+    ldsol_row: np.ndarray     # global block row I
+    ldsol_pos: np.ndarray     # position within the level's diag buffer
+    ldsol_inv: np.ndarray     # owner-local inverse index
+    udsol_ptr: np.ndarray
+    udsol_row: np.ndarray
+    udsol_pos: np.ndarray
+    udsol_inv: np.ndarray
+    lsol_drows: np.ndarray    # (lsol_nlvl, max_ldact) fill nb
+    usol_drows: np.ndarray
+
+    # ---- comm accounting (bytes moved per psum, for Stats counters) ----
+    def comm_volume(self, itemsize: int, nrhs: int = 1) -> dict:
+        """Per-phase collective volume in bytes (one axis-psum counted
+        once). Compact buffers make solve volume proportional to the
+        active rows per level (fmod/fsendx analog, pdgstrs.c:344-827)."""
+        bsb = self.bs * self.bs * itemsize
+        fac = self.nlvl * (2 * (self.max_dlvl + 1)
+                           + (self.max_lbuf + 2) + (self.max_ubuf + 2)) * bsb
+        xrow = self.bs * nrhs * itemsize
+        sol = ((self.lsol_rows.shape[0] * (self.lsol_rows.shape[1] + 1)
+                + self.usol_rows.shape[0] * (self.usol_rows.shape[1] + 1)
+                + self.lsol_drows.shape[0] * (self.lsol_drows.shape[1] + 1)
+                + self.usol_drows.shape[0] * (self.usol_drows.shape[1] + 1))
+               * xrow)
+        return {"factor_psum_bytes": int(fac), "solve_psum_bytes": int(sol)}
 
 
 def partition_plan(plan: SymbolicPlan, pr: int, pc: int) -> DistPlan2D:
@@ -114,6 +148,10 @@ def partition_plan(plan: SymbolicPlan, pr: int, pc: int) -> DistPlan2D:
 
     lev = plan.step_level
     steps_by_level = [np.flatnonzero(lev == l) for l in range(nlvl)]
+    max_dlvl = max(1, max((len(s) for s in steps_by_level), default=1))
+    pil_of_step = np.zeros(nb, dtype=np.int64)   # position within level
+    for sl in steps_by_level:
+        pil_of_step[sl] = np.arange(len(sl))
 
     d_lists = [[[] for _ in range(nlvl)] for _ in range(ndev)]
     l_lists = [[[] for _ in range(nlvl)] for _ in range(ndev)]
@@ -132,7 +170,8 @@ def partition_plan(plan: SymbolicPlan, pr: int, pc: int) -> DistPlan2D:
         for k in steps_by_level[l]:
             ds = plan.diag_slot[k]
             d = owner_dev[ds]
-            d_lists[d][l].append((int(k), int(local_slot[ds])))
+            d_lists[d][l].append((int(k), int(local_slot[ds]),
+                                  int(pil_of_step[k])))
 
             lo, hi = plan.l_ptr[k], plan.l_ptr[k + 1]
             for s in plan.l_slots[lo:hi]:
@@ -141,7 +180,7 @@ def partition_plan(plan: SymbolicPlan, pr: int, pc: int) -> DistPlan2D:
                 lrow_count[r] += 1
                 lpos_of[int(s)] = pos
                 l_lists[owner_dev[s]][l].append(
-                    (int(local_slot[s]), pos, int(k)))
+                    (int(local_slot[s]), pos, int(pil_of_step[k])))
             uo, uh = plan.u_ptr[k], plan.u_ptr[k + 1]
             for s in plan.u_slots[uo:uh]:
                 c = int(scol[s] % pc)
@@ -149,7 +188,7 @@ def partition_plan(plan: SymbolicPlan, pr: int, pc: int) -> DistPlan2D:
                 ucol_count[c] += 1
                 upos_of[int(s)] = pos
                 u_lists[owner_dev[s]][l].append(
-                    (int(local_slot[s]), pos, int(k)))
+                    (int(local_slot[s]), pos, int(pil_of_step[k])))
         max_lbuf = max(max_lbuf, int(lrow_count.max()))
         max_ubuf = max(max_ubuf, int(ucol_count.max()))
         for k in steps_by_level[l]:
@@ -179,19 +218,45 @@ def partition_plan(plan: SymbolicPlan, pr: int, pc: int) -> DistPlan2D:
         return (ptr.reshape(pr, pc, nlvl + 1).astype(np.int32),
                 [o.reshape(pr, pc, maxlen) for o in out])
 
-    dptr, (dstep, dloc) = pack(d_lists, 2, fills=[nb, _TRASH])
-    lptr, (lloc, lpos, lstep) = pack(l_lists, 3, fills=[_TRASH, 0, nb])
-    uptr, (uloc, upos, ustep) = pack(u_lists, 3, fills=[_TRASH, 0, nb])
+    dptr, (dstep, dloc, dpos) = pack(d_lists, 3, fills=[nb, _TRASH, max_dlvl])
+    lptr, (lloc, lpos, lpil) = pack(l_lists, 3, fills=[_TRASH, 0, max_dlvl])
+    uptr, (uloc, upos, upil) = pack(u_lists, 3, fills=[_TRASH, 0, max_dlvl])
     gptr, (glpos, gupos, gtloc) = pack(g_lists, 3)
 
-    # ---------- solve tapes: group each sweep's gemms by (device, level) ----
+    # owner-local inverse index of each step: its position in the owner's
+    # d tape (the factor stores inverses at that position)
+    dinv_idx = np.zeros(nb, dtype=np.int64)
+    dstep_flat = dstep.reshape(ndev, -1)
+    for d in range(ndev):
+        for i, k in enumerate(dstep_flat[d]):
+            if k < nb:
+                dinv_idx[k] = i
+
+    # ---------- solve tapes: group each sweep's gemms by (device, level),
+    # destinations remapped to compact per-level buffer positions (comm
+    # volume per level ∝ active rows — the fmod/fsendx participant-list
+    # analog, pdgstrs.c:344-827) ----
     def solve_pack(gptr_g, gslot_g, gsrc_g, gdst_g, snlvl):
+        # compact position of each active destination row per level
+        rows_per_lvl = []
+        pos_of = [dict() for _ in range(snlvl)]
+        for l in range(snlvl):
+            dsts = np.unique(np.asarray(
+                gdst_g[gptr_g[l]:gptr_g[l + 1]], dtype=np.int64))
+            pos_of[l] = {int(r): i for i, r in enumerate(dsts)}
+            rows_per_lvl.append(dsts)
+        max_act = max(1, max((len(r) for r in rows_per_lvl), default=1))
+        lvl_rows = np.full((max(snlvl, 1), max_act), nb, dtype=np.int32)
+        for l, r in enumerate(rows_per_lvl):
+            lvl_rows[l, : len(r)] = r
+
         lists = [[[] for _ in range(snlvl)] for _ in range(ndev)]
         for l in range(snlvl):
             for t in range(gptr_g[l], gptr_g[l + 1]):
                 s = gslot_g[t]
                 lists[owner_dev[s]][l].append(
-                    (int(local_slot[s]), int(gsrc_g[t]), int(gdst_g[t])))
+                    (int(local_slot[s]), int(gsrc_g[t]),
+                     pos_of[l][int(gdst_g[t])]))
         ptr = np.zeros((ndev, snlvl + 1), dtype=np.int64)
         for d in range(ndev):
             for l in range(snlvl):
@@ -199,7 +264,7 @@ def partition_plan(plan: SymbolicPlan, pr: int, pc: int) -> DistPlan2D:
         maxlen = max(1, int(ptr[:, -1].max()))
         loc = np.full((ndev, maxlen), _ZERO, dtype=np.int32)
         src = np.zeros((ndev, maxlen), dtype=np.int32)
-        dst = np.full((ndev, maxlen), nb, dtype=np.int32)
+        dst = np.full((ndev, maxlen), max_act, dtype=np.int32)
         for d in range(ndev):
             pos = 0
             for l in range(snlvl):
@@ -210,51 +275,120 @@ def partition_plan(plan: SymbolicPlan, pr: int, pc: int) -> DistPlan2D:
                     pos += 1
         return (ptr.reshape(pr, pc, snlvl + 1).astype(np.int32),
                 loc.reshape(pr, pc, maxlen), src.reshape(pr, pc, maxlen),
-                dst.reshape(pr, pc, maxlen))
+                dst.reshape(pr, pc, maxlen), lvl_rows)
 
     lsg = solve_pack(plan.lsol_gptr, plan.lsol_gslot, plan.lsol_gsrc,
                      plan.lsol_gdst, plan.lsol_nlvl)
     usg = solve_pack(plan.usol_gptr, plan.usol_gslot, plan.usol_gsrc,
                      plan.usol_gdst, plan.usol_nlvl)
 
+    # ---------- owner-only diagonal applies per solve level ----------
+    def diag_pack(dptr_g, diag_g, snlvl):
+        lists = [[[] for _ in range(snlvl)] for _ in range(ndev)]
+        max_dact = 1
+        drows = np.full((max(snlvl, 1),
+                         max(1, int(np.max(np.diff(dptr_g))
+                                    if len(dptr_g) > 1 else 1))),
+                        nb, dtype=np.int32)
+        for l in range(snlvl):
+            rows = np.asarray(diag_g[dptr_g[l]:dptr_g[l + 1]], np.int64)
+            max_dact = max(max_dact, len(rows))
+            drows[l, : len(rows)] = rows
+            for p, I in enumerate(rows):
+                s = plan.diag_slot[I]
+                lists[owner_dev[s]][l].append(
+                    (int(I), p, int(dinv_idx[I])))
+        drows = drows[:, :max_dact]
+        ptr = np.zeros((ndev, snlvl + 1), dtype=np.int64)
+        for d in range(ndev):
+            for l in range(snlvl):
+                ptr[d, l + 1] = ptr[d, l] + len(lists[d][l])
+        maxlen = max(1, int(ptr[:, -1].max()))
+        row = np.full((ndev, maxlen), nb, dtype=np.int32)
+        pos = np.full((ndev, maxlen), max_dact, dtype=np.int32)
+        inv = np.zeros((ndev, maxlen), dtype=np.int32)
+        for d in range(ndev):
+            p0 = 0
+            for l in range(snlvl):
+                for (a, b, c) in lists[d][l]:
+                    row[d, p0] = a
+                    pos[d, p0] = b
+                    inv[d, p0] = c
+                    p0 += 1
+        return (ptr.reshape(pr, pc, snlvl + 1).astype(np.int32),
+                row.reshape(pr, pc, maxlen), pos.reshape(pr, pc, maxlen),
+                inv.reshape(pr, pc, maxlen), drows)
+
+    ldg = diag_pack(plan.lsol_dptr, plan.lsol_diag, plan.lsol_nlvl)
+    udg = diag_pack(plan.usol_dptr, plan.usol_diag, plan.usol_nlvl)
+
     return DistPlan2D(
         pr=pr, pc=pc, nb=nb, bs=plan.bs, nlvl=nlvl, n_local=n_local,
-        max_lbuf=max_lbuf, max_ubuf=max_ubuf,
+        max_lbuf=max_lbuf, max_ubuf=max_ubuf, max_dlvl=max_dlvl,
         owner_dev=owner_dev, local_slot=local_slot,
-        dptr=dptr, dstep=dstep, dloc=dloc,
-        lptr=lptr, lloc=lloc, lpos=lpos, lstep=lstep,
-        uptr=uptr, uloc=uloc, upos=upos, ustep=ustep,
+        dptr=dptr, dstep=dstep, dloc=dloc, dpos=dpos,
+        lptr=lptr, lloc=lloc, lpos=lpos, lpil=lpil,
+        uptr=uptr, uloc=uloc, upos=upos, upil=upil,
         gptr=gptr, glpos=glpos, gupos=gupos, gtloc=gtloc,
+        dinv_idx=dinv_idx,
         lsol_gptr=lsg[0], lsol_gloc=lsg[1], lsol_gsrc=lsg[2],
-        lsol_gdst=lsg[3],
+        lsol_gdst=lsg[3], lsol_rows=lsg[4],
         usol_gptr=usg[0], usol_gloc=usg[1], usol_gsrc=usg[2],
-        usol_gdst=usg[3],
+        usol_gdst=usg[3], usol_rows=usg[4],
+        ldsol_ptr=ldg[0], ldsol_row=ldg[1], ldsol_pos=ldg[2],
+        ldsol_inv=ldg[3], lsol_drows=ldg[4],
+        udsol_ptr=udg[0], udsol_row=udg[1], udsol_pos=udg[2],
+        udsol_inv=udg[3], usol_drows=udg[4],
     )
 
 
 def init_local_pools(plan: SymbolicPlan, dplan: DistPlan2D, A3, dtype,
                      grid: Grid2D) -> jax.Array:
     """Build the distributed block pool as a mesh-sharded array
-    ((pr, pc, n_local, B, B), sharded over ('r','c'))."""
+    ((pr, pc, n_local, B, B), sharded over ('r','c')).
+
+    Owner-computed, no global pool gather (dReDistribute_A analog,
+    pddistribute.c:66-433): each device's shard is scattered
+    independently inside ``make_array_from_callback``, so peak host
+    memory is ONE device's shard plus the (sorted) value stream — never
+    the (pr, pc, n_local, B, B) global array. The reference flags the
+    global-gather alternative as the memory bottleneck
+    (pdgssvx.c:1309)."""
     import scipy.sparse as sp
     A3 = sp.csc_matrix(A3)
     bs = plan.bs
-    gslot = plan.init_idx[: A3.nnz] // (bs * bs)
-    rem = plan.init_idx[: A3.nnz] % (bs * bs)
-    pools = np.zeros((dplan.pr, dplan.pc, dplan.n_local, bs, bs),
-                     dtype=dtype)
-    flat = pools.reshape(dplan.pr * dplan.pc, dplan.n_local * bs * bs)
-    np.add.at(flat, (dplan.owner_dev[gslot],
-                     dplan.local_slot[gslot] * bs * bs + rem),
-              A3.data.astype(dtype))
-    if plan.init_ones:
-        g2 = plan.init_idx[A3.nnz:] // (bs * bs)
-        r2 = plan.init_idx[A3.nnz:] % (bs * bs)
-        np.add.at(flat, (dplan.owner_dev[g2],
-                         dplan.local_slot[g2] * bs * bs + r2),
-                  np.ones(len(g2), dtype=dtype))
+    bb = bs * bs
+    nnz = A3.nnz
+    idx = np.asarray(plan.init_idx)
+    gslot = idx // bb
+    rem = idx % bb
+    dev = np.asarray(dplan.owner_dev)[gslot]
+    off = np.asarray(dplan.local_slot)[gslot] * bb + rem
+    vals = np.concatenate([np.asarray(A3.data, dtype=dtype),
+                           np.ones(len(idx) - nnz, dtype=dtype)]) \
+        if len(idx) > nnz else np.asarray(A3.data, dtype=dtype)
+
+    # group entries by owner device
+    order = np.argsort(dev, kind="stable")
+    dev_s, off_s, val_s = dev[order], off[order], vals[order]
+    ndev = dplan.pr * dplan.pc
+    dptr = np.searchsorted(dev_s, np.arange(ndev + 1))
+
+    shard_shape = (1, 1, dplan.n_local, bs, bs)
+
+    def make_shard(index):
+        # index: global-array slice for this shard -> (r, c)
+        r = index[0].start or 0
+        c = index[1].start or 0
+        d = r * dplan.pc + c
+        flat = np.zeros(dplan.n_local * bb, dtype=dtype)
+        lo, hi = dptr[d], dptr[d + 1]
+        np.add.at(flat, off_s[lo:hi], val_s[lo:hi])
+        return flat.reshape(shard_shape)
+
     sharding = NamedSharding(grid.mesh, P(R_AXIS, C_AXIS))
-    return jax.device_put(pools, sharding)
+    return jax.make_array_from_callback(
+        (dplan.pr, dplan.pc, dplan.n_local, bs, bs), sharding, make_shard)
 
 
 def _chunked(lo, hi, chunk, body, carry):
@@ -266,12 +400,18 @@ def build_dist_factor_fn(plan: SymbolicPlan, dplan: DistPlan2D, grid: Grid2D,
                          *, chunk: int = 16, diag_chunk: int = 4):
     """Compile the SPMD level-batched distributed factorization.
 
-    Returns ``factor(pools, thresh, tapes) -> (pools, linv, uinv, tiny)``
-    with pools sharded (pr, pc, n_local, B, B) and linv/uinv replicated.
-    """
+    Returns ``factor(pools, thresh, tapes) -> (pools, linvL, uinvL, tiny)``
+    with pools sharded (pr, pc, n_local, B, B) and linvL/uinvL the
+    OWNER-LOCAL diagonal inverses, sharded (pr, pc, dlen+1, B, B) and
+    aligned with the device's d tape (``dinv_idx`` maps step -> row).
+    The per-level inverse broadcast is a COMPACT psum of just the level's
+    steps (max_dlvl+1 rows), not an (nb+1)-row buffer — the collective
+    volume per level is proportional to the level's elimination steps
+    (the fused U-diag/L-diag Isend analog, pdgstrf2.c:142-360)."""
     nb, bs, nlvl = dplan.nb, dplan.bs, dplan.nlvl
     LBUF = dplan.max_lbuf    # rows [0,LBUF) data, LBUF fill-trash, LBUF+1 zero
     UBUF = dplan.max_ubuf
+    DL = dplan.max_dlvl      # compact inverse buffer rows (+1 pad)
     mesh = grid.mesh
 
     dlen = dplan.dstep.shape[-1]
@@ -280,50 +420,56 @@ def build_dist_factor_fn(plan: SymbolicPlan, dplan: DistPlan2D, grid: Grid2D,
     glen = dplan.glpos.shape[-1]
     blu = jax.vmap(block_lu_inv, in_axes=(0, None))
 
-    def spmd(pools, thresh, dptr, dstep, dloc, lptr, lloc, lpos, lstep,
-             uptr, uloc, upos, ustep, gptr, glpos, gupos, gtloc):
+    def spmd(pools, thresh, dptr, dstep, dloc, dpos, lptr, lloc, lpos, lpil,
+             uptr, uloc, upos, upil, gptr, glpos, gupos, gtloc):
         pool = pools[0, 0]
-        dptr, dstep, dloc = dptr[0, 0], dstep[0, 0], dloc[0, 0]
-        lptr, lloc, lpos, lstep = (lptr[0, 0], lloc[0, 0], lpos[0, 0],
-                                   lstep[0, 0])
-        uptr, uloc, upos, ustep = (uptr[0, 0], uloc[0, 0], upos[0, 0],
-                                   ustep[0, 0])
+        dptr, dstep, dloc, dpos = (dptr[0, 0], dstep[0, 0], dloc[0, 0],
+                                   dpos[0, 0])
+        lptr, lloc, lpos, lpil = (lptr[0, 0], lloc[0, 0], lpos[0, 0],
+                                  lpil[0, 0])
+        uptr, uloc, upos, upil = (uptr[0, 0], uloc[0, 0], upos[0, 0],
+                                  upil[0, 0])
         gptr, glpos, gupos, gtloc = (gptr[0, 0], glpos[0, 0], gupos[0, 0],
                                      gtloc[0, 0])
         dtype = pool.dtype
 
         def level(l, carry):
-            pool, linv, uinv, tiny = carry
+            pool, linvL, uinvL, tiny = carry
 
             # --- owned diagonal blocks: batched LU + inverses ---
             lo, hi = dptr[l], dptr[l + 1]
-            ldelta = jnp.zeros((nb + 1, bs, bs), dtype)
-            udelta = jnp.zeros((nb + 1, bs, bs), dtype)
+            ldelta = jnp.zeros((DL + 1, bs, bs), dtype)
+            udelta = jnp.zeros((DL + 1, bs, bs), dtype)
 
             def diag(c, carry):
-                pool, ldelta, udelta, tiny = carry
+                pool, linvL, uinvL, ldelta, udelta, tiny = carry
                 offs = lo + c * diag_chunk + jnp.arange(diag_chunk,
                                                         dtype=jnp.int32)
                 valid = offs < hi
                 offs = jnp.minimum(offs, dlen - 1)
-                steps = jnp.where(valid, dstep[offs], nb)
+                pil = jnp.where(valid, dpos[offs], DL)
                 dsl = jnp.where(valid, dloc[offs], _ZERO)
                 LU, lk, uk, nt = blu(pool[dsl], thresh)
                 pool = pool.at[jnp.where(valid, dsl, _TRASH)].set(LU)
-                ldelta = ldelta.at[steps].set(
-                    jnp.where(valid[:, None, None], lk, 0))
-                udelta = udelta.at[steps].set(
-                    jnp.where(valid[:, None, None], uk, 0))
+                lkm = jnp.where(valid[:, None, None], lk, 0)
+                ukm = jnp.where(valid[:, None, None], uk, 0)
+                ldelta = ldelta.at[pil].set(lkm)
+                udelta = udelta.at[pil].set(ukm)
+                # owner-local persistent copy at the d-tape position
+                sto = jnp.where(valid, offs, dlen)
+                linvL = linvL.at[sto].set(lkm)
+                uinvL = uinvL.at[sto].set(ukm)
                 tiny = tiny + jnp.sum(nt * valid).astype(jnp.int32)
-                return pool, ldelta, udelta, tiny
+                return pool, linvL, uinvL, ldelta, udelta, tiny
 
-            pool, ldelta, udelta, tiny = _chunked(
-                lo, hi, diag_chunk, diag, (pool, ldelta, udelta, tiny))
-            # broadcast this level's inverses (fused U-diag/L-diag Isend)
+            pool, linvL, uinvL, ldelta, udelta, tiny = _chunked(
+                lo, hi, diag_chunk, diag,
+                (pool, linvL, uinvL, ldelta, udelta, tiny))
+            # broadcast this level's inverses (compact rows only)
             pack = lax.psum(lax.psum(jnp.stack([ldelta, udelta]), R_AXIS),
                             C_AXIS)
-            linv = linv + pack[0]
-            uinv = uinv + pack[1]
+            lC = pack[0]        # (DL+1, bs, bs): row DL stays zero
+            uC = pack[1]
 
             # --- L panels: trsm + fill broadcast buffer ---
             lbuf = jnp.zeros((LBUF + 2, bs, bs), dtype)
@@ -336,8 +482,8 @@ def build_dist_factor_fn(plan: SymbolicPlan, dplan: DistPlan2D, grid: Grid2D,
                 offs = jnp.minimum(offs, llen - 1)
                 si = jnp.where(valid, lloc[offs], _TRASH)
                 pos = jnp.where(valid, lpos[offs], LBUF)
-                st = jnp.where(valid, lstep[offs], nb)
-                Y = jnp.einsum("cij,cjk->cik", pool[si], uinv[st],
+                st = jnp.where(valid, lpil[offs], DL)
+                Y = jnp.einsum("cij,cjk->cik", pool[si], uC[st],
                                preferred_element_type=dtype,
                                precision=MATMUL_PRECISION)
                 pool = pool.at[si].set(Y)
@@ -357,8 +503,8 @@ def build_dist_factor_fn(plan: SymbolicPlan, dplan: DistPlan2D, grid: Grid2D,
                 offs = jnp.minimum(offs, ulen - 1)
                 si = jnp.where(valid, uloc[offs], _TRASH)
                 pos = jnp.where(valid, upos[offs], UBUF)
-                st = jnp.where(valid, ustep[offs], nb)
-                Y = jnp.einsum("cij,cjk->cik", linv[st], pool[si],
+                st = jnp.where(valid, upil[offs], DL)
+                Y = jnp.einsum("cij,cjk->cik", lC[st], pool[si],
                                preferred_element_type=dtype,
                                precision=MATMUL_PRECISION)
                 pool = pool.at[si].set(Y)
@@ -387,21 +533,21 @@ def build_dist_factor_fn(plan: SymbolicPlan, dplan: DistPlan2D, grid: Grid2D,
                 return pool.at[ti].add(-Pm)
 
             pool = _chunked(go, gh, chunk, gemm, pool)
-            return pool, linv, uinv, tiny
+            return pool, linvL, uinvL, tiny
 
-        linv0 = jnp.zeros((nb + 1, bs, bs), dtype)
-        uinv0 = jnp.zeros((nb + 1, bs, bs), dtype)
-        pool, linv, uinv, tiny = lax.fori_loop(
+        linv0 = jnp.zeros((dlen + 1, bs, bs), dtype)
+        uinv0 = jnp.zeros((dlen + 1, bs, bs), dtype)
+        pool, linvL, uinvL, tiny = lax.fori_loop(
             0, nlvl, level, (pool, linv0, uinv0, jnp.zeros((), jnp.int32)))
         tiny = lax.psum(lax.psum(tiny, R_AXIS), C_AXIS)
-        return pool[None, None], linv[:nb], uinv[:nb], tiny
+        return pool[None, None], linvL[None, None], uinvL[None, None], tiny
 
     sharded = P(R_AXIS, C_AXIS)
     rep = P()
     fn = shard_map(
         spmd, mesh=mesh,
-        in_specs=(sharded, rep) + (sharded,) * 15,
-        out_specs=(sharded, rep, rep, rep),
+        in_specs=(sharded, rep) + (sharded,) * 16,
+        out_specs=(sharded, sharded, sharded, rep),
         check_vma=False)
 
     @jax.jit
@@ -413,8 +559,8 @@ def build_dist_factor_fn(plan: SymbolicPlan, dplan: DistPlan2D, grid: Grid2D,
 
 def make_dist_factor_tapes(dplan: DistPlan2D):
     """Device-resident mesh-sharded tape tuple for build_dist_factor_fn."""
-    names = ["dptr", "dstep", "dloc", "lptr", "lloc", "lpos", "lstep",
-             "uptr", "uloc", "upos", "ustep", "gptr", "glpos", "gupos",
+    names = ["dptr", "dstep", "dloc", "dpos", "lptr", "lloc", "lpos", "lpil",
+             "uptr", "uloc", "upos", "upil", "gptr", "glpos", "gupos",
              "gtloc"]
     return tuple(jnp.asarray(getattr(dplan, n), dtype=jnp.int32)
                  for n in names)
@@ -422,27 +568,40 @@ def make_dist_factor_tapes(dplan: DistPlan2D):
 
 def build_dist_solve_fn(plan: SymbolicPlan, dplan: DistPlan2D, grid: Grid2D,
                         nrhs: int, *, chunk: int = 16):
-    """Compile the SPMD distributed triangular solves (X replicated,
-    per-level psum of partial sums — the lsum/bsum tree-reduce analog)."""
+    """Compile the SPMD distributed triangular solves.
+
+    Scalable communication (the fmod/fsendx participant-list analog,
+    pdgstrs.c:344-827): per level the mesh exchanges two COMPACT buffers —
+    the gemm partial sums over just the level's active destination rows,
+    and the owner-applied diagonal rows — instead of full-X psums.
+    Diagonal inverses stay sharded by owner (linvL/uinvL from the factor);
+    only the (bs, nrhs) solved rows travel."""
     nb, bs = dplan.nb, dplan.bs
     mesh = grid.mesh
     nlvl_l, nlvl_u = plan.lsol_nlvl, plan.usol_nlvl
-    ldptr = jnp.asarray(plan.lsol_dptr, jnp.int32)
-    ldiag = jnp.asarray(np.concatenate([plan.lsol_diag, [nb]]), jnp.int32)
-    udptr = jnp.asarray(plan.usol_dptr, jnp.int32)
-    udiag = jnp.asarray(np.concatenate([plan.usol_diag, [nb]]), jnp.int32)
-    ldlen = len(plan.lsol_diag) + 1
-    udlen = len(plan.usol_diag) + 1
 
     lg_len = dplan.lsol_gloc.shape[-1]
     ug_len = dplan.usol_gloc.shape[-1]
+    ld_len = dplan.ldsol_row.shape[-1]
+    ud_len = dplan.udsol_row.shape[-1]
+    l_act = dplan.lsol_rows.shape[-1]      # max active rows per level
+    u_act = dplan.usol_rows.shape[-1]
+    l_dact = dplan.lsol_drows.shape[-1]    # max diag rows per level
+    u_dact = dplan.usol_drows.shape[-1]
+    lsol_rows = jnp.asarray(dplan.lsol_rows, jnp.int32)
+    usol_rows = jnp.asarray(dplan.usol_rows, jnp.int32)
+    lsol_drows = jnp.asarray(dplan.lsol_drows, jnp.int32)
+    usol_drows = jnp.asarray(dplan.usol_drows, jnp.int32)
 
-    def sweep(pool, dinv, gp, gl, gs, gd, X, nlvl, glen, dptr, diag, dlen):
+    def sweep(pool, dinvL, gp, gl, gs, gd, dp, drow, dpos, dinv_i,
+              X, nlvl, glen, max_act, lvl_rows, dlen, max_dact, lvl_drows):
         dtype = X.dtype
+        dloc_n = dinvL.shape[0] - 1
 
         def level(l, X):
             lo, hi = gp[l], gp[l + 1]
-            delta = jnp.zeros_like(X)
+            # compact partial sums over the level's active rows
+            delta = jnp.zeros((max_act + 1, bs, nrhs), dtype)
 
             def gemm(c, delta):
                 offs = lo + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
@@ -450,7 +609,7 @@ def build_dist_solve_fn(plan: SymbolicPlan, dplan: DistPlan2D, grid: Grid2D,
                 offs = jnp.minimum(offs, glen - 1)
                 si = jnp.where(valid, gl[offs], _ZERO)
                 src = jnp.where(valid, gs[offs], 0)
-                dst = jnp.where(valid, gd[offs], nb)
+                dst = jnp.where(valid, gd[offs], max_act)
                 Pm = jnp.einsum("cij,cjk->cik", pool[si], X[src],
                                 preferred_element_type=dtype,
                                 precision=MATMUL_PRECISION)
@@ -458,53 +617,66 @@ def build_dist_solve_fn(plan: SymbolicPlan, dplan: DistPlan2D, grid: Grid2D,
 
             delta = _chunked(lo, hi, chunk, gemm, delta)
             delta = lax.psum(lax.psum(delta, R_AXIS), C_AXIS)
-            X = X + delta
+            X = X.at[lvl_rows[l]].add(delta[:max_act])
 
-            dlo, dhi = dptr[l], dptr[l + 1]
+            # owner-only diagonal applies, broadcast as a compact buffer
+            dlo, dhi = dp[l], dp[l + 1]
+            dbuf = jnp.zeros((max_dact + 1, bs, nrhs), dtype)
 
-            def dapply(c, X):
+            def dapply(c, dbuf):
                 offs = dlo + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
                 valid = offs < dhi
                 offs = jnp.minimum(offs, dlen - 1)
-                I = jnp.where(valid, diag[offs], nb)
-                Ic = jnp.minimum(I, nb - 1)
-                Y = jnp.einsum("cij,cjk->cik", dinv[Ic], X[I],
+                I = jnp.where(valid, drow[offs], nb)
+                p = jnp.where(valid, dpos[offs], max_dact)
+                ii = jnp.where(valid, dinv_i[offs], dloc_n)
+                Y = jnp.einsum("cij,cjk->cik", dinvL[ii], X[I],
                                preferred_element_type=dtype,
                                precision=MATMUL_PRECISION)
-                return X.at[I].set(Y)
+                return dbuf.at[p].add(Y - X[I])
 
-            return _chunked(dlo, dhi, chunk, dapply, X)
+            dbuf = _chunked(dlo, dhi, chunk, dapply, dbuf)
+            dbuf = lax.psum(lax.psum(dbuf, R_AXIS), C_AXIS)
+            return X.at[lvl_drows[l]].add(dbuf[:max_dact])
 
         return lax.fori_loop(0, nlvl, level, X)
 
-    def spmd(pools, linv, uinv, lgp, lgl, lgs, lgd, ugp, ugl, ugs, ugd, b):
+    def spmd(pools, linvL, uinvL, lgp, lgl, lgs, lgd, ugp, ugl, ugs, ugd,
+             ldp, ldr, ldq, ldi, udp, udr, udq, udi, b):
         pool = pools[0, 0]
+        linvL, uinvL = linvL[0, 0], uinvL[0, 0]
         lgp, lgl, lgs, lgd = lgp[0, 0], lgl[0, 0], lgs[0, 0], lgd[0, 0]
         ugp, ugl, ugs, ugd = ugp[0, 0], ugl[0, 0], ugs[0, 0], ugd[0, 0]
+        ldp, ldr, ldq, ldi = ldp[0, 0], ldr[0, 0], ldq[0, 0], ldi[0, 0]
+        udp, udr, udq, udi = udp[0, 0], udr[0, 0], udq[0, 0], udi[0, 0]
         X = b.reshape(nb, bs, nrhs)
         X = jnp.concatenate([X, jnp.zeros((1, bs, nrhs), X.dtype)], axis=0)
-        X = sweep(pool, linv, lgp, lgl, lgs, lgd, X, nlvl_l, lg_len,
-                  ldptr, ldiag, ldlen)
-        X = sweep(pool, uinv, ugp, ugl, ugs, ugd, X, nlvl_u, ug_len,
-                  udptr, udiag, udlen)
+        X = sweep(pool, linvL, lgp, lgl, lgs, lgd, ldp, ldr, ldq, ldi,
+                  X, nlvl_l, lg_len, l_act, lsol_rows, ld_len, l_dact,
+                  lsol_drows)
+        X = sweep(pool, uinvL, ugp, ugl, ugs, ugd, udp, udr, udq, udi,
+                  X, nlvl_u, ug_len, u_act, usol_rows, ud_len, u_dact,
+                  usol_drows)
         return X[:nb].reshape(nb * bs, nrhs)
 
     sharded = P(R_AXIS, C_AXIS)
     rep = P()
     fn = shard_map(
         spmd, mesh=mesh,
-        in_specs=(sharded, rep, rep) + (sharded,) * 8 + (rep,),
+        in_specs=(sharded, sharded, sharded) + (sharded,) * 16 + (rep,),
         out_specs=rep, check_vma=False)
 
     @jax.jit
-    def solve(pools, linv, uinv, stapes, b):
-        return fn(pools, linv, uinv, *stapes, b)
+    def solve(pools, linvL, uinvL, stapes, b):
+        return fn(pools, linvL, uinvL, *stapes, b)
 
     return solve
 
 
 def make_dist_solve_tapes(dplan: DistPlan2D):
     names = ["lsol_gptr", "lsol_gloc", "lsol_gsrc", "lsol_gdst",
-             "usol_gptr", "usol_gloc", "usol_gsrc", "usol_gdst"]
+             "usol_gptr", "usol_gloc", "usol_gsrc", "usol_gdst",
+             "ldsol_ptr", "ldsol_row", "ldsol_pos", "ldsol_inv",
+             "udsol_ptr", "udsol_row", "udsol_pos", "udsol_inv"]
     return tuple(jnp.asarray(getattr(dplan, n), dtype=jnp.int32)
                  for n in names)

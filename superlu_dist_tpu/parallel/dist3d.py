@@ -381,21 +381,37 @@ def init_local_pools3d(plan: SymbolicPlan, dplan: DistPlan3D, A3, dtype,
     import scipy.sparse as sp
     A3 = sp.csc_matrix(A3)
     bs = plan.bs
-    nnz = A3.nnz
-    gslot = plan.init_idx // (bs * bs)
-    rem = plan.init_idx % (bs * bs)
+    bb = bs * bs
+    gslot = plan.init_idx // bb
+    rem = plan.init_idx % bb
     vals = np.concatenate([A3.data.astype(dtype),
                            np.ones(plan.init_ones, dtype=dtype)])
     z_of = np.where(dplan.slot_is_anc[gslot], 0,
                     dplan.step_layer[plan.slot_step[gslot]])
-    pools = np.zeros((dplan.pz, dplan.pr * dplan.pc,
-                      dplan.n_local * bs * bs), dtype=dtype)
-    np.add.at(pools, (z_of, dplan.slot_rc[gslot],
-                      dplan.slot_local[gslot] * bs * bs + rem), vals)
-    pools = pools.reshape(dplan.pz, dplan.pr, dplan.pc, dplan.n_local,
-                          bs, bs)
+    # owner-computed per-shard scatter (dReDistribute_A analog): peak host
+    # memory is one device's shard, never the global pool array
+    dev = (z_of * (dplan.pr * dplan.pc) + dplan.slot_rc[gslot]).astype(
+        np.int64)
+    off = dplan.slot_local[gslot] * bb + rem
+    order = np.argsort(dev, kind="stable")
+    dev_s, off_s, val_s = dev[order], off[order], vals[order]
+    ndev = dplan.pz * dplan.pr * dplan.pc
+    dptr = np.searchsorted(dev_s, np.arange(ndev + 1))
+
+    def make_shard(index):
+        z = index[0].start or 0
+        r = index[1].start or 0
+        c = index[2].start or 0
+        d = (z * dplan.pr + r) * dplan.pc + c
+        flat = np.zeros(dplan.n_local * bb, dtype=dtype)
+        lo, hi = dptr[d], dptr[d + 1]
+        np.add.at(flat, off_s[lo:hi], val_s[lo:hi])
+        return flat.reshape(1, 1, 1, dplan.n_local, bs, bs)
+
     sharding = NamedSharding(grid.mesh, P(Z_AXIS, R_AXIS, C_AXIS))
-    return jax.device_put(pools, sharding)
+    return jax.make_array_from_callback(
+        (dplan.pz, dplan.pr, dplan.pc, dplan.n_local, bs, bs), sharding,
+        make_shard)
 
 
 def _chunked(lo, hi, chunk, body, carry):

@@ -85,3 +85,44 @@ def test_block_cyclic_balance():
     assert g.sum() == len(plan.g_l)
     if g.sum() >= 40:
         assert g.max() <= 3.0 * g.mean()
+
+
+@needs_8
+def test_compact_solve_comm_volume():
+    """Solve collective volume is proportional to the per-level active
+    rows (the fmod/fsendx participant-list analog, pdgstrs.c:344-827),
+    not to nb x nlvl full-X psums; and the counter is recorded."""
+    from superlu_dist_tpu.models.dist_driver import DistributedSparseLU
+    from superlu_dist_tpu.parallel import dist2d
+    from superlu_dist_tpu.ops.host.symbolic import block_symbolic
+    A = laplacian_2d(20)
+    plan = block_symbolic(A, 16)
+    dplan = dist2d.partition_plan(plan, 2, 2)
+    vol = dplan.comm_volume(itemsize=4, nrhs=1)
+    # full-X alternative: one (nb+1)-row psum per gemm level and the
+    # replicated-inverse alternative: one (nb+1)-block psum per level
+    full_solve = (plan.lsol_nlvl + plan.usol_nlvl) * (plan.nb + 1) * 16 * 4
+    full_factor = plan.n_flevels * 2 * (plan.nb + 1) * 16 * 16 * 4
+    assert vol["solve_psum_bytes"] < full_solve
+    assert vol["factor_psum_bytes"] < full_factor
+    # counter lands in Stats and numerics still match the dense solve
+    rng = np.random.default_rng(5)
+    xt = rng.standard_normal(A.shape[0])
+    b = np.asarray(A @ xt)
+    res, lu = gssvx_dist(A, b, Grid2D(2, 2),
+                         Options(dtype="float64", block_size=16))
+    assert "solve_psum_bytes" in lu.stat.counters
+    assert compute_resid(A, res.x, b) < THRESH
+
+
+@needs_8
+def test_owner_local_inverses_sharded():
+    """Factor returns owner-local diagonal inverses, sharded over the
+    mesh (not nb-replicated): shape (pr, pc, dlen+1, B, B)."""
+    from superlu_dist_tpu.models.dist_driver import DistributedSparseLU
+    A = laplacian_2d(16)
+    lu = DistributedSparseLU(A, Grid2D(2, 2),
+                             Options(dtype="float32", block_size=16))
+    dlen = lu.dplan.dstep.shape[-1]
+    assert lu.linv.shape == (2, 2, dlen + 1, 16, 16)
+    assert lu.uinv.shape == (2, 2, dlen + 1, 16, 16)
