@@ -105,6 +105,35 @@ class SymbolicPlan:
         return int(np.prod(self.pool_shape)) * np.dtype(dtype).itemsize
 
 
+def _renumber_column_major(plan: SymbolicPlan) -> SymbolicPlan:
+    """Permute pool slot ids to column-major order: column k occupies a
+    CONTIGUOUS slot range [U(i,k) ascending i, diag(k,k), L(i,k) ascending
+    i]. Slots are abstract indices to every executor, so this is purely a
+    relabeling — but it makes each block column a single range DMA for the
+    column-resident kernels (the supernode-panel storage of the reference,
+    pddistribute.c LUstruct, recast as pool layout)."""
+    order = np.lexsort((plan.slot_row, plan.slot_col))  # old ids, new order
+    perm = np.empty(plan.nslots + 2, dtype=np.int64)
+    perm[order] = np.arange(plan.nslots)
+    perm[plan.nslots:] = (plan.zero_slot, plan.trash_slot)
+
+    def m(a):
+        return perm[np.asarray(a, dtype=np.int64)].astype(a.dtype)
+
+    bb = plan.bs * plan.bs
+    init_idx = perm[plan.init_idx // bb] * bb + plan.init_idx % bb
+    return dataclasses.replace(
+        plan,
+        init_idx=init_idx,
+        diag_slot=m(plan.diag_slot),
+        l_slots=m(plan.l_slots), u_slots=m(plan.u_slots),
+        g_l=m(plan.g_l), g_u=m(plan.g_u), g_t=m(plan.g_t),
+        lsol_gslot=m(plan.lsol_gslot), usol_gslot=m(plan.usol_gslot),
+        slot_row=plan.slot_row[order], slot_col=plan.slot_col[order],
+        slot_step=plan.slot_step[order],
+    )
+
+
 def block_symbolic(A: sp.spmatrix, bs: int,
                    ilu_level: int | None = None) -> SymbolicPlan:
     """Build the full static plan for the (already permuted/scaled) matrix A.
@@ -135,8 +164,9 @@ def block_symbolic(A: sp.spmatrix, bs: int,
         from .native import native_block_symbolic
         nat = native_block_symbolic(nb, a_keys // nb, a_keys % nb)
         if nat is not None:
-            return _assemble_from_native(nat, A, coo, bi, bj, n, n_pad, bs,
-                                         nb, len(a_keys))
+            return _renumber_column_major(
+                _assemble_from_native(nat, A, coo, bi, bj, n, n_pad, bs,
+                                      nb, len(a_keys)))
 
     # fill levels: A blocks at level 0; fill from (I,k)@lev_a, (k,J)@lev_b
     # gets level lev_a + lev_b + 1 (dropped above ilu_level)
@@ -324,7 +354,7 @@ def block_symbolic(A: sp.spmatrix, bs: int,
         + b3 * (len(l_slots) + len(u_slots)) \
         + 2.0 * b3 * total_g
 
-    return SymbolicPlan(
+    return _renumber_column_major(SymbolicPlan(
         n=n, n_pad=n_pad, bs=bs, nb=nb, nslots=nslots,
         zero_slot=zero_slot, trash_slot=trash_slot,
         init_idx=init_idx, init_ones=n_ones,
@@ -343,7 +373,7 @@ def block_symbolic(A: sp.spmatrix, bs: int,
         slot_step=np.asarray(sstep, dtype=np.int64),
         block_parent=block_parent, factor_flops=flops,
         fill_blocks=nslots, a_blocks=len(a_keys),
-    )
+    ))
 
 
 def _assemble_from_native(nat, A, coo, bi, bj, n, n_pad, bs, nb,
