@@ -12,23 +12,28 @@ import tempfile
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(__file__), "symbolic.cpp")
+_DIR = os.path.dirname(__file__)
+_SRCS = [os.path.join(_DIR, "symbolic.cpp"),
+         os.path.join(_DIR, "amd.cpp")]
 _lib = None
 _tried = False
 
 
 def _build() -> str:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    h = hashlib.sha256()
+    for src in _SRCS:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    digest = h.hexdigest()[:16]
     cache = os.environ.get("SLU_TPU_NATIVE_CACHE",
                            os.path.join(tempfile.gettempdir(),
                                         "slu_tpu_native"))
     os.makedirs(cache, exist_ok=True)
-    so = os.path.join(cache, f"symbolic-{digest}.so")
+    so = os.path.join(cache, f"native-{digest}.so")
     if not os.path.exists(so):
         tmp = so + f".tmp{os.getpid()}"
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", *_SRCS,
              "-o", tmp],
             check=True, capture_output=True)
         os.replace(tmp, so)
@@ -57,8 +62,26 @@ def get_lib():
     lib.slu_sym_copy.argtypes = [ctypes.c_void_p, ctypes.c_int, i64p]
     lib.slu_sym_free.restype = None
     lib.slu_sym_free.argtypes = [ctypes.c_void_p]
+    lib.slu_min_degree.restype = ctypes.c_int64
+    lib.slu_min_degree.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
     _lib = lib
     return _lib
+
+
+def native_min_degree(indptr: np.ndarray, indices: np.ndarray):
+    """C++ approximate minimum degree (quotient graph, supervariables).
+    Returns the elimination order or None if the engine is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(indptr) - 1
+    perm = np.empty(n, dtype=np.int64)
+    rc = lib.slu_min_degree(
+        n, np.ascontiguousarray(indptr, dtype=np.int64),
+        np.ascontiguousarray(indices, dtype=np.int64), perm)
+    if rc != 0:
+        return None
+    return perm
 
 
 _FIELDS = [

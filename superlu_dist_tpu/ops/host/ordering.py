@@ -62,9 +62,17 @@ def minimum_degree(G: sp.csr_matrix) -> np.ndarray:
     (cliques); element absorption keeps memory linear; degrees are AMD-style
     upper bounds maintained lazily in a heap. Returns the permutation as an
     array ``perm`` with perm[k] = k-th vertex to eliminate.
+
+    The C++ engine (native/amd.cpp) is the fast path — the Python
+    fallback is O(n·deg²) with sets and only fit for small n or testing
+    (disable the engine with SLU_TPU_NATIVE=0).
     """
     n = G.shape[0]
     indptr, indices = G.indptr, G.indices
+    from .native import native_min_degree
+    perm = native_min_degree(indptr, indices)
+    if perm is not None:
+        return perm
     # variable -> set of adjacent variables / elements
     adj = [set(indices[indptr[v]:indptr[v + 1]].tolist()) for v in range(n)]
     elems = [set() for _ in range(n)]     # variable -> adjacent element ids
