@@ -120,7 +120,8 @@ class SparseLU:
 
     def __init__(self, A, options: Optional[Options] = None,
                  stat: Optional[Stats] = None):
-        self.options = options or Options()
+        from ..utils.options import apply_env_overrides
+        self.options = apply_env_overrides(options or Options())
         self.stat = stat or Stats()
         from ..utils.nrloc import NRLocMatrix
         if isinstance(A, NRLocMatrix):
@@ -267,13 +268,13 @@ class SparseLU:
         import os
         import jax
         force = os.environ.get("SLU_TPU_FORCE_PALLAS", "")
-        if force == "off":
+        if force == "off" or self.options.executor == "xla":
             return False
         if self.dtype != np.dtype(np.float32):
             return False
-        flk = os.environ.get("SLU_TPU_EXECUTOR", "flk") == "flk"
+        fused = (self.options.executor or "clk") in ("clk", "flk")
         if force == "interpret":
-            return self.plan.bs % 8 == 0 if flk else self.plan.bs == 128
+            return self.plan.bs % 8 == 0 if fused else self.plan.bs == 128
         if self.plan.bs != 128:
             return False
         return jax.devices()[0].platform == "tpu"
@@ -315,14 +316,32 @@ class SparseLU:
                 pool = _blocklu.init_pool(plan, A3.data, self.dtype)
                 interp = (os.environ.get("SLU_TPU_FORCE_PALLAS", "")
                           == "interpret")
-                if os.environ.get("SLU_TPU_EXECUTOR", "flk") == "flk":
+                exc = opts.executor or "clk"
+                if exc == "clk":
+                    # column-resident left-looking kernel (clk.py): one
+                    # A-range DMA + one wide matmul per source-column
+                    # pair — the scalar-issue cost per GEMM collapses vs
+                    # flk's 4 DMA descriptors each. Exact LU with a
+                    # VMEM-sized column panel only; else fall to flk.
+                    from ..ops.kernels import clk as _clk
+                    if opts.ilu_level is None and _clk.clk_supported(plan):
+                        self._factor_fn, self.tapes = \
+                            _clk.build_factor_fn_clk(plan, MC=opts.clk_mc,
+                                                     interpret=interp)
+                        stat.counters["clk_jobs"] = \
+                            len(self.tapes["j_fin"])
+                    else:
+                        exc = "flk"
+                if exc == "flk":
                     # fused left-looking single-call kernel (flk.py) —
                     # measured 1.1-2.4x the per-level hybrid and ~20x
                     # faster to compile (loop-based Mosaic kernel)
                     from ..ops.kernels import flk as _flk
                     self._factor_fn, self.tapes = _flk.build_factor_fn_flk(
-                        plan, interpret=interp)
-                else:
+                        plan, Kc=opts.flk_kc, interpret=interp)
+                    stat.counters["flk_windows"] = \
+                        len(self.tapes["w_tgt"])
+                elif exc not in ("clk",):
                     from ..ops.kernels import pallas_exec as _pe
                     self._factor_fn, self.tapes = _pe.build_factor_fn_pallas(
                         plan, chunk=min(opts.gemm_chunk, 16),

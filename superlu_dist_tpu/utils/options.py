@@ -126,6 +126,11 @@ class Options:
                                        # collectives inside the fori_loop)
     max_refine_steps: int = 20         # ITMAX (reference: SRC/double/pdgsrfs.c:131)
     refine_rthresh: float = 0.5        # stop if berr not halved (pdgsrfs.c:237)
+    executor: Optional[str] = None     # "clk" | "flk" | "pallas" | "xla";
+                                       # None = auto (clk, falling back)
+    clk_mc: int = 8                    # clk A-range rows per pair chunk
+    flk_kc: int = 8                    # flk contribution lanes per window
+    diag_chunk: int = 4                # distributed diag LU batch width
 
     # dtype of the factorization pool: "float32" | "float64" | "complex64"
     # | "complex128" | "bfloat16". The reference's s/d/c/z precisions.
@@ -159,14 +164,47 @@ def set_default_options() -> Options:
 
 _ENV_PREFIX = "SLU_TPU_"
 
-# Mapping from sp_ienv-style spec names to Options fields; the reference's
-# specs (sp_ienv.c:81-179): 2→relax... here the TPU-relevant set.
+def _as_bool(s):
+    return str(s).strip().lower() in ("1", "true", "yes", "y", "on")
+
+
+# Mapping from sp_ienv-style spec names to Options fields; the analog of
+# the reference's spec table + SUPERLU_* env surface (sp_ienv.c:81-179,
+# which reads SUPERLU_MAXSUP, SUPERLU_RELAX, SUPERLU_NUM_LOOKAHEADS,
+# SUPERLU_N_GEMM, SUPERLU_MAX_BUFFER_SIZE, SUPERLU_ACC_OFFLOAD, ...).
 _SPEC_FIELDS = {
+    # elimination structure
     "BLOCK_SIZE": ("block_size", int),       # MAXSUP analog (SUPERLU_MAXSUP)
+    "ILU_LEVEL": ("ilu_level", int),         # ILU(k) drop level
+    # executor selection & shape
+    "EXECUTOR": ("executor", str),           # clk | flk | pallas | xla
     "GEMM_CHUNK": ("gemm_chunk", int),       # batching granularity
+    "CLK_MC": ("clk_mc", int),               # clk pair-chunk rows
+    "FLK_KC": ("flk_kc", int),               # flk window lanes
+    "DIAG_CHUNK": ("diag_chunk", int),       # distributed diag batch
     "LOOKAHEAD": ("lookahead", int),         # SUPERLU_NUM_LOOKAHEADS analog
+    # numerics
+    "REPLACE_TINY_PIVOT": ("replace_tiny_pivot", _as_bool),
+    "EQUIL": ("equil", lambda s: Equil.YES if _as_bool(s) else Equil.NO),
+    "ROWPERM": ("row_perm", RowPerm),
+    "COLPERM": ("col_perm", ColPerm),
+    "DTYPE": ("dtype", str),
+    "REFINE_DTYPE": ("refine_dtype", str),
     "MAX_REFINE_STEPS": ("max_refine_steps", int),
+    "REFINE_RTHRESH": ("refine_rthresh", float),
+    "DIAG_INV": ("diag_inv", _as_bool),
+    "CONDITION_NUMBER": ("condition_number", _as_bool),
+    "PRINT_STAT": ("print_stat", _as_bool),
 }
+
+#: Environment variables without an Options field (read where used):
+#:   SLU_TPU_FORCE_PALLAS   off | interpret  (executor gating, driver.py)
+#:   SLU_TPU_FORCE_PLANAR   0 | 1            (complex planar override)
+#:   SLU_TPU_NATIVE         0 | 1            (C++ host engine)
+#:   SLU_TPU_NATIVE_CACHE   path             (native .so cache dir)
+#:   SLU_TPU_TEST_PLATFORM  cpu | tpu        (conftest platform pin)
+_ENV_ONLY = ("FORCE_PALLAS", "FORCE_PLANAR", "NATIVE", "NATIVE_CACHE",
+             "TEST_PLATFORM")
 
 
 def sp_ienv(spec: str, options: Optional[Options] = None):
@@ -174,7 +212,8 @@ def sp_ienv(spec: str, options: Optional[Options] = None):
 
     Analog of ``sp_ienv_dist`` (reference: SRC/prec-independent/sp_ienv.c:81-179),
     which consults ``SUPERLU_*`` env vars before the options struct.
-    ``spec`` is one of BLOCK_SIZE, GEMM_CHUNK, LOOKAHEAD, MAX_REFINE_STEPS.
+    ``spec`` is a key of ``_SPEC_FIELDS`` (e.g. BLOCK_SIZE, EXECUTOR,
+    REPLACE_TINY_PIVOT); the env var is ``SLU_TPU_<spec>``.
     """
     field, conv = _SPEC_FIELDS[spec]
     env = os.environ.get(_ENV_PREFIX + spec)
@@ -182,6 +221,17 @@ def sp_ienv(spec: str, options: Optional[Options] = None):
         return conv(env)
     opts = options or Options()
     return getattr(opts, field)
+
+
+def apply_env_overrides(options: Options) -> Options:
+    """Fold every set ``SLU_TPU_*`` spec var into an Options copy (the
+    tier-2 pass the drivers run once at entry)."""
+    kw = {}
+    for spec, (field, conv) in _SPEC_FIELDS.items():
+        env = os.environ.get(_ENV_PREFIX + spec)
+        if env is not None:
+            kw[field] = conv(env)
+    return dataclasses.replace(options, **kw) if kw else options
 
 
 def print_options(options: Options) -> str:
