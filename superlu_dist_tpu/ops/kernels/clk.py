@@ -49,6 +49,8 @@ from .flk import _lu_tile_blocked
 # panel capacity (blocks): sPanel + A buffers must fit VMEM (~16MB/core)
 PANEL_CAP = 104
 PC = 8          # panel load/store chunk (blocks per range DMA)
+SEG_JOBS = 6000  # jobs per pallas_call: scalar-prefetch tapes must fit
+                 # SMEM (~1 MiB); ~88 B/job keeps a segment near 512 KiB
 
 
 def clk_supported(plan: SymbolicPlan) -> bool:
@@ -163,29 +165,58 @@ def build_clk_tapes(plan: SymbolicPlan, MC: int = 8):
             sync[J] = 1
     arr["sync"] = sync
 
-    njp = _bl.bucket125(nj, lo=1)
-    pad = njp - nj
-
-    def p(a, fill=0):
-        if not pad:
-            return jnp.asarray(a)
-        return jnp.asarray(np.concatenate(
-            [a, np.full(pad * (len(a) // nj), fill, a.dtype)]))
-
     nbp = _bl.bucket125(nb)
-    nfull = arr["ncol"] // PC
-    nrem = arr["ncol"] - nfull * PC
-    tapes = dict(
-        j_start=p(arr["start"]), j_fin=p(arr["fin"]),
-        j_finB=p(arr["finB"]), j_bpos=p(arr["bpos"], S),
-        j_step=p(arr["jstep"], nbp), j_a0=p(arr["a0"]),
-        j_m=p(arr["m"]), j_col=p(arr["col"], nbp),
-        j_base=p(arr["base"]), j_ncol=p(arr["ncol"], 1),
-        j_nfull=p(nfull), j_nrem=p(nrem, 1),
-        j_dpos=p(arr["dposc"]), j_sync=p(arr["sync"], 1),
-        dst=p(dst, S),
-    )
-    consts = dict(nj=njp, nbp=nbp, poolp=poolp, S=S)
+
+    # ---- segment the job stream at column boundaries so each call's
+    # scalar-prefetch tapes fit SMEM (~1 MiB total; measured blow-up:
+    # lap3d50's flat tape is 7+ MiB and the Mosaic compile rejects it).
+    # Each segment is one pallas_call; pool/linv/uinv alias through. ----
+    col_first = np.flatnonzero(arr["start"] == 1)
+    cuts = [0]
+    for j0 in col_first:
+        if j0 - cuts[-1] >= SEG_JOBS:
+            cuts.append(int(j0))
+    cuts.append(nj)
+
+    # uniform segment size: one Mosaic compile serves the whole chain
+    # (padding jobs have m == 0 / no flags and cost only branches)
+    uni = _bl.bucket125(max(hi - lo for lo, hi in
+                            zip(cuts[:-1], cuts[1:])), lo=1)
+
+    def pack(lo, hi):
+        seg = hi - lo
+        njp = uni
+        pad = njp - seg
+
+        def p(a, fill=0, w=1):
+            a = a[lo * w: hi * w]
+            if not pad:
+                return jnp.asarray(a)
+            return jnp.asarray(np.concatenate(
+                [a, np.full(pad * w, fill, a.dtype)]))
+
+        sync = arr["sync"][lo:hi].copy()
+        sync[0] = 1          # no cross-segment prefetch
+        nfull = arr["ncol"][lo:hi] // PC
+        nrem = arr["ncol"][lo:hi] - nfull * PC
+        if pad:
+            nfull = np.concatenate([nfull, np.zeros(pad, nfull.dtype)])
+            nrem = np.concatenate([nrem, np.ones(pad, nrem.dtype)])
+            sync = np.concatenate([sync, np.ones(pad, sync.dtype)])
+        return dict(
+            j_start=p(arr["start"]), j_fin=p(arr["fin"]),
+            j_finB=p(arr["finB"]), j_bpos=p(arr["bpos"], S),
+            j_step=p(arr["jstep"], nbp), j_a0=p(arr["a0"]),
+            j_m=p(arr["m"]), j_col=p(arr["col"], nbp),
+            j_base=p(arr["base"]), j_ncol=p(arr["ncol"], 1),
+            j_nfull=jnp.asarray(nfull), j_nrem=jnp.asarray(nrem),
+            j_dpos=p(arr["dposc"]), j_sync=jnp.asarray(sync),
+            dst=p(dst, S, w=MC),
+        )
+
+    tapes = tuple(pack(lo, hi) for lo, hi in zip(cuts[:-1], cuts[1:]))
+    consts = dict(nbp=nbp, poolp=poolp, S=S,
+                  seg_nj=tuple(len(t["j_fin"]) for t in tapes))
     return tapes, consts
 
 
@@ -199,9 +230,11 @@ def _clk_kernel(MC, S, exact, bs):
     def kern(j_start, j_fin, j_finB, j_bpos, j_step, j_a0, j_m, j_col,
              j_base, j_ncol, j_nfull, j_nrem, j_dpos, j_sync, dst,
              consts_ref,
-             pool_ref, pool_out, linv_out, uinv_out, tiny_out,
+             pool_ref, linv_ref, uinv_ref,
+             pool_out, linv_out, uinv_out, tiny_out,
              sPanel, sL, sLinv, sCnt,
              semP, semA, semI, semW):
+        del linv_ref, uinv_ref
         thresh = lax.bitcast_convert_type(
             jnp.full((1, 128), consts_ref[0], jnp.int32),
             jnp.float32)[0, 0]
@@ -230,8 +263,12 @@ def _clk_kernel(MC, S, exact, bs):
             pltpu.make_async_copy(
                 linv_out.at[j_step[j]], sLinv.at[bk], semI.at[bk]).start()
 
-        # ---- own A-range (and linv) reads unless prefetched by J-1 ----
-        @pl.when((J == 0) | (j_sync[J] == 1))
+        # ---- own A-range (and linv) reads unless prefetched by J-1.
+        # Jobs with m == 0 (finalize-only, segment padding) skip lane
+        # work so uniform segment padding is near-free. ----
+        m_act = j_m[J] > 0
+
+        @pl.when(((J == 0) | (j_sync[J] == 1)) & m_act)
         def _():
             start_reads(J, bank)
 
@@ -281,7 +318,8 @@ def _clk_kernel(MC, S, exact, bs):
         # ---- prefetch next job's A-range / linv into the other bank ----
         nxt = jnp.minimum(J + jnp.int32(1), nj - jnp.int32(1))
 
-        @pl.when((J + jnp.int32(1) < nj) & (j_sync[nxt] == 0))
+        @pl.when((J + jnp.int32(1) < nj) & (j_sync[nxt] == 0)
+                 & (j_m[nxt] > 0))
         def _():
             start_reads(nxt, nbank)
 
@@ -290,10 +328,7 @@ def _clk_kernel(MC, S, exact, bs):
         def _():
             start_linv(nxt, nbank)
 
-        # ---- wait A (single range copy) ----
-        pltpu.make_async_copy(
-            pool_out.at[pl.ds(j_a0[J], MC)], sL.at[bank],
-            semA.at[bank]).wait()
+
 
         # ---- finalize B in place: U(j,k) <- linv(j) @ U(j,k) ----
         @pl.when(finB)
@@ -303,12 +338,18 @@ def _clk_kernel(MC, S, exact, bs):
                 semI.at[bank]).wait()
             sPanel[bpos] = dot(sLinv[bank], sPanel[bpos])
 
-        # ---- the pair GEMM: one wide matmul + short panel scatter ----
-        R = dot(sL[bank].reshape(MC * bs, bs), sPanel[bpos])
-        doff = J * jnp.int32(MC)
-        for r in range(MC):
-            dd = dst[doff + r]
-            sPanel[dd] = sPanel[dd] - R[r * bs:(r + 1) * bs]
+        # ---- the pair GEMM: one wide matmul + short panel scatter
+        # (the A wait matches the single range copy) ----
+        @pl.when(m_act)
+        def _():
+            pltpu.make_async_copy(
+                pool_out.at[pl.ds(j_a0[J], MC)], sL.at[bank],
+                semA.at[bank]).wait()
+            R = dot(sL[bank].reshape(MC * bs, bs), sPanel[bpos])
+            doff = J * jnp.int32(MC)
+            for r in range(MC):
+                dd = dst[doff + r]
+                sPanel[dd] = sPanel[dd] - R[r * bs:(r + 1) * bs]
 
         # ---- column finalize: diag LU + L TRSM + panel store ----
         @pl.when(fin)
@@ -375,13 +416,14 @@ def _clk_kernel(MC, S, exact, bs):
     return kern
 
 
-@functools.lru_cache(maxsize=32)
-def _clk_executor(nj, nbp, poolp, S, MC, bs, exact, interpret):
+@functools.lru_cache(maxsize=64)
+def _clk_seg_call(nj, nbp, poolp, S, MC, bs, exact, interpret):
+    """One segment's pallas_call (pool/linv/uinv alias through)."""
     kern = _clk_kernel(MC, S, exact, bs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=16,
         grid=(nj,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         scratch_shapes=[pltpu.VMEM((max(S + 1, PC), bs, bs), jnp.float32),
                         pltpu.VMEM((2, MC, bs, bs), jnp.float32),
@@ -393,10 +435,8 @@ def _clk_executor(nj, nbp, poolp, S, MC, bs, exact, interpret):
                         pltpu.SemaphoreType.DMA(())],
     )
 
-    def factor(pool, thresh, tapes):
-        consts = jnp.reshape(lax.bitcast_convert_type(
-            thresh.astype(jnp.float32), jnp.int32), (1,))
-        pool2, linv, uinv, tiny = pl.pallas_call(
+    def seg(consts, pool, linv, uinv, tapes):
+        return pl.pallas_call(
             kern,
             out_shape=[
                 jax.ShapeDtypeStruct(pool.shape, pool.dtype),
@@ -405,26 +445,58 @@ def _clk_executor(nj, nbp, poolp, S, MC, bs, exact, interpret):
                 jax.ShapeDtypeStruct((8, 128), jnp.float32),
             ],
             grid_spec=grid_spec,
-            input_output_aliases={16: 0},
+            input_output_aliases={16: 0, 17: 1, 18: 2},
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(tapes["j_start"], tapes["j_fin"], tapes["j_finB"],
           tapes["j_bpos"], tapes["j_step"], tapes["j_a0"], tapes["j_m"],
           tapes["j_col"], tapes["j_base"], tapes["j_ncol"],
           tapes["j_nfull"], tapes["j_nrem"],
-          tapes["j_dpos"], tapes["j_sync"], tapes["dst"], consts, pool)
-        return pool2, linv[:nbp + 1], uinv[:nbp + 1], \
-            tiny[0, 0].astype(jnp.int32)
+          tapes["j_dpos"], tapes["j_sync"], tapes["dst"], consts,
+          pool, linv, uinv)
 
-    return jax.jit(factor, donate_argnums=(0,))
+    return seg
 
 
 def build_factor_fn_clk(plan: SymbolicPlan, *, MC: int = 8,
                         exact: bool = True, interpret: bool = False):
     """Column-resident executor; same contract as flk/blocklu:
-    factor(pool, thresh, tapes) -> (pool, linv, uinv, tiny)."""
+    factor(pool, thresh, tapes) -> (pool, linv, uinv, tiny).
+    ``tapes`` is a tuple of per-segment tape dicts (one pallas_call per
+    segment so the scalar-prefetch arrays fit SMEM at any problem size;
+    pool and the inverse tables alias through the chain)."""
     assert plan.bs % 8 == 0
     tapes, consts = build_clk_tapes(plan, MC)
-    fn = _clk_executor(consts["nj"], consts["nbp"], consts["poolp"],
-                       consts["S"], MC, plan.bs, exact, interpret)
-    return fn, tapes
+    nbp, poolp, S = consts["nbp"], consts["poolp"], consts["S"]
+    segs = [_clk_seg_call(nj, nbp, poolp, S, MC, plan.bs, exact, interpret)
+            for nj in consts["seg_nj"]]
+
+    seg_fn = segs[0]
+
+    def factor(pool, thresh, tapes):
+        consts_a = jnp.reshape(lax.bitcast_convert_type(
+            thresh.astype(jnp.float32), jnp.int32), (1,))
+        linv = jnp.zeros((nbp + 1, plan.bs, plan.bs), pool.dtype)
+        uinv = jnp.zeros((nbp + 1, plan.bs, plan.bs), pool.dtype)
+        tiny = jnp.zeros((), jnp.int32)
+        if len(tapes) == 1:
+            pool, linv, uinv, t = seg_fn(consts_a, pool, linv, uinv,
+                                         tapes[0])
+            return pool, linv, uinv, t[0, 0].astype(jnp.int32)
+
+        # every segment pads to the same size, so ONE pallas-call
+        # instance scans over the stacked tapes: a single Mosaic compile
+        # serves the whole chain (33 inlined calls measured 367s to
+        # compile at n=125k; the scan compiles once)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *tapes)
+
+        def body(carry, tp):
+            pool, linv, uinv, tiny = carry
+            p2, l2, u2, t = seg_fn(consts_a, pool, linv, uinv, tp)
+            return (p2, l2, u2, tiny + t[0, 0].astype(jnp.int32)), None
+
+        (pool, linv, uinv, tiny), _ = lax.scan(
+            body, (pool, linv, uinv, tiny), stacked)
+        return pool, linv, uinv, tiny
+
+    return jax.jit(factor, donate_argnums=(0,)), tapes

@@ -51,6 +51,8 @@ from ..host.symbolic import SymbolicPlan
 from . import blocklu as _bl
 
 BS = 128
+SEG_W = 6000     # windows per pallas_call: the scalar-prefetch tapes
+                 # (~92 B/window at Kc=8) must fit SMEM (~1 MiB)
 
 # finalize codes
 FIN_NONE = 0
@@ -157,21 +159,61 @@ def build_flk_tapes(plan: SymbolicPlan, Kc: int = 8):
     # (panel finalizes read the step's linv/uinv from the VMEM cache the
     # diagonal finalize left behind — no HBM read, no hazard)
 
-    nwp = _bl.bucket125(nw, lo=1)
-    pad = nwp - nw
-
-    def p(a, fill=0):
-        return jnp.asarray(np.concatenate(
-            [a, np.full(pad * (len(a) // nw), fill, a.dtype)])
-            if pad else a)
-
     nbp = _bl.bucket125(plan.nb)
-    tapes = dict(
-        w_tgt=p(w_tgt, plan.trash_slot), w_step=p(w_step, nbp),
-        w_first=p(w_first), w_fin=p(w_fin), w_nc=p(w_nc), w_sync=p(w_sync),
-        c_a=p(c_a, plan.zero_slot), c_b=p(c_b, plan.zero_slot),
-    )
-    consts = dict(nw=nwp, nbp=nbp, poolp=_bl.bucket125(plan.nslots + 2))
+
+    # ---- segment at elimination-step boundaries (the diag target's
+    # first window — the step's panel finalizes reuse the VMEM-cached
+    # linv/uinv its diag left behind, so a cut inside a step would lose
+    # them). One pallas_call per segment keeps the scalar-prefetch tapes
+    # inside SMEM (~1 MiB) at any problem size; pool/linv/uinv alias
+    # through the chain. ----
+    is_diag_tgt = np.zeros(ntgt, dtype=bool)
+    pos_t = 0
+    for k in range(nb):
+        is_diag_tgt[pos_t] = True
+        pos_t += 1 + (plan.l_ptr[k + 1] - plan.l_ptr[k]) \
+            + (plan.u_ptr[k + 1] - plan.u_ptr[k])
+    step_start_w = wptr[:-1][is_diag_tgt] if ntgt else np.empty(0, np.int64)
+
+    cuts = [0]
+    for w0 in step_start_w:
+        if w0 - cuts[-1] >= SEG_W:
+            cuts.append(int(w0))
+    cuts.append(nw)
+
+    # every segment pads to ONE uniform size: a single Mosaic compile
+    # serves the whole chain (padding windows have nc == 0 and cost only
+    # a branch)
+    uni = _bl.bucket125(max(hi - lo for lo, hi in
+                            zip(cuts[:-1], cuts[1:])), lo=1)
+
+    def pack(lo, hi):
+        seg = hi - lo
+        nwp = uni
+        pad = nwp - seg
+
+        def p(a, fill=0, w=1):
+            a = a[lo * w: hi * w]
+            if not pad:
+                return jnp.asarray(a)
+            return jnp.asarray(np.concatenate(
+                [a, np.full(pad * w, fill, a.dtype)]))
+
+        sync = w_sync[lo:hi].copy()
+        sync[0] = 1          # no cross-segment prefetch
+        if pad:
+            sync = np.concatenate([sync, np.ones(pad, sync.dtype)])
+        return dict(
+            w_tgt=p(w_tgt, plan.trash_slot), w_step=p(w_step, nbp),
+            w_first=p(w_first), w_fin=p(w_fin), w_nc=p(w_nc),
+            w_sync=jnp.asarray(sync),
+            c_a=p(c_a, plan.zero_slot, w=Kc),
+            c_b=p(c_b, plan.zero_slot, w=Kc),
+        )
+
+    tapes = tuple(pack(lo, hi) for lo, hi in zip(cuts[:-1], cuts[1:]))
+    consts = dict(nbp=nbp, poolp=_bl.bucket125(plan.nslots + 2),
+                  seg_nw=tuple(len(t["w_tgt"]) for t in tapes))
     return tapes, consts
 
 
@@ -348,9 +390,11 @@ def _flk_kernel(Kc, exact, nbp, bs):
                        preferred_element_type=jnp.float32)
 
     def kern(w_tgt, w_step, w_first, w_fin, w_nc, w_sync, c_a, c_b,
-             consts_ref, pool_ref, pool_out, linv_out, uinv_out, tiny_out,
+             consts_ref, pool_ref, linv_ref, uinv_ref,
+             pool_out, linv_out, uinv_out, tiny_out,
              sT, sA, sB, sLi, sUi, sCnt, semT, semA, semB,
              semWT, semWL, semWU):
+        del linv_ref, uinv_ref
         thresh = lax.bitcast_convert_type(
             jnp.full((1, 128), consts_ref[0], jnp.int32),
             jnp.float32)[0, 0]
@@ -390,8 +434,11 @@ def _flk_kernel(Kc, exact, nbp, bs):
             sCnt[...] = jnp.zeros_like(sCnt)
 
         # ---- own contribution reads, unless window w-1 prefetched them
-        # (it did iff w > 0 and w_sync[w] == 0) ----
-        @pl.when((w == 0) | (w_sync[w] == 1))
+        # (it did iff w > 0 and w_sync[w] == 0). Windows with nc == 0
+        # (zero-contribution targets, segment padding) skip all lane
+        # work — padding must be near-free so segments can pad to ONE
+        # uniform size (one Mosaic compile for every segment). ----
+        @pl.when(((w == 0) | (w_sync[w] == 1)) & (nc > 0))
         def _():
             start_reads(base, nc, bank)
 
@@ -405,22 +452,14 @@ def _flk_kernel(Kc, exact, nbp, bs):
         # step instead — see build_flk_tapes sync analysis) ----
         nxt = jnp.minimum(w + jnp.int32(1), nw - jnp.int32(1))
 
-        @pl.when((w + jnp.int32(1) < nw) & (w_sync[nxt] == 0))
+        @pl.when((w + jnp.int32(1) < nw) & (w_sync[nxt] == 0)
+                 & (w_nc[nxt] > 0))
         def _():
             start_reads(nxt * jnp.int32(Kc), w_nc[nxt], nbank)
 
         @pl.when(first)
         def _():
             pltpu.make_async_copy(pool_out.at[tgt], sT, semT).wait()
-
-        for j in range(Kc):
-            pltpu.make_async_copy(
-                pool_out.at[c_a[base + j]],
-                sA.at[bank, slice(None), pl.ds(j * bs, bs)],
-                semA.at[bank, jnp.int32(j)]).wait()
-            pltpu.make_async_copy(
-                pool_out.at[c_b[base + j]], sB.at[bank, jnp.int32(j)],
-                semB.at[bank, jnp.int32(j)]).wait()
 
         # The window's whole contraction as ONE wide matmul,
         # (bs, Kc·bs)×(Kc·bs, bs): a single scalar-core issue that the
@@ -429,8 +468,18 @@ def _flk_kernel(Kc, exact, nbp, bs):
         # ~15 scalar issues per window; the kernel is scalar-issue-bound
         # at ~80ns/op.) Invalid lanes hold the zero block, so their
         # passes contribute nothing.
-        sT[...] = sT[...] - dot(sA[bank],
-                                sB[bank].reshape(Kc * bs, bs))
+        @pl.when(nc > 0)
+        def _():
+            for j in range(Kc):
+                pltpu.make_async_copy(
+                    pool_out.at[c_a[base + j]],
+                    sA.at[bank, slice(None), pl.ds(j * bs, bs)],
+                    semA.at[bank, jnp.int32(j)]).wait()
+                pltpu.make_async_copy(
+                    pool_out.at[c_b[base + j]], sB.at[bank, jnp.int32(j)],
+                    semB.at[bank, jnp.int32(j)]).wait()
+            sT[...] = sT[...] - dot(sA[bank],
+                                    sB[bank].reshape(Kc * bs, bs))
 
         # ---- finalize (panel TRSMs read the step's inverses from the
         # VMEM cache left by the step's diagonal finalize, which always
@@ -473,13 +522,14 @@ def _flk_kernel(Kc, exact, nbp, bs):
     return kern
 
 
-@functools.lru_cache(maxsize=32)
-def _flk_executor(nw, nbp, poolp, Kc, bs, exact, interpret):
+@functools.lru_cache(maxsize=64)
+def _flk_seg_call(nw, nbp, poolp, Kc, bs, exact, interpret):
+    """One segment's pallas_call (pool/linv/uinv alias through)."""
     kern = _flk_kernel(Kc, exact, nbp, bs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
         grid=(nw,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         scratch_shapes=[pltpu.VMEM((bs, bs), jnp.float32),
                         pltpu.VMEM((2, bs, Kc * bs), jnp.float32),
@@ -495,10 +545,8 @@ def _flk_executor(nw, nbp, poolp, Kc, bs, exact, interpret):
                         pltpu.SemaphoreType.DMA(())],
     )
 
-    def factor(pool, thresh, tapes):
-        consts = jnp.reshape(lax.bitcast_convert_type(
-            thresh.astype(jnp.float32), jnp.int32), (1,))
-        pool2, linv, uinv, tiny = pl.pallas_call(
+    def seg(consts, pool, linv, uinv, tapes):
+        return pl.pallas_call(
             kern,
             out_shape=[
                 jax.ShapeDtypeStruct(pool.shape, pool.dtype),
@@ -507,16 +555,14 @@ def _flk_executor(nw, nbp, poolp, Kc, bs, exact, interpret):
                 jax.ShapeDtypeStruct((8, 128), jnp.float32),
             ],
             grid_spec=grid_spec,
-            input_output_aliases={9: 0},
+            input_output_aliases={9: 0, 10: 1, 11: 2},
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(tapes["w_tgt"], tapes["w_step"], tapes["w_first"],
           tapes["w_fin"], tapes["w_nc"], tapes["w_sync"],
-          tapes["c_a"], tapes["c_b"], consts, pool)
-        return pool2, linv[:nbp + 1], uinv[:nbp + 1], \
-            tiny[0, 0].astype(jnp.int32)
+          tapes["c_a"], tapes["c_b"], consts, pool, linv, uinv)
 
-    return jax.jit(factor, donate_argnums=(0,))
+    return seg
 
 
 def build_factor_fn_flk(plan: SymbolicPlan, *, Kc: int = 8,
@@ -532,6 +578,37 @@ def build_factor_fn_flk(plan: SymbolicPlan, *, Kc: int = 8,
     symbfact.c:238-272, recast as a per-matrix block-size choice)."""
     assert plan.bs % 8 == 0, "flk requires block size divisible by 8"
     tapes, consts = build_flk_tapes(plan, Kc)
-    fn = _flk_executor(consts["nw"], consts["nbp"], consts["poolp"],
-                       Kc, plan.bs, exact, interpret)
-    return fn, tapes
+    nbp, poolp = consts["nbp"], consts["poolp"]
+    bs = plan.bs
+    segs = [_flk_seg_call(nw, nbp, poolp, Kc, bs, exact, interpret)
+            for nw in consts["seg_nw"]]
+
+    seg_fn = segs[0]
+
+    def factor(pool, thresh, tapes):
+        consts_a = jnp.reshape(lax.bitcast_convert_type(
+            thresh.astype(jnp.float32), jnp.int32), (1,))
+        linv = jnp.zeros((nbp + 1, bs, bs), pool.dtype)
+        uinv = jnp.zeros((nbp + 1, bs, bs), pool.dtype)
+        tiny = jnp.zeros((), jnp.int32)
+        if len(tapes) == 1:
+            pool, linv, uinv, t = seg_fn(consts_a, pool, linv, uinv,
+                                         tapes[0])
+            return pool, linv, uinv, t[0, 0].astype(jnp.int32)
+
+        # every segment pads to the same size, so ONE pallas-call
+        # instance scans over the stacked tapes: a single Mosaic compile
+        # serves the whole chain (33 inlined calls measured 367s to
+        # compile at n=125k; the scan compiles once)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *tapes)
+
+        def body(carry, tp):
+            pool, linv, uinv, tiny = carry
+            p2, l2, u2, t = seg_fn(consts_a, pool, linv, uinv, tp)
+            return (p2, l2, u2, tiny + t[0, 0].astype(jnp.int32)), None
+
+        (pool, linv, uinv, tiny), _ = lax.scan(
+            body, (pool, linv, uinv, tiny), stacked)
+        return pool, linv, uinv, tiny
+
+    return jax.jit(factor, donate_argnums=(0,)), tapes

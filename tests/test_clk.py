@@ -108,3 +108,22 @@ def test_clk_ilu_falls_back():
     assert plan.nslots < plan0.nslots, "fixture must actually drop fill"
     with pytest.raises(ValueError):
         clk.build_clk_tapes(plan)
+
+
+def test_clk_segmented_scan_path(monkeypatch):
+    """Multi-segment chain (lax.scan over uniform-padded tapes) produces
+    the same factors as the single-call path."""
+    from superlu_dist_tpu.ops.kernels import clk as clkmod
+    A = laplacian_3d(8).tocsc().astype(np.float32)
+    plan = block_symbolic(A, 16)
+    pool0 = bl.init_pool(plan, A.data, np.float32)
+    th = jnp.asarray(0.0, jnp.float32)
+    fn1, t1 = clk.build_factor_fn_clk(plan, interpret=True)
+    assert len(t1) == 1
+    p1 = np.asarray(fn1(jnp.array(pool0), th, t1)[0])
+    monkeypatch.setattr(clkmod, "SEG_JOBS", 8)
+    fn2, t2 = clk.build_factor_fn_clk(plan, interpret=True)
+    assert len(t2) > 3
+    p2 = np.asarray(fn2(jnp.array(pool0), th, t2)[0])
+    n = plan.nslots
+    assert np.abs(p1[:n] - p2[:n]).max() == 0.0

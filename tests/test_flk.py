@@ -122,3 +122,26 @@ def test_flk_through_driver_solve():
     bp[:n, 0] = b
     y = np.asarray(sfn(pf, lf, uf, lt, ut, jnp.asarray(bp)))[:n, 0]
     assert np.abs(y - xt).max() / np.abs(xt).max() < 1e-4
+
+
+def test_flk_segmented_scan_path(monkeypatch):
+    """Multi-segment chain (lax.scan over uniform-padded tapes) produces
+    the same factors as the single-call path."""
+    import jax.numpy as jnp
+    from superlu_dist_tpu.ops.host.symbolic import block_symbolic
+    from superlu_dist_tpu.ops.kernels import blocklu as bl
+    from superlu_dist_tpu.ops.kernels import flk as flkmod
+    from superlu_dist_tpu.utils.testing import laplacian_3d
+    A = laplacian_3d(8).tocsc().astype(np.float32)
+    plan = block_symbolic(A, 16)
+    pool0 = bl.init_pool(plan, A.data, np.float32)
+    th = jnp.asarray(0.0, jnp.float32)
+    fn1, t1 = flkmod.build_factor_fn_flk(plan, interpret=True)
+    assert len(t1) == 1
+    p1 = np.asarray(fn1(jnp.array(pool0), th, t1)[0])
+    monkeypatch.setattr(flkmod, "SEG_W", 8)
+    fn2, t2 = flkmod.build_factor_fn_flk(plan, interpret=True)
+    assert len(t2) > 3
+    p2 = np.asarray(fn2(jnp.array(pool0), th, t2)[0])
+    n = plan.nslots
+    assert np.abs(p1[:n] - p2[:n]).max() == 0.0
