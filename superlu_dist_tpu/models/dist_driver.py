@@ -29,6 +29,7 @@ from .driver import SparseLU, _real_base
 class DistributedSparseLU(SparseLU):
 
     _fused_refine_ok = False
+    _embed_ok = False
     #: the distributed executors use native complex (CPU-mesh capable);
     #: planar recasting of the distributed path is not implemented yet
     _planar = False

@@ -71,6 +71,32 @@ def _real_eps(dtype) -> float:
     return float(np.finfo(_real_base(dtype)).eps)
 
 
+_EMBED_RE = np.array([[1.0, 0.0], [0.0, 1.0]], dtype=np.float32)
+_EMBED_IM = np.array([[0.0, -1.0], [1.0, 0.0]], dtype=np.float32)
+
+
+def _embed_csc(A: sp.spmatrix) -> sp.csc_matrix:
+    """Real ring embedding of a complex matrix: each entry a+bi becomes
+    the 2x2 block [[a,-b],[b,a]] (rows interleaved re,im). A ring
+    homomorphism, so LU(embed(A)) = embed(LU(A)) exactly."""
+    A = sp.csc_matrix(A)
+    return (sp.kron(A.real, _EMBED_RE, format="csc")
+            + sp.kron(A.imag.astype(np.float32), _EMBED_IM,
+                      format="csc")).astype(np.float32)
+
+
+def _embed_rhs(v: np.ndarray) -> np.ndarray:
+    """(n, k) complex -> (2n, k) interleaved real."""
+    out = np.empty((2 * v.shape[0],) + v.shape[1:], dtype=np.float32)
+    out[0::2] = v.real
+    out[1::2] = v.imag
+    return out
+
+
+def _unembed_sol(y: np.ndarray) -> np.ndarray:
+    return y[0::2] + 1j * y[1::2]
+
+
 def _check_user_perm(p, n: int, what: str) -> np.ndarray:
     """Validate a user-supplied permutation (check_perm_dist analog)."""
     p = np.asarray(p, dtype=np.int64)
@@ -217,6 +243,18 @@ class SparseLU:
         A3 = self._preprocess(A, reuse_perms, reuse_colperm)
         self._anorm = float(np.abs(A3.data).max()) if A3.nnz else 1.0
 
+        # complex64 on TPU: factor the real ring embedding a+bi ->
+        # [[a,-b],[b,a]] (interleaved 2x2 blocks) so the complex
+        # factorization runs the SAME fused f32 Pallas kernels — the
+        # embedding is a ring homomorphism, so LU(embed(A)) = embed(LU(A))
+        # exactly, at the complex op count (4 real mults per complex
+        # mult). The planar (re,im)-planes executor remains for CPU/XLA
+        # (2x less memory); force with SLU_TPU_COMPLEX=planar|embed.
+        # Reference parity: the z precision suite (SRC/complex16/).
+        self._embed = self._use_embed()
+        if self._embed:
+            A3 = _embed_csc(A3)
+
         with stat.phase("SYMBFAC"):
             if reuse_perms and self.plan is not None:
                 plan = self.plan
@@ -228,7 +266,7 @@ class SparseLU:
         stat.counters["fill_blocks"] = plan.nslots
         stat.counters["factor_flops_model"] = plan.factor_flops
         stat.peak_buffer_bytes = max(stat.peak_buffer_bytes,
-                                     plan.pool_bytes(self.dtype))
+                                     plan.pool_bytes(self._fdtype))
 
         self._device_factor(A3)
         stat.ops["FACT"] += plan.factor_flops
@@ -256,6 +294,42 @@ class SparseLU:
         return (np.sqrt(_real_eps(self.dtype)) * self._anorm
                 if self.options.replace_tiny_pivot else 0.0)
 
+    def _pallas_solve_ok(self) -> bool:
+        """The fused whole-sweep solve kernel prefetches its level tapes
+        into SMEM (~1 MiB); beyond that the XLA level-loop solve runs
+        instead (segmenting the solve kernel is future work)."""
+        ints = 3 * (len(self.plan.lsol_gslot) + len(self.plan.usol_gslot)) \
+            + len(self.plan.lsol_diag) + len(self.plan.usol_diag)
+        return ints < 150_000
+
+    @property
+    def _fdtype(self):
+        """dtype of the device factor pool (float32 when embedding)."""
+        return np.dtype(np.float32) if getattr(self, "_embed", False) \
+            else self.dtype
+
+    #: subclasses with their own complex executors (distributed drivers)
+    #: opt out of the embedding
+    _embed_ok = True
+
+    def _use_embed(self) -> bool:
+        """complex64 factors via the real ring embedding on accelerators
+        (TPU has no complex dtype; the embedding reuses the fused f32
+        kernels). complex128 keeps the planar executor: f32 embedding
+        would halve its precision."""
+        if not self._embed_ok:
+            return False
+        if np.dtype(self.dtype) != np.dtype(np.complex64):
+            return False
+        import os
+        import jax
+        mode = os.environ.get("SLU_TPU_COMPLEX", "")
+        if mode == "planar":
+            return False
+        if mode == "embed":
+            return True
+        return jax.devices()[0].platform == "tpu"
+
     def _use_pallas(self) -> bool:
         """The Pallas path needs B=128 f32 on a real TPU (or interpret mode
         for tests via SLU_TPU_FORCE_PALLAS=interpret). Mosaic requires DMA
@@ -270,7 +344,7 @@ class SparseLU:
         force = os.environ.get("SLU_TPU_FORCE_PALLAS", "")
         if force == "off" or self.options.executor == "xla":
             return False
-        if self.dtype != np.dtype(np.float32):
+        if self._fdtype != np.dtype(np.float32):
             return False
         fused = (self.options.executor or "clk") in ("clk", "flk")
         if force == "interpret":
@@ -284,6 +358,8 @@ class SparseLU:
         accelerators — the TPU backend has no complex dtype at all. On CPU
         the native complex executor is used (force with
         SLU_TPU_FORCE_PLANAR=1/0 for testing)."""
+        if getattr(self, "_embed", False):
+            return False
         if getattr(self, "_planar", None) is not None:
             return self._planar
         if np.dtype(self.dtype).kind != "c":
@@ -313,7 +389,7 @@ class SparseLU:
                     plan, chunk=opts.gemm_chunk)
             elif self._use_pallas():
                 import os
-                pool = _blocklu.init_pool(plan, A3.data, self.dtype)
+                pool = _blocklu.init_pool(plan, A3.data, self._fdtype)
                 interp = (os.environ.get("SLU_TPU_FORCE_PALLAS", "")
                           == "interpret")
                 exc = opts.executor or "clk"
@@ -328,8 +404,9 @@ class SparseLU:
                         self._factor_fn, self.tapes = \
                             _clk.build_factor_fn_clk(plan, MC=opts.clk_mc,
                                                      interpret=interp)
-                        stat.counters["clk_jobs"] = \
-                            len(self.tapes["j_fin"])
+                        stat.counters["clk_jobs"] = sum(
+                            len(s["j_fin"]) for s in self.tapes)
+                        stat.counters["clk_segments"] = len(self.tapes)
                     else:
                         exc = "flk"
                 if exc == "flk":
@@ -339,15 +416,16 @@ class SparseLU:
                     from ..ops.kernels import flk as _flk
                     self._factor_fn, self.tapes = _flk.build_factor_fn_flk(
                         plan, Kc=opts.flk_kc, interpret=interp)
-                    stat.counters["flk_windows"] = \
-                        len(self.tapes["w_tgt"])
+                    stat.counters["flk_windows"] = sum(
+                        len(s["w_tgt"]) for s in self.tapes)
+                    stat.counters["flk_segments"] = len(self.tapes)
                 elif exc not in ("clk",):
                     from ..ops.kernels import pallas_exec as _pe
                     self._factor_fn, self.tapes = _pe.build_factor_fn_pallas(
                         plan, chunk=min(opts.gemm_chunk, 16),
                         interpret=interp)
             else:
-                pool = _blocklu.init_pool(plan, A3.data, self.dtype)
+                pool = _blocklu.init_pool(plan, A3.data, self._fdtype)
                 self.tapes = _blocklu.make_factor_tapes(plan)
                 self._factor_fn = _blocklu.build_factor_fn(
                     plan, chunk=opts.gemm_chunk)
@@ -410,7 +488,7 @@ class SparseLU:
             y2 = self._solve_fns[key](self.pool, self.linv, self.uinv,
                                       self.ltape, self.utape, b2)
             return _planar.planar_to_complex(np.asarray(y2))
-        if self._use_pallas():
+        if self._use_pallas() and self._pallas_solve_ok():
             import os
             from ..ops.kernels import pallas_exec as _pe
             key = ("P", nrhs)
@@ -459,16 +537,24 @@ class SparseLU:
         through conjugation of b and x (the reference's trans_t branches).
         """
         b = np.asarray(b)
-        if conj:
-            return np.conj(self.solve_transposed(np.conj(b)))
+        emb = getattr(self, "_embed", False)
+        # the embedded pool's transpose solves Aᴴ natively
+        # (embed(A)ᵀ = embed(Aᴴ)); the plain pool solves Aᵀ. The other
+        # variant wraps conjugation around it (the trans_t branches).
+        if conj != emb:
+            return np.conj(self.solve_transposed(np.conj(b), conj=emb))
         squeeze = b.ndim == 1
         if squeeze:
             b = b[:, None]
         nrhs = b.shape[1]
         # Aᵀ x = b ⇒ A3ᵀ y = b3 with b3[k] = Dc[pc[k]]·b[pc[k]],
         # and x[prc[k]] = Dr[prc[k]]·y[k]
-        bp = np.zeros((self._bpad_rows(), nrhs), dtype=self.dtype)
-        bp[: self.n] = self.col_scale[self.colperm, None] * b[self.colperm]
+        bp = np.zeros((self._bpad_rows(), nrhs), dtype=self._fdtype)
+        b3t = self.col_scale[self.colperm, None] * b[self.colperm]
+        if emb:
+            bp[: 2 * self.n] = _embed_rhs(b3t)
+        else:
+            bp[: self.n] = b3t
         with self.stat.phase("SOLVE"):
             if self._use_planar():
                 from ..ops.kernels import planar as _planar
@@ -489,7 +575,8 @@ class SparseLU:
             else:
                 y = np.asarray(self._trans_solve_fn(nrhs)(
                     self.pool, self.uinv, self.linv, self.ttape_u,
-                    self.ttape_l, jnp.asarray(bp)))[: self.n]
+                    self.ttape_l, jnp.asarray(bp)))
+                y = _unembed_sol(y[: 2 * self.n]) if emb else y[: self.n]
         prc = self.rowperm[self.colperm]
         x = np.empty((self.n, nrhs), dtype=y.dtype)
         x[prc] = self.row_scale[prc, None] * y
@@ -509,10 +596,16 @@ class SparseLU:
         nrhs = b.shape[1]
         # b3 = Pc Pr Dr b  (rows of A3 correspond to original rows prc[k])
         prc = self.rowperm[self.colperm]
-        bp = np.zeros((self._bpad_rows(), nrhs), dtype=self.dtype)
-        bp[: self.n] = self.row_scale[prc, None] * b[prc]
+        bp = np.zeros((self._bpad_rows(), nrhs), dtype=self._fdtype)
+        b3 = self.row_scale[prc, None] * b[prc]
+        if getattr(self, "_embed", False):
+            bp[: 2 * self.n] = _embed_rhs(b3)
+        else:
+            bp[: self.n] = b3
         with self.stat.phase("SOLVE"):
-            y = self._solve_factored(bp)[: self.n]
+            y = self._solve_factored(bp)
+        y = _unembed_sol(y[: 2 * self.n]) if getattr(self, "_embed", False) \
+            else y[: self.n]
         # x = Dc Pcᵀ y
         x = np.empty((self.n, nrhs), dtype=y.dtype)
         x[self.colperm] = self.col_scale[self.colperm, None] * y
@@ -595,7 +688,7 @@ class SparseLU:
         itmax = self.options.max_refine_steps
         rthresh = self.options.refine_rthresh
 
-        if self._use_pallas():
+        if self._use_pallas() and self._pallas_solve_ok():
             import os
             from ..ops.kernels import pallas_exec as _pe
             interp = (os.environ.get("SLU_TPU_FORCE_PALLAS", "")
@@ -771,6 +864,14 @@ class SparseLU:
         if pool.ndim == 4:   # planar complex layout (slots, 2, bs, bs)
             pool = pool[:, 0] + 1j * pool[:, 1]
         bs, nb = self.plan.bs, self.plan.nb
+        if getattr(self, "_embed", False):
+            # U = embed(U_c): Re(U_kk) on the diagonal (rows 2k, 2k+1),
+            # Im(U_kk) at (2k+1, 2k) of the same block
+            blocks = pool[np.asarray(self.plan.diag_slot)]
+            re = blocks[:, np.arange(bs), np.arange(bs)].reshape(nb * bs)
+            im = blocks[:, np.arange(1, bs, 2),
+                        np.arange(0, bs, 2)].reshape(nb * (bs // 2))
+            return (re[0::2] + 1j * im)[: self.n]
         d = pool[np.asarray(self.plan.diag_slot)][:, np.arange(bs),
                                                   np.arange(bs)]
         return d.reshape(nb * bs)[: self.n]
