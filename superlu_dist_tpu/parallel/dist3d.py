@@ -172,14 +172,18 @@ class DistPlan3D:
     dptr: np.ndarray
     dstep: np.ndarray
     dloc: np.ndarray
+    dpil: np.ndarray        # position of the step within its level
+    max_dlvl: int           # compact inverse-broadcast buffer rows
     lptr: np.ndarray
     lloc: np.ndarray
     lpos: np.ndarray
     lstep: np.ndarray
+    lpil: np.ndarray
     uptr: np.ndarray
     uloc: np.ndarray
     upos: np.ndarray
     ustep: np.ndarray
+    upil: np.ndarray
     gptr: np.ndarray
     glpos: np.ndarray
     gupos: np.ndarray
@@ -262,23 +266,27 @@ def partition_plan3d(plan: SymbolicPlan, pz: int, pr: int, pc: int
             ucol_count = np.zeros(pc, dtype=np.int64)
             lpos_of = {}
             upos_of = {}
+            pil_of = {int(k): i for i, k in enumerate(steps)}
             for k in steps:
                 ds = plan.diag_slot[k]
-                d_l[slot_rc[ds]][l].append((int(k), int(slot_local[ds])))
+                d_l[slot_rc[ds]][l].append((int(k), int(slot_local[ds]),
+                                            pil_of[int(k)]))
                 for s in plan.l_slots[plan.l_ptr[k]:plan.l_ptr[k + 1]]:
                     r = int(srow[s] % pr)
                     pos = int(lrow_count[r])
                     lrow_count[r] += 1
                     lpos_of[int(s)] = pos
                     l_l[slot_rc[s]][l].append(
-                        (int(slot_local[s]), pos, int(k)))
+                        (int(slot_local[s]), pos, int(k),
+                         pil_of[int(k)]))
                 for s in plan.u_slots[plan.u_ptr[k]:plan.u_ptr[k + 1]]:
                     c = int(scol[s] % pc)
                     pos = int(ucol_count[c])
                     ucol_count[c] += 1
                     upos_of[int(s)] = pos
                     u_l[slot_rc[s]][l].append(
-                        (int(slot_local[s]), pos, int(k)))
+                        (int(slot_local[s]), pos, int(k),
+                         pil_of[int(k)]))
             max_lbuf = max(max_lbuf, int(lrow_count.max(initial=0)))
             max_ubuf = max(max_ubuf, int(ucol_count.max(initial=0)))
             for k in steps:
@@ -313,9 +321,17 @@ def partition_plan3d(plan: SymbolicPlan, pz: int, pr: int, pc: int
         ptrs = ptrs.reshape(pz, pr, pc, nlvl + 1).astype(np.int32)
         return ptrs, [o.reshape(pz, pr, pc, maxlen) for o in out]
 
-    dptr, (dstep, dloc) = pack(tape_lists, 0, 2, [nb, _TRASH])
-    lptr, (lloc, lpos, lstep) = pack(tape_lists, 1, 3, [_TRASH, 0, nb])
-    uptr, (uloc, upos, ustep) = pack(tape_lists, 2, 3, [_TRASH, 0, nb])
+    # compact inverse-broadcast positions (position-in-level): comm per
+    # level is proportional to the level's steps, not nb
+    max_dlvl = max(1, max((len(steps) for z in range(pz)
+                           for steps in (layer_scheds[z] + top_sched)),
+                          default=1))
+    dptr, (dstep, dloc, dpil) = pack(tape_lists, 0, 3,
+                                     [nb, _TRASH, max_dlvl])
+    lptr, (lloc, lpos, lstep, lpil) = pack(tape_lists, 1, 4,
+                                           [_TRASH, 0, nb, max_dlvl])
+    uptr, (uloc, upos, ustep, upil) = pack(tape_lists, 2, 4,
+                                           [_TRASH, 0, nb, max_dlvl])
     gptr, (glpos, gupos, gtloc) = pack(tape_lists, 3, 3, [0, 0, _TRASH])
 
     # ---- solve tapes: layer-slot work on its layer, ancestor work on z=0 --
@@ -362,9 +378,9 @@ def partition_plan3d(plan: SymbolicPlan, pz: int, pr: int, pc: int
         max_anc=max_anc, max_p1=max_p1, ntop=ntop,
         max_lbuf=max_lbuf, max_ubuf=max_ubuf, step_layer=step_layer,
         slot_rc=slot_rc, slot_local=slot_local, slot_is_anc=slot_is_anc,
-        dptr=dptr, dstep=dstep, dloc=dloc,
-        lptr=lptr, lloc=lloc, lpos=lpos, lstep=lstep,
-        uptr=uptr, uloc=uloc, upos=upos, ustep=ustep,
+        dptr=dptr, dstep=dstep, dloc=dloc, dpil=dpil, max_dlvl=max_dlvl,
+        lptr=lptr, lloc=lloc, lpos=lpos, lstep=lstep, lpil=lpil,
+        uptr=uptr, uloc=uloc, upos=upos, ustep=ustep, upil=upil,
         gptr=gptr, glpos=glpos, gupos=gupos, gtloc=gtloc,
         lsol_gptr=lsg[0], lsol_gloc=lsg[1], lsol_gsrc=lsg[2],
         lsol_gdst=lsg[3],
@@ -435,45 +451,55 @@ def build_dist3d_factor_fn(plan: SymbolicPlan, dplan: DistPlan3D,
     glen = dplan.glpos.shape[-1]
     blu = jax.vmap(block_lu_inv, in_axes=(0, None))
 
-    def spmd(pools, thresh, dptr, dstep, dloc, lptr, lloc, lpos, lstep,
-             uptr, uloc, upos, ustep, gptr, glpos, gupos, gtloc):
+    DL = dplan.max_dlvl
+
+    def spmd(pools, thresh, dptr, dstep, dloc, dpil, lptr, lloc, lpos,
+             lpil, uptr, uloc, upos, upil, gptr, glpos, gupos, gtloc):
         pool = pools[0, 0, 0]
-        (dptr, dstep, dloc, lptr, lloc, lpos, lstep, uptr, uloc, upos,
-         ustep, gptr, glpos, gupos, gtloc) = (
-            x[0, 0, 0] for x in (dptr, dstep, dloc, lptr, lloc, lpos,
-                                 lstep, uptr, uloc, upos, ustep, gptr,
-                                 glpos, gupos, gtloc))
+        (dptr, dstep, dloc, dpil, lptr, lloc, lpos, lpil, uptr, uloc,
+         upos, upil, gptr, glpos, gupos, gtloc) = (
+            x[0, 0, 0] for x in (dptr, dstep, dloc, dpil, lptr, lloc,
+                                 lpos, lpil, uptr, uloc, upos, upil,
+                                 gptr, glpos, gupos, gtloc))
         dtype = pool.dtype
 
         def level(l, carry):
             pool, linv, uinv, tiny = carry
             lo, hi = dptr[l], dptr[l + 1]
-            ldelta = jnp.zeros((nb + 1, bs, bs), dtype)
-            udelta = jnp.zeros((nb + 1, bs, bs), dtype)
+            # compact per-level inverse broadcast (comm ∝ level steps,
+            # not nb — the fused U-diag/L-diag Isend analog); the full
+            # linv/uinv tables accumulate LOCALLY (the z-psum at the
+            # phase boundary merges the layers)
+            ldelta = jnp.zeros((DL + 1, bs, bs), dtype)
+            udelta = jnp.zeros((DL + 1, bs, bs), dtype)
 
             def diag(c, carry):
-                pool, ldelta, udelta, tiny = carry
+                pool, linv, uinv, ldelta, udelta, tiny = carry
                 offs = lo + c * diag_chunk + jnp.arange(diag_chunk,
                                                         dtype=jnp.int32)
                 valid = offs < hi
                 offs = jnp.minimum(offs, dlen - 1)
                 steps = jnp.where(valid, dstep[offs], nb)
+                pil = jnp.where(valid, dpil[offs], DL)
                 dsl = jnp.where(valid, dloc[offs], _ZERO)
                 LU, lk, uk, nt = blu(pool[dsl], thresh)
                 pool = pool.at[jnp.where(valid, dsl, _TRASH)].set(LU)
-                ldelta = ldelta.at[steps].set(
-                    jnp.where(valid[:, None, None], lk, 0))
-                udelta = udelta.at[steps].set(
-                    jnp.where(valid[:, None, None], uk, 0))
+                lkm = jnp.where(valid[:, None, None], lk, 0)
+                ukm = jnp.where(valid[:, None, None], uk, 0)
+                ldelta = ldelta.at[pil].set(lkm)
+                udelta = udelta.at[pil].set(ukm)
+                linv = linv.at[steps].set(lkm)
+                uinv = uinv.at[steps].set(ukm)
                 tiny = tiny + jnp.sum(nt * valid).astype(jnp.int32)
-                return pool, ldelta, udelta, tiny
+                return pool, linv, uinv, ldelta, udelta, tiny
 
-            pool, ldelta, udelta, tiny = _chunked(
-                lo, hi, diag_chunk, diag, (pool, ldelta, udelta, tiny))
+            pool, linv, uinv, ldelta, udelta, tiny = _chunked(
+                lo, hi, diag_chunk, diag,
+                (pool, linv, uinv, ldelta, udelta, tiny))
             pack = lax.psum(lax.psum(jnp.stack([ldelta, udelta]), R_AXIS),
                             C_AXIS)
-            linv = linv + pack[0]
-            uinv = uinv + pack[1]
+            lC = pack[0]
+            uC = pack[1]
 
             lbuf = jnp.zeros((LBUF + 2, bs, bs), dtype)
             llo, lhi = lptr[l], lptr[l + 1]
@@ -485,8 +511,8 @@ def build_dist3d_factor_fn(plan: SymbolicPlan, dplan: DistPlan3D,
                 offs = jnp.minimum(offs, llen - 1)
                 si = jnp.where(valid, lloc[offs], _TRASH)
                 pos = jnp.where(valid, lpos[offs], LBUF)
-                st = jnp.where(valid, lstep[offs], nb)
-                Y = jnp.einsum("cij,cjk->cik", pool[si], uinv[st],
+                st = jnp.where(valid, lpil[offs], DL)
+                Y = jnp.einsum("cij,cjk->cik", pool[si], uC[st],
                                preferred_element_type=dtype,
                                precision=MATMUL_PRECISION)
                 return pool.at[si].set(Y), lbuf.at[pos].set(Y)
@@ -503,8 +529,8 @@ def build_dist3d_factor_fn(plan: SymbolicPlan, dplan: DistPlan3D,
                 offs = jnp.minimum(offs, ulen - 1)
                 si = jnp.where(valid, uloc[offs], _TRASH)
                 pos = jnp.where(valid, upos[offs], UBUF)
-                st = jnp.where(valid, ustep[offs], nb)
-                Y = jnp.einsum("cij,cjk->cik", linv[st], pool[si],
+                st = jnp.where(valid, upil[offs], DL)
+                Y = jnp.einsum("cij,cjk->cik", lC[st], pool[si],
                                preferred_element_type=dtype,
                                precision=MATMUL_PRECISION)
                 return pool.at[si].set(Y), ubuf.at[pos].set(Y)
@@ -533,18 +559,27 @@ def build_dist3d_factor_fn(plan: SymbolicPlan, dplan: DistPlan3D,
 
         linv0 = jnp.zeros((nb + 1, bs, bs), dtype)
         uinv0 = jnp.zeros((nb + 1, bs, bs), dtype)
-        # phase 1: independent subtrees, within-layer collectives only
+        # phase 1: independent subtrees, within-layer collectives only.
+        # Inverses accumulate owner-local (the per-level broadcast is the
+        # COMPACT lC/uC); one full psum at the phase boundary replicates
+        # the tables for the solve (each phase-1 step has exactly one
+        # owner device globally).
         pool, linv, uinv, tiny1 = lax.fori_loop(
             0, max_p1, level, (pool, linv0, uinv0, jnp.zeros((), jnp.int32)))
+        linv = lax.psum(lax.psum(lax.psum(linv, Z_AXIS), R_AXIS), C_AXIS)
+        uinv = lax.psum(lax.psum(lax.psum(uinv, Z_AXIS), R_AXIS), C_AXIS)
         # cross-layer reduction (dreduceAllAncestors3d analog)
-        linv = lax.psum(linv, Z_AXIS)
-        uinv = lax.psum(uinv, Z_AXIS)
         anc = lax.psum(pool[_RESERVED:_RESERVED + max_anc], Z_AXIS)
         pool = pool.at[_RESERVED:_RESERVED + max_anc].set(anc)
-        # phase 2: shared top, replicated across layers
-        pool, linv, uinv, tiny2 = lax.fori_loop(
+        # phase 2: shared top, replicated across layers (every layer
+        # computes the top redundantly — replicate owner entries over
+        # 'r','c' only)
+        pool, linv2, uinv2, tiny2 = lax.fori_loop(
             max_p1, max_p1 + ntop, level,
-            (pool, linv, uinv, jnp.zeros((), jnp.int32)))
+            (pool, jnp.zeros_like(linv0), jnp.zeros_like(uinv0),
+             jnp.zeros((), jnp.int32)))
+        linv = linv + lax.psum(lax.psum(linv2, R_AXIS), C_AXIS)
+        uinv = uinv + lax.psum(lax.psum(uinv2, R_AXIS), C_AXIS)
         tiny1 = lax.psum(lax.psum(lax.psum(tiny1, Z_AXIS), R_AXIS), C_AXIS)
         tiny2 = lax.psum(lax.psum(lax.psum(tiny2, Z_AXIS), R_AXIS),
                          C_AXIS) // dplan.pz
@@ -553,7 +588,7 @@ def build_dist3d_factor_fn(plan: SymbolicPlan, dplan: DistPlan3D,
     sharded = P(Z_AXIS, R_AXIS, C_AXIS)
     rep = P()
     fn = shard_map(spmd, mesh=mesh,
-                   in_specs=(sharded, rep) + (sharded,) * 15,
+                   in_specs=(sharded, rep) + (sharded,) * 16,
                    out_specs=(sharded, rep, rep, rep), check_vma=False)
 
     @jax.jit
@@ -564,8 +599,9 @@ def build_dist3d_factor_fn(plan: SymbolicPlan, dplan: DistPlan3D,
 
 
 def make_dist3d_factor_tapes(dplan: DistPlan3D):
-    names = ["dptr", "dstep", "dloc", "lptr", "lloc", "lpos", "lstep",
-             "uptr", "uloc", "upos", "ustep", "gptr", "glpos", "gupos",
+    names = ["dptr", "dstep", "dloc", "dpil", "lptr", "lloc", "lpos",
+             "lpil",
+             "uptr", "uloc", "upos", "upil", "gptr", "glpos", "gupos",
              "gtloc"]
     return tuple(jnp.asarray(getattr(dplan, n), dtype=jnp.int32)
                  for n in names)
