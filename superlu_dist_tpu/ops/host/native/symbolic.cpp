@@ -12,7 +12,9 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 using std::vector;
@@ -112,23 +114,150 @@ SymResult* slu_block_symbolic(i64 nb, i64 n_ab, const i64* ab_i,
         Us[k].erase(std::unique(Us[k].begin(), Us[k].end()), Us[k].end());
     }
 
-    // right-looking fill simulation; record per-step rows/cols snapshots
+    // ---- right-looking fill simulation (psymbfact analog: parallel
+    // over elimination-tree subtrees). Fill produced by a step lands
+    // only in columns of its own subtree or in the shared ancestor
+    // "top" (the filled struct is ancestor-closed in the etree of the
+    // symmetrized block pattern), so T threads process disjoint
+    // subtrees independently, buffering their top-column contributions,
+    // and a serial pass merges + finishes the top. Reference:
+    // SRC/prec-independent/psymbfact.c (distributed); here the
+    // shared-memory recast. ----
     vector<vector<i64>> step_rows(nb), step_cols(nb);
-    for (i64 k = 0; k < nb; ++k) {
-        step_rows[k] = Ls[k];  // already complete: fill into k only from j<k
+
+    auto fill_step = [&](i64 k, vector<vector<i64>>& Lbuf,
+                         vector<vector<i64>>& Ubuf,
+                         const vector<char>& mine) {
+        step_rows[k] = Ls[k];
         step_cols[k] = Us[k];
         const auto& rows = step_rows[k];
         const auto& cols = step_cols[k];
-        if (!rows.empty() && !cols.empty()) {
-            for (i64 J : cols) {
-                auto it = std::upper_bound(rows.begin(), rows.end(), J);
+        if (rows.empty() || cols.empty()) return;
+        for (i64 J : cols) {
+            auto it = std::upper_bound(rows.begin(), rows.end(), J);
+            if (mine.empty() || mine[J])
                 merge_into(Ls[J], &*it, rows.end() - it);
-            }
-            for (i64 I : rows) {
-                auto it = std::upper_bound(cols.begin(), cols.end(), I);
+            else
+                Lbuf[J].insert(Lbuf[J].end(), it, rows.end());
+        }
+        for (i64 I : rows) {
+            auto it = std::upper_bound(cols.begin(), cols.end(), I);
+            if (mine.empty() || mine[I])
                 merge_into(Us[I], &*it, cols.end() - it);
+            else
+                Ubuf[I].insert(Ubuf[I].end(), it, cols.end() - it);
+        }
+    };
+
+    i64 nthreads = 1;
+    if (const char* e = std::getenv("SLU_TPU_SYMB_THREADS"))
+        nthreads = std::atoll(e);
+    else
+        nthreads = std::min<i64>(8, std::thread::hardware_concurrency());
+    if (nthreads > 1 && nb >= 256) {
+        // etree of the symmetrized block pattern (Liu's algorithm with
+        // path compression): ancestors contain every filled column
+        vector<i64> parent(nb, -1), anc(nb, -1);
+        auto find_set = [&](i64 x) {
+            i64 r = x;
+            while (anc[r] >= 0) r = anc[r];
+            while (anc[x] >= 0) { i64 nxt = anc[x]; anc[x] = r; x = nxt; }
+            return r;
+        };
+        // link each j to all its symmetric neighbors > j (O(nnz·alpha)):
+        // the union-find root of j's component attaches to the smallest
+        // later neighbor, giving Liu's column elimination tree
+        for (i64 j = 0; j < nb; ++j) {
+            auto link = [&](i64 m) {    // m > j neighbor
+                i64 r = find_set(j);
+                if (r != m && parent[r] < 0 && r < m) {
+                    parent[r] = m;
+                    anc[r] = m;
+                }
+            };
+            for (i64 m : Ls[j]) link(m);
+            for (i64 m : Us[j]) link(m);
+        }
+        // subtree sizes -> top = nodes whose subtree exceeds total/T
+        vector<i64> sub(nb, 1);
+        for (i64 k2 = 0; k2 < nb; ++k2)
+            if (parent[k2] >= 0) sub[parent[k2]] += sub[k2];
+        vector<char> in_top(nb, 0);
+        i64 thresh_sz = std::max<i64>(nb / (4 * nthreads), 8);
+        for (i64 k2 = 0; k2 < nb; ++k2)
+            if (sub[k2] > thresh_sz || parent[k2] < 0) in_top[k2] = 1;
+        for (i64 k2 = nb - 1; k2 >= 0; --k2)       // ancestor closure
+            if (in_top[k2] && parent[k2] >= 0) in_top[parent[k2]] = 1;
+        // maximal subtrees -> greedy bins
+        vector<i64> comp(nb, -1);
+        vector<i64> roots;
+        for (i64 k2 = 0; k2 < nb; ++k2)
+            if (!in_top[k2] && (parent[k2] < 0 || in_top[parent[k2]]))
+                roots.push_back(k2);
+        // descending pass assigns each node its root (parents have
+        // larger indices in an etree)
+        for (i64 r : roots) comp[r] = r;
+        for (i64 k2 = nb - 1; k2 >= 0; --k2)
+            if (!in_top[k2] && comp[k2] < 0 && parent[k2] >= 0
+                && comp[parent[k2]] >= 0)
+                comp[k2] = comp[parent[k2]];
+        vector<i64> bin_cost(nthreads, 0), bin_of(nb, -1);
+        std::sort(roots.begin(), roots.end(),
+                  [&](i64 a, i64 b) { return sub[a] > sub[b]; });
+        for (i64 r : roots) {
+            i64 b = std::min_element(bin_cost.begin(), bin_cost.end())
+                - bin_cost.begin();
+            bin_of[r] = b;
+            bin_cost[b] += sub[r];
+        }
+        vector<vector<i64>> bin_steps(nthreads);
+        vector<i64> top_steps;
+        for (i64 k2 = 0; k2 < nb; ++k2) {
+            if (in_top[k2] || comp[k2] < 0)
+                top_steps.push_back(k2);
+            else
+                bin_steps[bin_of[comp[k2]]].push_back(k2);
+        }
+        vector<char> mine_top;  // per-thread ownership mask
+        vector<vector<vector<i64>>> Lbufs(nthreads), Ubufs(nthreads);
+        vector<std::thread> threads;
+        for (i64 t2 = 0; t2 < nthreads; ++t2) {
+            Lbufs[t2].resize(nb);
+            Ubufs[t2].resize(nb);
+            threads.emplace_back([&, t2]() {
+                vector<char> mine(nb, 0);
+                for (i64 k2 : bin_steps[t2]) mine[k2] = 1;
+                for (i64 k2 : bin_steps[t2])
+                    fill_step(k2, Lbufs[t2], Ubufs[t2], mine);
+            });
+        }
+        for (auto& th : threads) th.join();
+        // merge buffered top contributions, then finish the top serially
+        for (i64 t2 = 0; t2 < nthreads; ++t2) {
+            for (i64 J = 0; J < nb; ++J) {
+                auto& lb = Lbufs[t2][J];
+                if (!lb.empty()) {
+                    std::sort(lb.begin(), lb.end());
+                    lb.erase(std::unique(lb.begin(), lb.end()), lb.end());
+                    merge_into(Ls[J], lb.data(), lb.size());
+                }
+                auto& ub = Ubufs[t2][J];
+                if (!ub.empty()) {
+                    std::sort(ub.begin(), ub.end());
+                    ub.erase(std::unique(ub.begin(), ub.end()), ub.end());
+                    merge_into(Us[J], ub.data(), ub.size());
+                }
             }
         }
+        vector<vector<i64>> noL, noU;
+        vector<char> all;
+        for (i64 k2 : top_steps)
+            fill_step(k2, noL, noU, all);
+    } else {
+        vector<vector<i64>> noL, noU;
+        vector<char> all;
+        for (i64 k = 0; k < nb; ++k)
+            fill_step(k, noL, noU, all);
     }
 
     // slot assignment: diag first, then per-step L panels then U panels
