@@ -401,16 +401,19 @@ def _pallas_factor_executor(nbp, nlvlp, dlen, grid_g, grid_l, grid_u,
 
 def build_factor_fn_pallas(plan: SymbolicPlan, *, chunk: int = 16,
                            diag_chunk: int = 8, exact: bool = True,
-                           interpret: bool = False, pipelined: bool = False):
+                           interpret: bool = False, pipelined: bool = True):
     """Hybrid executor: XLA batched diagonal LU + Pallas TRSM/Schur phases.
 
-    ``pipelined`` uses the double-buffered Schur kernel (distance-2 window
-    packing) which overlaps next-window DMA with compute — bit-identical
-    and currently speed-neutral (per-level diag/call overhead dominates at
-    tested sizes), kept for larger problems.
+    The double-buffered (distance-2) Schur kernel is the only supported
+    variant: tightening the equivalence tests to per-block f64-ground-
+    truth comparisons (round 2) exposed a lost contribution on shared
+    root targets in the serial single-buffer kernel that the old
+    10%-tolerance check had masked; the distance-2 kernel passes the
+    tight test on the bushy fixture and randomized adversarial patterns.
     Returns (factor_fn, tapes) — tapes is a dict of device arrays expected
     by factor_fn(pool, thresh, tapes).
     """
+    pipelined = True
     tapes, consts = pallas_factor_meta(plan, chunk,
                                        min_dist=2 if pipelined else 1)
     tapes = dict(tapes)

@@ -43,30 +43,56 @@ def bushy():
     return sp.csc_matrix(A)
 
 
-def test_pallas_factor_matches_xla(bushy):
+def _f64_truth(A, plan):
+    """Ground-truth factors via the f64 XLA executor."""
+    pool0 = B.init_pool(plan, A.tocsc().data.astype(np.float64), np.float64)
+    fx = B.build_factor_fn(plan, chunk=16)
+    tx = B.make_factor_tapes(plan)
+    p, _, _, _ = fx(jnp.array(pool0), jnp.float64(1e-6), tx)
+    return np.asarray(p)
+
+
+def _f32_ref_err(A, plan, truth):
+    """Per-block error of the f32 XLA executor against the f64 truth —
+    the intrinsic f32 amplification of this pattern (what ANY correct
+    f32 executor incurs)."""
+    pool0 = B.init_pool(plan, A.tocsc().data, np.float32)
+    fx = B.build_factor_fn(plan, chunk=16)
+    tx = B.make_factor_tapes(plan)
+    p, _, _, _ = fx(jnp.array(pool0), jnp.float32(1e-6), tx)
+    nre = plan.nslots
+    return np.abs(np.asarray(p)[:nre] - truth[:nre]).max(axis=(1, 2))
+
+
+def _assert_f32_close_to_truth(pf32, truth, nre, what, ref_err,
+                               ulps=64):
+    """Per-block comparison against the f64 ground truth in f32-ulp terms
+    at the pool scale (round-1 verdict: a 10% bounded check can mask a
+    windowing hazard; this cannot). Blocks where f32 arithmetic itself
+    amplifies (measured by the XLA f32 executor's own error vs truth)
+    get the same allowance — a scheduling bug would NOT track it."""
+    scale = max(1.0, float(np.abs(truth[:nre]).max()))
+    tol = ulps * np.finfo(np.float32).eps * scale
+    d = np.abs(np.asarray(pf32)[:nre] - truth[:nre]).max(axis=(1, 2))
+    allow = tol + 8.0 * ref_err
+    bad = d > allow
+    assert not bad.any(), (
+        f"{what}: {bad.sum()} blocks exceed tol; worst "
+        f"{d[bad].max()} vs allowance {allow[bad].max()}")
+
+
+def test_pallas_factor_matches_f64_truth(bushy):
     plan = block_symbolic(bushy, 128)
     assert plan.n_flevels < plan.nb, "need a bushy elimination tree"
+    truth = _f64_truth(bushy, plan)
+    ref_err = _f32_ref_err(bushy, plan, truth)
     pool0 = B.init_pool(plan, bushy.tocsc().data, np.float32)
     thresh = jnp.float32(1e-6)
 
-    fx = B.build_factor_fn(plan, chunk=16)
-    tx = B.make_factor_tapes(plan)
-    poolx, linvx, uinvx, _ = fx(jnp.array(pool0), thresh, tx)
-
     fp, tp = PE.build_factor_fn_pallas(plan, chunk=4, interpret=True)
     poolp, linvp, uinvp, _ = fp(jnp.array(pool0), thresh, tp)
-
-    nre = plan.nslots
-    px = np.asarray(poolx)[:nre]
-    pp = np.asarray(poolp)[:nre]
-    scale = float(np.abs(px).max())
-    d = np.abs(px - pp).max(axis=(1, 2))
-    # Schur accumulation order differs between executors; f32 rounding can
-    # be amplified through root diagonal LUs. Require near-exactness for
-    # almost all blocks and boundedness everywhere (end-to-end accuracy is
-    # asserted by the roundtrip test below).
-    assert np.quantile(d, 0.9) < 1e-4 * scale
-    assert d.max() < 0.1 * scale
+    _assert_f32_close_to_truth(poolp, truth, plan.nslots, "pallas_exec",
+                               ref_err)
 
 
 def test_pallas_driver_roundtrip(bushy, monkeypatch):
@@ -84,20 +110,43 @@ def test_pallas_driver_roundtrip(bushy, monkeypatch):
 
 
 def test_pipelined_schur_matches(bushy):
-    """The double-buffered (distance-2) Schur kernel matches the serial
-    kernel on a bushy tree with cross-window accumulation."""
+    """The double-buffered (distance-2) Schur kernel matches the f64
+    ground truth to f32 roundoff (not merely the serial kernel to 10%)."""
     import jax.numpy as jnp
     plan = block_symbolic(bushy, 128)
+    truth = _f64_truth(bushy, plan)
+    ref_err = _f32_ref_err(bushy, plan, truth)
     pool0 = B.init_pool(plan, bushy.tocsc().data, np.float32)
     thresh = jnp.float32(1e-6)
-    f0, t0 = PE.build_factor_fn_pallas(plan, chunk=4, interpret=True,
-                                       pipelined=False)
-    p0 = np.asarray(f0(jnp.array(pool0), thresh, t0)[0])
     f1, t1 = PE.build_factor_fn_pallas(plan, chunk=4, interpret=True,
                                        pipelined=True)
-    p1 = np.asarray(f1(jnp.array(pool0), thresh, t1)[0])
-    nre = plan.nslots
-    scale = max(1e-9, float(np.abs(p0[:nre]).max()))
-    d = np.abs(p0[:nre] - p1[:nre]).max(axis=(1, 2))
-    assert np.quantile(d, 0.9) < 1e-4 * scale
-    assert d.max() < 0.1 * scale
+    p1 = f1(jnp.array(pool0), thresh, t1)[0]
+    _assert_f32_close_to_truth(p1, truth, plan.nslots, "pipelined",
+                               ref_err)
+
+
+def _adversarial(seed, n=1280):
+    """Random pattern with many duplicate Schur targets per level —
+    stresses window packing / RMW hazard scheduling (the Pallas hybrid
+    executor is 128-block only)."""
+    import scipy.sparse as sp
+    rng = np.random.default_rng(seed)
+    M = sp.random(n, n, density=0.01, random_state=rng.integers(1 << 30),
+                  format="csc")
+    return sp.csc_matrix(M + M.T + sp.eye(n) * (3.0 * n))
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_pallas_adversarial_patterns(seed):
+    """Randomized duplicate-target stress for the window scheduler, each
+    kernel variant against the f64 truth."""
+    A = _adversarial(seed)
+    plan = block_symbolic(A, 128)
+    truth = _f64_truth(A, plan)
+    ref_err = _f32_ref_err(A, plan, truth)
+    pool0 = B.init_pool(plan, A.tocsc().data, np.float32)
+    thresh = jnp.float32(1e-6)
+    fp, tp = PE.build_factor_fn_pallas(plan, chunk=4, interpret=True)
+    pf = fp(jnp.array(pool0), thresh, tp)[0]
+    _assert_f32_close_to_truth(pf, truth, plan.nslots, "adversarial",
+                               ref_err)
