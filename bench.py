@@ -78,9 +78,13 @@ def bench_matrix(name, A, opts, reps):
     t0 = time.time()
     lu = SparseLU(A, opts)
     t_first = time.time() - t0
+    tp = getattr(lu, "tapes", {})
+    exc = ("clk" if isinstance(tp, tuple) and tp and "j_fin" in tp[0] else
+           "flk" if isinstance(tp, dict) and "w_tgt" in tp else
+           "xla/planar")
     log(f"[{name}] n={n} nnz={A.nnz} first factor (incl. compile) "
         f"{t_first:.1f}s  nb={lu.plan.nb} slots={lu.plan.nslots} "
-        f"nlvl={lu.plan.n_flevels} pallas={lu._use_pallas()}")
+        f"nlvl={lu.plan.n_flevels} pallas={lu._use_pallas()} exec={exc}")
 
     A3 = lu._A_orig.multiply(lu.row_scale[:, None]) \
         .multiply(lu.col_scale[None, :]).tocsc()
@@ -181,6 +185,9 @@ def main():
     if which in ("default", "all"):
         jobs.append(("lap3d20_geo", laplacian_3d(20), lap_opts(20)))
         jobs.append(("lap3d32_geo", laplacian_3d(32), lap_opts(32)))
+        # n = 125k scale demonstration (pool ~4.2 GiB f32 on-device;
+        # host preprocessing ~2s total — symbolic + tapes are C++/vector)
+        jobs.append(("lap3d50_geo", laplacian_3d(50), lap_opts(50)))
         A = reference_matrix("big.rua")
         if A is not None:
             jobs.append(("big.rua", A.astype(np.float64),
