@@ -93,11 +93,14 @@ def bench_matrix(name, A, opts, reps):
     model = lu.plan.factor_flops
 
     # amortized steady-state factor (SamePattern_SameRowPerm path)
-    if lu._use_planar():
+    if getattr(lu, "_embed", False):
+        from superlu_dist_tpu.models.driver import _embed_csc
+        pool0 = blocklu.init_pool(lu.plan, _embed_csc(A3).data, np.float32)
+    elif lu._use_planar():
         from superlu_dist_tpu.ops.kernels import planar as _planar
         pool0 = _planar.init_pool_planar(lu.plan, A3.data, lu.dtype)
     else:
-        pool0 = blocklu.init_pool(lu.plan, A3.data, lu.dtype)
+        pool0 = blocklu.init_pool(lu.plan, A3.data, lu._fdtype)
     thresh = jnp.asarray(lu._thresh(), dtype=np.float32
                          if lu.dtype != np.float64 else np.float64)
     best = np.inf
@@ -159,6 +162,44 @@ def bench_matrix(name, A, opts, reps):
                 scipy_factor_ms=None if t_cpu_f is None else t_cpu_f * 1e3)
 
 
+def bench_dist():
+    """Distributed-path wall time + collective-volume capture on a
+    virtual 8-device mesh (SLU_TPU_BENCH_MATRIX=dist; the driver has one
+    real chip, so the mesh is CPU — the number tracks the SPMD program's
+    structure, not TPU silicon)."""
+    import jax
+    import jax.numpy as jnp
+    from superlu_dist_tpu import Options
+    from superlu_dist_tpu.models.dist_driver import DistributedSparseLU
+    from superlu_dist_tpu.parallel.grid import Grid2D
+    from superlu_dist_tpu.utils.testing import laplacian_2d
+
+    A = laplacian_2d(64)                         # n = 4096
+    n = A.shape[0]
+    t0 = time.time()
+    lu = DistributedSparseLU(A, Grid2D(2, 4),
+                             Options(dtype="float32", block_size=32))
+    t_first = time.time() - t0
+    rng = np.random.default_rng(0)
+    b = np.asarray(A @ rng.standard_normal(n))
+    x = lu.solve(b)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        x = lu.solve(b)
+    t_solve = (time.perf_counter() - t0) / 3
+    resid = float(np.abs(A @ x - b).max() / np.abs(b).max())
+    cnt = lu.stat.counters
+    log(f"[dist2d 2x4] n={n} first factor {t_first:.1f}s  "
+        f"solve {t_solve*1e3:.1f} ms  resid {resid:.1e}  "
+        f"factor_psum {cnt.get('factor_psum_bytes', 0)/2**20:.2f} MiB  "
+        f"solve_psum {cnt.get('solve_psum_bytes', 0)/2**20:.2f} MiB")
+    print(json.dumps({
+        "metric": "dist2d_2x4_solve_ms_lap2d64",
+        "value": round(t_solve * 1e3, 2), "unit": "ms",
+        "vs_baseline": 0.0,
+    }))
+
+
 def main():
     import jax
 
@@ -172,6 +213,8 @@ def main():
     log(f"device: {dev.platform} ({dev.device_kind})")
 
     which = os.environ.get("SLU_TPU_BENCH_MATRIX", "default")
+    if which == "dist":
+        return bench_dist()
     reps = int(os.environ.get("SLU_TPU_BENCH_REPS", "8"))
     chunk = int(os.environ.get("SLU_TPU_BENCH_CHUNK", "64"))
     bs = int(os.environ.get("SLU_TPU_BENCH_BS", "128"))
@@ -195,8 +238,10 @@ def main():
                                  gemm_chunk=chunk)))
         C = reference_matrix("cg20.cua")
         if C is not None:
+            # complex64 runs the real ring embedding -> the fused f32
+            # Pallas kernels at bs=128
             jobs.append(("cg20.cua", C,
-                         Options(dtype="complex64", block_size=64,
+                         Options(dtype="complex64", block_size=bs,
                                  gemm_chunk=chunk)))
         if which == "all":
             jobs.append(("lap3d20_generalnd", laplacian_3d(20),
