@@ -14,7 +14,8 @@ import numpy as np
 
 _DIR = os.path.dirname(__file__)
 _SRCS = [os.path.join(_DIR, "symbolic.cpp"),
-         os.path.join(_DIR, "amd.cpp")]
+         os.path.join(_DIR, "amd.cpp"),
+         os.path.join(_DIR, "mlnd.cpp")]
 _lib = None
 _tried = False
 
@@ -50,7 +51,18 @@ def get_lib():
         return None
     try:
         lib = ctypes.CDLL(_build())
-    except Exception:
+    except Exception as e:
+        # loud: a silent fallback to the Python planners cost a round-2
+        # regression (build break hid behind this except for hours)
+        import warnings
+        msg = getattr(e, "stderr", b"")
+        if isinstance(msg, bytes):
+            msg = msg.decode(errors="replace")
+        warnings.warn(
+            f"superlu_dist_tpu native engine failed to build/load "
+            f"({type(e).__name__}); host planning falls back to Python "
+            f"(orders of magnitude slower at n>=1e5). Set SLU_TPU_NATIVE=0 "
+            f"to silence. First error lines:\n{str(msg)[:800]}")
         return None
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.slu_block_symbolic.restype = ctypes.c_void_p
@@ -64,6 +76,10 @@ def get_lib():
     lib.slu_sym_free.argtypes = [ctypes.c_void_p]
     lib.slu_min_degree.restype = ctypes.c_int64
     lib.slu_min_degree.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
+    lib.slu_nested_dissection.restype = ctypes.c_int64
+    lib.slu_nested_dissection.argtypes = [ctypes.c_int64, i64p, i64p,
+                                          ctypes.c_int64, ctypes.c_int64,
+                                          i64p]
     _lib = lib
     return _lib
 
@@ -79,6 +95,24 @@ def native_min_degree(indptr: np.ndarray, indices: np.ndarray):
     rc = lib.slu_min_degree(
         n, np.ascontiguousarray(indptr, dtype=np.int64),
         np.ascontiguousarray(indices, dtype=np.int64), perm)
+    if rc != 0:
+        return None
+    return perm
+
+
+def native_nested_dissection(indptr: np.ndarray, indices: np.ndarray,
+                             leaf_size: int = 96, seed: int = 0):
+    """C++ multilevel nested dissection (METIS-class; mlnd.cpp).
+    Returns the elimination order or None if the engine is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(indptr) - 1
+    perm = np.empty(n, dtype=np.int64)
+    rc = lib.slu_nested_dissection(
+        n, np.ascontiguousarray(indptr, dtype=np.int64),
+        np.ascontiguousarray(indices, dtype=np.int64),
+        leaf_size, seed, perm)
     if rc != 0:
         return None
     return perm

@@ -145,7 +145,7 @@ SymResult* slu_block_symbolic(i64 nb, i64 n_ab, const i64* ab_i,
             if (mine.empty() || mine[I])
                 merge_into(Us[I], &*it, cols.end() - it);
             else
-                Ubuf[I].insert(Ubuf[I].end(), it, cols.end() - it);
+                Ubuf[I].insert(Ubuf[I].end(), it, cols.end());
         }
     };
 
@@ -164,19 +164,28 @@ SymResult* slu_block_symbolic(i64 nb, i64 n_ab, const i64* ab_i,
             while (anc[x] >= 0) { i64 nxt = anc[x]; anc[x] = r; x = nxt; }
             return r;
         };
-        // link each j to all its symmetric neighbors > j (O(nnz·alpha)):
-        // the union-find root of j's component attaches to the smallest
-        // later neighbor, giving Liu's column elimination tree
-        for (i64 j = 0; j < nb; ++j) {
-            auto link = [&](i64 m) {    // m > j neighbor
-                i64 r = find_set(j);
-                if (r != m && parent[r] < 0 && r < m) {
-                    parent[r] = m;
-                    anc[r] = m;
+        // Liu's algorithm (O(nnz·alpha)): process columns m ASCENDING and
+        // attach find(i) -> m for every lower neighbor i < m. Grouping by
+        // the larger endpoint is load-bearing — a first attempt grouped
+        // edges by the smaller endpoint and produced a wrong (ancestor-
+        // skipping) tree, which broke the subtree-independence the
+        // threaded fill relies on (fill leaked across thread bins and
+        // 17% of the blocks went missing).
+        {
+            vector<vector<i64>> nbr_lo(nb);   // column m -> neighbors i < m
+            for (i64 j = 0; j < nb; ++j) {
+                for (i64 m : Ls[j]) nbr_lo[m].push_back(j);
+                for (i64 m : Us[j]) nbr_lo[m].push_back(j);
+            }
+            for (i64 m = 0; m < nb; ++m) {
+                for (i64 i : nbr_lo[m]) {
+                    i64 r = find_set(i);
+                    if (r != m && parent[r] < 0) {
+                        parent[r] = m;
+                        anc[r] = m;
+                    }
                 }
-            };
-            for (i64 m : Ls[j]) link(m);
-            for (i64 m : Us[j]) link(m);
+            }
         }
         // subtree sizes -> top = nodes whose subtree exceeds total/T
         vector<i64> sub(nb, 1);

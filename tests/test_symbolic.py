@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+import scipy.sparse as sp
 
 from superlu_dist_tpu.ops.host.symbolic import block_symbolic
 from superlu_dist_tpu.utils.testing import laplacian_2d, random_sparse
@@ -60,3 +61,45 @@ def test_solve_levels_respect_dependencies():
             dst = plan.lsol_gdst[t]
             assert lvl_of[src] < l
             assert lvl_of[dst] == l
+
+
+def test_native_symbolic_threaded_matches_serial():
+    """The subtree-threaded fill simulation must be bit-identical to the
+    serial pass (psymbfact analog; regression: a wrong etree construction
+    once leaked fill across thread bins and lost 17% of the blocks)."""
+    import os
+    from superlu_dist_tpu.ops.host.native import (get_lib,
+                                                  native_block_symbolic)
+    if get_lib() is None:
+        pytest.skip("native engine unavailable")
+
+    def run(nthreads, nb, keys):
+        old = os.environ.get("SLU_TPU_SYMB_THREADS")
+        os.environ["SLU_TPU_SYMB_THREADS"] = str(nthreads)
+        try:
+            return native_block_symbolic(nb, keys // nb, keys % nb)
+        finally:
+            if old is None:
+                del os.environ["SLU_TPU_SYMB_THREADS"]
+            else:
+                os.environ["SLU_TPU_SYMB_THREADS"] = old
+
+    cases = [
+        (laplacian_2d(48), 8),                       # n=2304, nb=288
+        (random_sparse(2100, density=0.003, seed=3), 8),
+    ]
+    for A, bs in cases:
+        A = sp.csc_matrix(A)
+        n = A.shape[0]
+        nb = -(-n // bs)
+        coo = A.tocoo()
+        bi = (coo.row // bs).astype(np.int64)
+        bj = (coo.col // bs).astype(np.int64)
+        keys = np.unique(bi * nb + bj)
+        keys = np.unique(np.concatenate(
+            [keys, np.arange(nb, dtype=np.int64) * nb + np.arange(nb)]))
+        r1 = run(1, nb, keys)
+        r8 = run(8, nb, keys)
+        assert r1 is not None and r8 is not None
+        for name in r1:
+            assert np.array_equal(r1[name], r8[name]), name
