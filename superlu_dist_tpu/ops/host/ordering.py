@@ -10,8 +10,9 @@ SRC/prec-independent/get_perm_c.c:461-606) with the same strategy menu
 - COLAMD             → approximate column minimum degree (scipy's COLAMD as a
                        third-party library, exactly as the reference links the
                        COLAMD TPL)
-- METIS_AT_PLUS_A    → nested dissection on A^T + A (own BFS-bisection ND; if
-                       a real METIS python module is importable it is used)
+- METIS_AT_PLUS_A    → multilevel nested dissection on A^T + A (own
+                       METIS-class engine: native/mlnd.cpp fast path,
+                       mlnd.py fallback, BFS bisection last resort)
 
 The minimum-degree code is an original implementation of the classic
 quotient-graph algorithm with element absorption and AMD-style approximate
@@ -296,10 +297,15 @@ def get_perm_c(strategy: ColPerm, A: sp.spmatrix) -> np.ndarray:
         return minimum_degree(_sym_pattern_at_plus_a(A))
     if strategy in (ColPerm.METIS_AT_PLUS_A, ColPerm.PARMETIS):
         G = _sym_pattern_at_plus_a(A)
-        try:  # real METIS if the TPL is importable
-            import metis  # type: ignore
-            _, parts = metis.part_graph  # pragma: no cover
-        except Exception:
-            pass
+        # METIS-class multilevel ND: C++ engine first (native/mlnd.cpp,
+        # n=1e5-scale in ~1s), Python mlnd.py next (same algorithm,
+        # minutes at n>=3e4), BFS level bisection as the last resort
+        from .native import native_nested_dissection
+        perm = native_nested_dissection(G.indptr, G.indices)
+        if perm is not None:
+            return perm
+        if n <= 16384:
+            from .mlnd import nested_dissection_ml
+            return nested_dissection_ml(G)
         return nested_dissection(G)
     raise ValueError(f"unsupported column ordering: {strategy}")

@@ -128,3 +128,27 @@ def test_geometric_nd_solve_end_to_end():
     xt = rng.standard_normal(n)
     x = lu.solve(np.asarray(A @ xt))
     assert np.abs(x - xt).max() < 1e-9
+
+
+def test_native_nd_valid_and_quality():
+    """C++ multilevel ND: valid permutation, fill within 1.5x of the
+    Python mlND on fixed fixtures (same algorithm family, different RNG),
+    and never catastrophically worse than AMD."""
+    from superlu_dist_tpu.ops.host.native import (get_lib,
+                                                  native_min_degree,
+                                                  native_nested_dissection)
+    if get_lib() is None:
+        pytest.skip("native engine unavailable")
+    for A in (laplacian_3d(12), laplacian_2d(40)):
+        A = sp.csr_matrix(A)
+        G = _sym_pattern_at_plus_a(A)
+        p = native_nested_dissection(G.indptr, G.indices)
+        assert p is not None
+        assert len(np.unique(p)) == A.shape[0]
+        f_nd = scalar_lu_flops(A[p][:, p])
+        p_ml = nested_dissection_ml(G)
+        f_ml = scalar_lu_flops(A[p_ml][:, p_ml])
+        p_amd = native_min_degree(G.indptr, G.indices)
+        f_amd = scalar_lu_flops(A[p_amd][:, p_amd])
+        assert f_nd <= 1.5 * f_ml
+        assert f_nd <= 3.0 * f_amd
