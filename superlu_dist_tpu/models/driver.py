@@ -265,6 +265,8 @@ class SparseLU:
         self.plan = plan
         stat.counters["fill_blocks"] = plan.nslots
         stat.counters["factor_flops_model"] = plan.factor_flops
+        from ..utils.profiling import record_schedule_counters
+        record_schedule_counters(stat, plan)   # SCT per-level analog
         stat.peak_buffer_bytes = max(stat.peak_buffer_bytes,
                                      plan.pool_bytes(self._fdtype))
 

@@ -38,9 +38,15 @@ class Stats:
 
     @contextlib.contextmanager
     def phase(self, name: str):
+        try:
+            from .profiling import annotate
+            ann = annotate(name)     # xprof span + XLA named scope
+        except Exception:            # no jax in this process
+            ann = contextlib.nullcontext()
         t0 = time.perf_counter()
         try:
-            yield self
+            with ann:
+                yield self
         finally:
             self.utime[name] += time.perf_counter() - t0
 

@@ -151,3 +151,16 @@ def test_refine_dtype_option():
     lu64 = SparseLU(A, Options(dtype="float32", block_size=16))
     x64, berr64 = lu64.refine(b, lu64.solve(b))
     assert berr64.max() < 1e-13
+
+
+def test_schedule_counters_recorded():
+    """SCT-analog static schedule histograms land in Stats.counters."""
+    import numpy as np
+    from superlu_dist_tpu import Options, SparseLU
+    from superlu_dist_tpu.utils.testing import laplacian_2d
+    A = laplacian_2d(12)
+    lu = SparseLU(A, Options(dtype="float32", block_size=16))
+    c = lu.stat.counters
+    assert c["sched_levels"] >= 1
+    assert c["sched_gemms_total"] >= 0
+    assert c["sched_steps_per_level_max"] >= 1
