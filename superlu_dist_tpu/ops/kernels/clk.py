@@ -49,6 +49,11 @@ from .flk import _lu_tile_blocked
 # panel capacity (blocks): sPanel + A buffers must fit VMEM (~16MB/core)
 PANEL_CAP = 104
 PC = 8          # panel load/store chunk (blocks per range DMA)
+TC = 8          # column-finalize TRSM chunk (blocks per wide matmul);
+                # the chunk may overshoot the column end into panel
+                # scratch rows (the panel is sized S+TC for this), so the
+                # whole L-part TRSMs in ceil(nl/TC) wide dots instead of
+                # nl serial (bs,bs) dots
 SEG_JOBS = 6000  # jobs per pallas_call: scalar-prefetch tapes must fit
                  # SMEM (~1 MiB); ~88 B/job keeps a segment near 512 KiB
 
@@ -84,7 +89,7 @@ def build_clk_tapes(plan: SymbolicPlan, MC: int = 8):
 
     jobs = {k: [] for k in ("start", "fin", "finB", "bpos", "jstep",
                             "a0", "m", "col", "base", "ncol", "dposc",
-                            "rshift")}
+                            "rshift", "tn")}
     # (nfull/nrem precomputed per job: Mosaic's int // lowering recurses)
     dst_list = []
     fin_job_of_col = np.full(nb, -1, dtype=np.int64)
@@ -123,6 +128,7 @@ def build_clk_tapes(plan: SymbolicPlan, MC: int = 8):
                 jobs["ncol"].append(nck)
                 jobs["dposc"].append(dpk)
                 jobs["rshift"].append(shift)
+                jobs["tn"].append(0)
                 d = np.full(MC, S, dtype=np.int32)   # S = panel trash row
                 if m:
                     rows = srow[a0 + shift: a0 + shift + m]
@@ -147,6 +153,7 @@ def build_clk_tapes(plan: SymbolicPlan, MC: int = 8):
         jobs["ncol"].append(nck)
         jobs["dposc"].append(dpk)
         jobs["rshift"].append(0)
+        jobs["tn"].append(-(-(nck - dpk - 1) // TC))   # TRSM chunk count
         dst_list.append(np.full(MC, S, dtype=np.int32))
         fin_job_of_col[k] = nj
         nj += 1
@@ -210,7 +217,8 @@ def build_clk_tapes(plan: SymbolicPlan, MC: int = 8):
             j_m=p(arr["m"]), j_col=p(arr["col"], nbp),
             j_base=p(arr["base"]), j_ncol=p(arr["ncol"], 1),
             j_nfull=jnp.asarray(nfull), j_nrem=jnp.asarray(nrem),
-            j_dpos=p(arr["dposc"]), j_sync=jnp.asarray(sync),
+            j_dpos=p(arr["dposc"]), j_tn=p(arr["tn"]),
+            j_sync=jnp.asarray(sync),
             dst=p(dst, S, w=MC),
         )
 
@@ -228,7 +236,7 @@ def _clk_kernel(MC, S, exact, bs):
                        preferred_element_type=jnp.float32)
 
     def kern(j_start, j_fin, j_finB, j_bpos, j_step, j_a0, j_m, j_col,
-             j_base, j_ncol, j_nfull, j_nrem, j_dpos, j_sync, dst,
+             j_base, j_ncol, j_nfull, j_nrem, j_dpos, j_tn, j_sync, dst,
              consts_ref,
              pool_ref, linv_ref, uinv_ref,
              pool_out, linv_out, uinv_out, tiny_out,
@@ -362,11 +370,19 @@ def _clk_kernel(MC, S, exact, bs):
             pltpu.make_async_copy(sLinv.at[bank], linv_out.at[j_step[J]],
                                   semW).start()
 
-            def trsm(p, u):
-                sPanel[p] = dot(sPanel[p], u)
+            # whole-L-part TRSM in wide chunks: ceil(nl/TC) dots of
+            # (TC·bs, bs)x(bs, bs) instead of nl serial (bs, bs) dots.
+            # Chunks may overshoot past nck into panel scratch rows
+            # (the panel is allocated S+TC rows); overshoot rows hold
+            # garbage that the store-back below never touches.
+            def trsm(c, u):
+                r0 = dpk + jnp.int32(1) + c * jnp.int32(TC)
+                blk = sPanel[pl.ds(r0, TC)]
+                R = dot(blk.reshape(TC * bs, bs), u)
+                sPanel[pl.ds(r0, TC)] = R.reshape(TC, bs, bs)
                 return u
 
-            lax.fori_loop(dpk + jnp.int32(1), nck, trsm, ui)
+            lax.fori_loop(0, j_tn[J], trsm, ui)
 
             pltpu.make_async_copy(sLinv.at[bank], linv_out.at[j_step[J]],
                                   semW).wait()
@@ -421,11 +437,11 @@ def _clk_seg_call(nj, nbp, poolp, S, MC, bs, exact, interpret):
     """One segment's pallas_call (pool/linv/uinv alias through)."""
     kern = _clk_kernel(MC, S, exact, bs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=16,
+        num_scalar_prefetch=17,
         grid=(nj,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        scratch_shapes=[pltpu.VMEM((max(S + 1, PC), bs, bs), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((max(S + TC, PC), bs, bs), jnp.float32),
                         pltpu.VMEM((2, MC, bs, bs), jnp.float32),
                         pltpu.VMEM((2, bs, bs), jnp.float32),
                         pltpu.VMEM((8, 128), jnp.float32),
@@ -445,15 +461,15 @@ def _clk_seg_call(nj, nbp, poolp, S, MC, bs, exact, interpret):
                 jax.ShapeDtypeStruct((8, 128), jnp.float32),
             ],
             grid_spec=grid_spec,
-            input_output_aliases={16: 0, 17: 1, 18: 2},
+            input_output_aliases={17: 0, 18: 1, 19: 2},
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(tapes["j_start"], tapes["j_fin"], tapes["j_finB"],
           tapes["j_bpos"], tapes["j_step"], tapes["j_a0"], tapes["j_m"],
           tapes["j_col"], tapes["j_base"], tapes["j_ncol"],
           tapes["j_nfull"], tapes["j_nrem"],
-          tapes["j_dpos"], tapes["j_sync"], tapes["dst"], consts,
-          pool, linv, uinv)
+          tapes["j_dpos"], tapes["j_tn"], tapes["j_sync"], tapes["dst"],
+          consts, pool, linv, uinv)
 
     return seg
 
