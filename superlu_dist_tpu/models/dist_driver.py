@@ -52,8 +52,19 @@ class DistributedSparseLU(SparseLU):
             self.stapes = dist2d.make_dist_solve_tapes(self.dplan)
             pools = dist2d.init_local_pools(plan, self.dplan, A3,
                                             self.dtype, self.grid)
-            self._factor_fn = dist2d.build_dist_factor_fn(
-                plan, self.dplan, self.grid, chunk=opts.gemm_chunk)
+            if (opts.dist_executor == "rdma"
+                    and np.dtype(self.dtype) == np.float32):
+                # fused one-kernel-per-device executor with remote-DMA
+                # panel/inverse broadcasts (ICI puts on hardware;
+                # interpret-simulated on the CPU mesh)
+                import jax
+                from ..parallel import dist2d_rdma
+                interp = jax.devices()[0].platform != "tpu"
+                self._factor_fn = dist2d_rdma.build_dist_factor_fn_rdma(
+                    plan, self.dplan, self.grid, interpret=interp)
+            else:
+                self._factor_fn = dist2d.build_dist_factor_fn(
+                    plan, self.dplan, self.grid, chunk=opts.gemm_chunk)
             stat.counters.update(self.dplan.comm_volume(
                 np.dtype(self.dtype).itemsize))
 

@@ -131,6 +131,9 @@ class Options:
     clk_mc: int = 8                    # clk A-range rows per pair chunk
     flk_kc: int = 8                    # flk contribution lanes per window
     diag_chunk: int = 4                # distributed diag LU batch width
+    dist_executor: str = "xla"         # "xla" (per-level collectives) |
+                                       # "rdma" (fused kernel + remote DMA
+                                       # panel broadcasts; f32 only)
 
     # dtype of the factorization pool: "float32" | "float64" | "complex64"
     # | "complex128" | "bfloat16". The reference's s/d/c/z precisions.
@@ -178,6 +181,7 @@ _SPEC_FIELDS = {
     "ILU_LEVEL": ("ilu_level", int),         # ILU(k) drop level
     # executor selection & shape
     "EXECUTOR": ("executor", str),           # clk | flk | pallas | xla
+    "DIST_EXECUTOR": ("dist_executor", str),  # xla | rdma
     "GEMM_CHUNK": ("gemm_chunk", int),       # batching granularity
     "CLK_MC": ("clk_mc", int),               # clk pair-chunk rows
     "FLK_KC": ("flk_kc", int),               # flk window lanes

@@ -1,0 +1,76 @@
+"""RDMA distributed executor vs the XLA collective executor.
+
+The fused one-kernel-per-device factorization (parallel/dist2d_rdma.py)
+broadcasts panels and diagonal inverses with remote DMAs (ICI puts on
+hardware, interpret-simulated on the CPU mesh). It must agree with the
+psum-based executor to fp roundoff on every grid shape.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from superlu_dist_tpu import Options
+from superlu_dist_tpu.models.dist_driver import DistributedSparseLU
+from superlu_dist_tpu.parallel.grid import Grid2D
+from superlu_dist_tpu.utils.testing import (THRESH, compute_resid,
+                                            laplacian_2d, random_sparse)
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+def _pair(A, pr, pc, bs):
+    lu_x = DistributedSparseLU(A, Grid2D(pr, pc),
+                               Options(dtype="float32", block_size=bs))
+    lu_r = DistributedSparseLU(A, Grid2D(pr, pc),
+                               Options(dtype="float32", block_size=bs,
+                                       dist_executor="rdma"))
+    return lu_x, lu_r
+
+
+@needs_8
+@pytest.mark.parametrize("pr,pc", [(2, 4), (2, 2), (1, 8), (4, 2)])
+def test_rdma_matches_xla_executor(pr, pc):
+    A = laplacian_2d(12)
+    n = A.shape[0]
+    rng = np.random.default_rng(1)
+    b = np.asarray(A @ rng.standard_normal(n))
+    lu_x, lu_r = _pair(A, pr, pc, bs=16)
+    px, pr_ = np.asarray(lu_x.pool), np.asarray(lu_r.pool)
+    # same math, different diagonal-LU kernels -> fp-roundoff agreement
+    scale = max(1.0, float(np.abs(px).max()))
+    assert np.abs(px - pr_).max() <= 1e-3 * scale
+    x_x = lu_x.solve(b)
+    x_r = lu_r.solve(b)
+    # raw relative residual: the unrefined f32 solve is ~1e-7 here (the
+    # LAPACK-style compute_resid ratio needs the refined solution)
+    rel = float(np.abs(A @ x_r - b).max() / np.abs(b).max())
+    assert rel < 1e-5
+    assert np.allclose(x_x, x_r, rtol=1e-3, atol=1e-4)
+
+
+@needs_8
+def test_rdma_unsymmetric_pattern():
+    A = random_sparse(150, density=0.04, seed=7)
+    n = A.shape[0]
+    rng = np.random.default_rng(2)
+    b = np.asarray(A @ rng.standard_normal(n))
+    lu_x, lu_r = _pair(A, 2, 4, bs=8)
+    x_r = lu_r.solve(b)
+    xr, berr = lu_r.refine(b, x_r)
+    assert compute_resid(A, xr, b) < THRESH
+    assert float(np.max(berr)) < 1e-13
+
+
+@needs_8
+def test_rdma_inverse_tables_clean():
+    """Non-owned rows of the owner-local inverse tables must be zero
+    (masked padded reads in the solve would propagate garbage/NaN)."""
+    A = laplacian_2d(10)
+    _, lu_r = _pair(A, 2, 4, bs=16)
+    linv = np.asarray(lu_r.linv)
+    uinv = np.asarray(lu_r.uinv)
+    assert np.isfinite(linv).all()
+    assert np.isfinite(uinv).all()
