@@ -378,11 +378,16 @@ class SparseLU:
     def _device_factor(self, A3: sp.csc_matrix):
         """Distribute values into the device pool and run the factorization
         (overridden by the mesh-distributed driver)."""
+        import time as _time
         opts, stat, plan = self.options, self.stat, self.plan
         self._planar = self._use_planar()
         with stat.phase("DIST"):
+            _t0 = _time.perf_counter()
             self.ltape = _blocklu.make_solve_tapes(plan, "L")
             self.utape = _blocklu.make_solve_tapes(plan, "U")
+            stat.counters["dist_solve_tapes_s"] = round(
+                _time.perf_counter() - _t0, 3)
+            _t0 = _time.perf_counter()
             if self._planar:
                 from ..ops.kernels import planar as _planar
                 pool = _planar.init_pool_planar(plan, A3.data, self.dtype)
@@ -431,6 +436,8 @@ class SparseLU:
                 self.tapes = _blocklu.make_factor_tapes(plan)
                 self._factor_fn = _blocklu.build_factor_fn(
                     plan, chunk=opts.gemm_chunk)
+            stat.counters["dist_pool_and_build_s"] = round(
+                _time.perf_counter() - _t0, 3)
 
         with stat.phase("FACT"):
             pool, linv, uinv, tiny = self._factor_fn(

@@ -579,19 +579,48 @@ def build_solve_fn(plan: SymbolicPlan, nrhs: int, *, chunk: int = 32):
 # ---------------------------------------------------------------------------
 
 
+# Pools at or above this byte size are assembled ON the device: the host
+# ships only (nnz) values + (slot, offset) index pairs and one jitted
+# scatter-add builds the pool in HBM. Below it, the host numpy scatter +
+# one device_put wins (no XLA compile per (pool, nnz) shape signature —
+# measured ~5s each on the TPU). The crossover is transfer-bound: a 4.3 GiB
+# lap3d50 pool took ~50s of DIST over the device link, vs ~8 MiB of
+# indices. Analog of the reference's owner-computed pddistribute
+# (SRC/double/pddistribute.c:66-433): never materialize global storage.
+_INIT_DEVICE_MIN_BYTES = int(_os.environ.get(
+    "SLU_TPU_INIT_DEVICE_BYTES", 256 << 20))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("poolp", "bs", "nv", "dtype"))
+def _pool_scatter_device(slot, off, vals, poolp, bs, nv, dtype):
+    flat = jnp.zeros((poolp, bs * bs), dtype)
+    flat = flat.at[slot[:nv], off[:nv]].add(vals.astype(dtype))
+    if nv < slot.shape[0]:
+        flat = flat.at[slot[nv:], off[nv:]].add(jnp.asarray(1, dtype))
+    return flat.reshape(poolp, bs, bs)
+
+
 def init_pool(plan: SymbolicPlan, a_data, dtype) -> jax.Array:
     """Scatter the (permuted, scaled) matrix values into the bucket-padded
     block pool. ``a_data`` must be in the CSC data order of the matrix the
     plan was built from; padding diagonal entries get 1.0.
 
-    The scatter runs in numpy on the host and the finished pool is a single
-    device_put: an on-device scatter would cost one XLA compile per
-    (pool, nnz) shape signature (measured ~5s each on the TPU), which
-    dominated the DIST phase of pddistribute-style setup."""
+    Small pools are scattered in numpy and shipped with one device_put;
+    large pools are built on-device from the compact (values, indices)
+    stream (see _INIT_DEVICE_MIN_BYTES)."""
     b = factor_buckets(plan)
     vals = np.asarray(a_data, dtype=dtype)
-    flat = np.zeros(b.poolp * plan.bs * plan.bs, dtype=dtype)
+    bb = plan.bs * plan.bs
     idx = np.asarray(plan.init_idx)
+    nbytes = b.poolp * bb * vals.dtype.itemsize
+    if nbytes >= _INIT_DEVICE_MIN_BYTES:
+        slot = (idx // bb).astype(np.int32)
+        off = (idx % bb).astype(np.int32)
+        return _pool_scatter_device(
+            jnp.asarray(slot), jnp.asarray(off), jnp.asarray(vals),
+            b.poolp, plan.bs, len(vals), jnp.dtype(dtype))
+    flat = np.zeros(b.poolp * bb, dtype=dtype)
     np.add.at(flat, idx[: len(vals)], vals)
     if plan.init_ones:
         flat[idx[len(vals):]] += 1

@@ -169,3 +169,19 @@ def test_masked_block_lu_inv_matches():
         Um = np.triu(np.asarray(luf))
         assert np.abs(np.asarray(lif) @ Lm - np.eye(m)).max() < 1e-3
         assert np.abs(np.asarray(uif) @ Um - np.eye(m)).max() < 1e-3
+
+
+def test_init_pool_device_path_matches_host(monkeypatch):
+    """The on-device scatter (large pools) must build the exact pool the
+    host numpy path builds (reference distribute analog:
+    SRC/double/pddistribute.c:66-433 — owner-computed storage)."""
+    from superlu_dist_tpu.ops.kernels import blocklu as _bl
+    from superlu_dist_tpu.ops.host.symbolic import block_symbolic
+
+    A = laplacian_2d(12).tocsc()
+    plan = block_symbolic(A, bs=8)
+    host = np.asarray(_bl.init_pool(plan, A.data, np.float32))
+    monkeypatch.setattr(_bl, "_INIT_DEVICE_MIN_BYTES", 0)
+    dev = np.asarray(_bl.init_pool(plan, A.data, np.float32))
+    assert host.shape == dev.shape
+    np.testing.assert_array_equal(host, dev)
