@@ -283,8 +283,12 @@ class SparseLU:
             if len(bad):
                 self.info = int(bad[0]) + 1
 
-        # COO of the original A for refinement residuals (mixed precision)
-        if self._use_planar():
+        # COO of the original A for refinement residuals (mixed precision).
+        # Complex matrices keep the residual COO in planar (re, im) real
+        # arrays on BOTH complex paths: the TPU backend cannot device_put a
+        # complex array at all, so the embed path must use the planar
+        # residual machinery too.
+        if self._use_planar() or self._embed:
             rdt = _real_base(self.refine_dtype)
             self._coo_ref = _spmv.coo_arrays_planar(A, jnp.dtype(rdt))
             vr, vi = self._coo_ref[2]
@@ -627,7 +631,7 @@ class SparseLU:
         checked — the residual/denominator follow options->Trans as in
         the reference's transpose branches."""
         rows, cols, vals = self._coo_ref
-        if self._use_planar():
+        if self._use_planar() or getattr(self, "_embed", False):
             rdt = _real_base(self.refine_dtype)
             x = np.asarray(x, dtype=self.refine_dtype)
             b = np.asarray(b, dtype=self.refine_dtype)
@@ -774,9 +778,10 @@ class SparseLU:
         """
         if trans != Trans.NOTRANS:
             return self._refine_hostloop(b, x0, trans=trans)
-        if self._use_planar():
-            # planar complex: host refinement loop (residuals via planar
-            # spmv); the one-dispatch fused loop is real-only for now
+        if self._use_planar() or getattr(self, "_embed", False):
+            # complex (planar or embedded): host refinement loop with
+            # planar-spmv residuals; the one-dispatch fused loop is
+            # real-only for now
             return self._refine_hostloop(b, x0)
         if self._fused_refine_ok:
             bb = np.asarray(b)
@@ -969,6 +974,7 @@ def save_factors(lu: SparseLU, path) -> None:
         dtype=np.asarray(str(lu.options.dtype)),
         block_size=np.asarray(lu.options.block_size),
         anorm=np.asarray(lu._anorm),
+        embed=np.asarray(bool(getattr(lu, "_embed", False))),
         **plan_fields)
 
 
@@ -1009,7 +1015,8 @@ def load_factors(path, options: Optional[Options] = None) -> SparseLU:
     lu.ltape = _blocklu.make_solve_tapes(lu.plan, "L")
     lu.utape = _blocklu.make_solve_tapes(lu.plan, "U")
     lu._planar = z["pool"].ndim == 4   # planar layout self-describes
-    if lu._planar:
+    lu._embed = bool(z["embed"]) if "embed" in z.files else False
+    if lu._planar or lu._embed:
         rdt = _real_base(lu.refine_dtype)
         lu._coo_ref = _spmv.coo_arrays_planar(lu._A_orig, jnp.dtype(rdt))
         vr, vi = lu._coo_ref[2]

@@ -92,3 +92,31 @@ def test_embed_refine_and_gssvx(embed_env):
     res, lu = gssvx(A, b, Options(dtype="complex64", block_size=16))
     assert res.berr.max() < 1e-6
     assert np.abs(A @ res.x - b).max() < 1e-5 * np.abs(b).max()
+
+
+def test_embed_save_load_roundtrip(embed_env, tmp_path):
+    """Embedded complex factors must survive save/load: the loaded LU
+    needs the embed flag to route solves through embed/unembed and the
+    residual COO through the planar machinery (TPU cannot device_put
+    complex arrays)."""
+    import numpy as np
+    from superlu_dist_tpu import Options, SparseLU
+    from superlu_dist_tpu.models.driver import load_factors, save_factors
+    from superlu_dist_tpu.utils.testing import random_sparse
+
+    A = random_sparse(60, density=0.08, seed=3).astype(np.complex64)
+    A = A + 1j * 0.3 * random_sparse(60, density=0.08, seed=4).astype(
+        np.complex64)
+    A.setdiag(A.diagonal() + 4)
+    lu = SparseLU(A, Options(dtype="complex64", block_size=8))
+    rng = np.random.default_rng(0)
+    b = np.asarray(A @ (rng.standard_normal(60)
+                        + 1j * rng.standard_normal(60)))
+    p = tmp_path / "f.npz"
+    save_factors(lu, p)
+    lu2 = load_factors(p)
+    assert getattr(lu2, "_embed", False) == getattr(lu, "_embed", False)
+    x = lu2.solve(b)
+    assert np.abs(A @ x - b).max() / np.abs(b).max() < 1e-4
+    xr, berr = lu2.refine(b, x)
+    assert float(np.max(berr)) < 1e-13
