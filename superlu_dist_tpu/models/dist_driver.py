@@ -81,9 +81,19 @@ class DistributedSparseLU(SparseLU):
 
     def _solve_fn(self, nrhs: int):
         if nrhs not in self._solve_fns:
-            self._solve_fns[nrhs] = dist2d.build_dist_solve_fn(
-                self.plan, self.dplan, self.grid, nrhs,
-                chunk=self.options.gemm_chunk)
+            if (self.options.dist_executor == "rdma"
+                    and np.dtype(self.dtype) == np.float32):
+                import jax
+                from ..parallel import dist2d_rdma
+                interp = jax.devices()[0].platform != "tpu"
+                self._solve_fns[nrhs] = \
+                    dist2d_rdma.build_dist_solve_fn_rdma(
+                        self.plan, self.dplan, self.grid, nrhs,
+                        interpret=interp)
+            else:
+                self._solve_fns[nrhs] = dist2d.build_dist_solve_fn(
+                    self.plan, self.dplan, self.grid, nrhs,
+                    chunk=self.options.gemm_chunk)
         return self._solve_fns[nrhs]
 
     def _bpad_rows(self) -> int:

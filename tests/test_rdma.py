@@ -74,3 +74,37 @@ def test_rdma_inverse_tables_clean():
     uinv = np.asarray(lu_r.uinv)
     assert np.isfinite(linv).all()
     assert np.isfinite(uinv).all()
+
+
+@needs_8
+@pytest.mark.parametrize("pr,pc", [(2, 4), (2, 2), (4, 2), (1, 8)])
+def test_rdma_solve_matches_collective(pr, pc):
+    """The fused RDMA solve sweep (puts + counted waits, the NVSHMEM
+    trisolve analog, reference: pdgstrs_lsum_cuda.cu:597-657) must agree
+    with the psum-based solve to fp roundoff."""
+    A = laplacian_2d(12)
+    n = A.shape[0]
+    rng = np.random.default_rng(3)
+    b = np.asarray(A @ rng.standard_normal(n))
+    lu_x, lu_r = _pair(A, pr, pc, bs=16)
+    x_x = lu_x.solve(b)         # collective solve
+    x_r = lu_r.solve(b)         # rdma factor + rdma solve
+    rel = float(np.abs(A @ x_r - b).max() / np.abs(b).max())
+    assert rel < 1e-5
+    assert np.allclose(x_x, x_r, rtol=1e-3, atol=1e-5)
+
+
+@needs_8
+def test_rdma_solve_multirhs_and_refine():
+    A = random_sparse(150, density=0.04, seed=11)
+    n = A.shape[0]
+    rng = np.random.default_rng(4)
+    B = np.asarray(A @ rng.standard_normal((n, 3)))
+    _, lu_r = _pair(A, 2, 4, bs=8)
+    X = lu_r.solve(B)
+    assert np.abs(A @ X - B).max() / np.abs(B).max() < 1e-4
+    b1 = B[:, 0]
+    x1 = lu_r.solve(b1)
+    xr, berr = lu_r.refine(b1, x1)
+    assert compute_resid(A, xr, b1) < THRESH
+    assert float(np.max(berr)) < 1e-13
