@@ -189,16 +189,13 @@ class SparseLU:
 
         # ---- static row pivoting (dldperm job 5) ----
         with stat.phase("ROWPERM"):
-            if opts.row_perm in (RowPerm.LARGE_DIAG_MC64,
-                                 RowPerm.LARGE_DIAG_HWPM):
-                if opts.row_perm == RowPerm.LARGE_DIAG_HWPM:
-                    import warnings
-                    warnings.warn(
-                        "LARGE_DIAG_HWPM: no parallel heavy-weight perfect "
-                        "matching is implemented; falling back to the serial "
-                        "MC64 matching (same quality class, serial host "
-                        "cost). Reference analog: d_c2cpp_GetHWPM.cpp.",
-                        stacklevel=3)
+            if opts.row_perm == RowPerm.LARGE_DIAG_HWPM:
+                # parallel heavy-weight perfect matching (auction;
+                # native/hwpm.cpp). Like the reference's CombBLAS path
+                # (d_c2cpp_GetHWPM.cpp:55, pdgssvx.c RowPerm==LargeDiag_HWPM)
+                # this applies NO R1/C1 scalings — permutation only.
+                rowperm = _mc64.hwpm_rowperm(A1)
+            elif opts.row_perm == RowPerm.LARGE_DIAG_MC64:
                 rowperm, R1, C1 = _mc64.ldperm(A1, job=5)
                 # fold MC64 scalings into Dr/Dc (pdgssvx.c job==5 path)
                 A1 = A1.multiply(R1[:, None]).multiply(C1[None, :]).tocsc()
@@ -409,7 +406,8 @@ class SparseLU:
                     # A-range DMA + one wide matmul per source-column
                     # pair — the scalar-issue cost per GEMM collapses vs
                     # flk's 4 DMA descriptors each. Exact LU with a
-                    # VMEM-sized column panel only; else fall to flk.
+                    # VMEM-sized column panel only; taller columns run
+                    # the tiled variant (tck.py), ILU plans run flk.
                     from ..ops.kernels import clk as _clk
                     if opts.ilu_level is None and _clk.clk_supported(plan):
                         self._factor_fn, self.tapes = \
@@ -418,8 +416,19 @@ class SparseLU:
                         stat.counters["clk_jobs"] = sum(
                             len(s["j_fin"]) for s in self.tapes)
                         stat.counters["clk_segments"] = len(self.tapes)
+                    elif opts.ilu_level is None:
+                        exc = "tck"
                     else:
                         exc = "flk"
+                if exc == "tck":
+                    # sliding-tile column kernel: clk semantics for
+                    # columns of any height (no PANEL_CAP limit)
+                    from ..ops.kernels import tck as _tck
+                    self._factor_fn, self.tapes = _tck.build_factor_fn_tck(
+                        plan, interpret=interp)
+                    stat.counters["tck_jobs"] = sum(
+                        len(s["jt"]) for s in self.tapes)
+                    stat.counters["tck_segments"] = len(self.tapes)
                 if exc == "flk":
                     # fused left-looking single-call kernel (flk.py) —
                     # measured 1.1-2.4x the per-level hybrid and ~20x
@@ -430,7 +439,7 @@ class SparseLU:
                     stat.counters["flk_windows"] = sum(
                         len(s["w_tgt"]) for s in self.tapes)
                     stat.counters["flk_segments"] = len(self.tapes)
-                elif exc not in ("clk",):
+                elif exc not in ("clk", "tck"):
                     from ..ops.kernels import pallas_exec as _pe
                     self._factor_fn, self.tapes = _pe.build_factor_fn_pallas(
                         plan, chunk=min(opts.gemm_chunk, 16),

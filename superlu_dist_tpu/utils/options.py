@@ -126,7 +126,7 @@ class Options:
                                        # collectives inside the fori_loop)
     max_refine_steps: int = 20         # ITMAX (reference: SRC/double/pdgsrfs.c:131)
     refine_rthresh: float = 0.5        # stop if berr not halved (pdgsrfs.c:237)
-    executor: Optional[str] = None     # "clk" | "flk" | "pallas" | "xla";
+    executor: Optional[str] = None     # "clk" | "tck" | "flk" | "pallas" | "xla";
                                        # None = auto (clk, falling back)
     clk_mc: int = 8                    # clk A-range rows per pair chunk
     flk_kc: int = 8                    # flk contribution lanes per window
