@@ -171,3 +171,28 @@ def ldperm(A: sp.spmatrix, job: int = 5):
         return rowperm, R1, C1
     rowperm = max_cardinality_rowperm(A)
     return rowperm, np.ones(n), np.ones(n)
+
+
+def hwpm_rowperm(A: sp.spmatrix, nthreads: int = 0):
+    """Parallel heavy-weight perfect matching (LARGE_DIAG_HWPM).
+
+    The reference binds CombBLAS's distributed approximate matching
+    (d_c2cpp_GetHWPM.cpp:55): an APPROXIMATE maximum log-product perfect
+    matching, permutation only — the HWPM path applies no R1/C1 scalings.
+    Here: a multi-threaded epsilon-scaled auction (native/hwpm.cpp).
+    Returns ``rowperm`` such that A[rowperm, :] has the heavy diagonal
+    (i.e. rowperm[k] = column matched to row k of the permuted matrix),
+    falling back to the serial exact matching if the native engine is
+    unavailable or the auction stalls.
+    """
+    from .native import native_hwpm
+    A = sp.csc_matrix(A)
+    col_of = native_hwpm(A.indptr, A.indices,
+                         np.abs(A.data).astype(np.float64), nthreads)
+    if col_of is None:
+        perm, _, _, _ = maximum_product_matching(A)
+        return perm
+    # col_of[j] = row matched to column j; build rowperm as used by
+    # ldperm: rowperm[j] = matched row (A2 = A[rowperm] puts heavy
+    # entries on the diagonal)
+    return np.asarray(col_of, dtype=np.int64)

@@ -15,7 +15,8 @@ import numpy as np
 _DIR = os.path.dirname(__file__)
 _SRCS = [os.path.join(_DIR, "symbolic.cpp"),
          os.path.join(_DIR, "amd.cpp"),
-         os.path.join(_DIR, "mlnd.cpp")]
+         os.path.join(_DIR, "mlnd.cpp"),
+         os.path.join(_DIR, "hwpm.cpp")]
 _lib = None
 _tried = False
 
@@ -80,6 +81,10 @@ def get_lib():
     lib.slu_nested_dissection.argtypes = [ctypes.c_int64, i64p, i64p,
                                           ctypes.c_int64, ctypes.c_int64,
                                           i64p]
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.slu_hwpm.restype = ctypes.c_int64
+    lib.slu_hwpm.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
+                             ctypes.c_int64, i64p]
     _lib = lib
     return _lib
 
@@ -149,3 +154,23 @@ def native_block_symbolic(nb: int, ab_i: np.ndarray, ab_j: np.ndarray):
         return out
     finally:
         lib.slu_sym_free(h)
+
+
+def native_hwpm(indptr: np.ndarray, indices: np.ndarray,
+                absval: np.ndarray, nthreads: int = 0):
+    """Parallel heavy-weight perfect matching (epsilon-scaled auction;
+    hwpm.cpp — the d_c2cpp_GetHWPM/CombBLAS analog). Returns rowperm with
+    rowperm[j] = matched row of column j, or None if the engine is
+    unavailable or no perfect matching was found."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(indptr) - 1
+    perm = np.empty(n, dtype=np.int64)
+    rc = lib.slu_hwpm(
+        n, np.ascontiguousarray(indptr, dtype=np.int64),
+        np.ascontiguousarray(indices, dtype=np.int64),
+        np.ascontiguousarray(absval, dtype=np.float64), nthreads, perm)
+    if rc != 0:
+        return None
+    return perm

@@ -122,3 +122,32 @@ class TestEtree:
         A = sp.diags([np.ones(n), np.ones(n - 1)], [0, -1], format="csc")
         lv = etree.tree_levels(etree.col_etree(A))
         assert lv.tolist() == [0, 1, 2, 3, 4, 5]
+
+
+def test_hwpm_matching_quality_and_driver():
+    """Parallel HWPM (auction; native/hwpm.cpp — the d_c2cpp_GetHWPM
+    analog): must produce a perfect matching whose log-product weight is
+    near the exact MC64 optimum, and the LARGE_DIAG_HWPM driver path must
+    solve to full accuracy (permutation only, no scalings — matching the
+    reference's HWPM semantics)."""
+    import scipy.sparse as sp
+    from superlu_dist_tpu import Options, SparseLU
+    from superlu_dist_tpu.ops.host.mc64 import (hwpm_rowperm,
+                                                maximum_product_matching)
+    from superlu_dist_tpu.utils.options import RowPerm
+
+    rng = np.random.default_rng(5)
+    A = sp.random(200, 200, density=0.05, random_state=rng, format="csc")
+    A.setdiag(A.diagonal() + 0.05)
+    p = hwpm_rowperm(A)
+    assert sorted(p) == list(range(200))
+    w = np.log(np.abs(sp.csc_matrix(A)[p, :].diagonal())).sum()
+    pe, _, _, _ = maximum_product_matching(A)
+    we = np.log(np.abs(sp.csc_matrix(A)[pe, :].diagonal())).sum()
+    assert w >= we - 1e-2 * max(1.0, abs(we))
+
+    b = np.asarray(A @ np.ones(200))
+    lu = SparseLU(A, Options(dtype="float64",
+                             row_perm=RowPerm.LARGE_DIAG_HWPM))
+    x = lu.solve(b)
+    assert np.abs(A @ x - b).max() / np.abs(b).max() < 1e-10
