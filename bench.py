@@ -117,9 +117,10 @@ def bench_matrix(name, A, opts, reps):
     lu = SparseLU(A, opts)
     t_first = time.time() - t0
     tp = getattr(lu, "tapes", {})
-    exc = ("clk" if isinstance(tp, tuple) and tp and "j_fin" in tp[0] else
-           "flk" if isinstance(tp, tuple) and tp and "w_tgt" in tp[0] else
-           "xla/planar")
+    first = tp[0] if isinstance(tp, (tuple, list)) and tp else {}
+    exc = ("clk" if "j_fin" in first else
+           "tck" if "jt" in first else
+           "flk" if "w_tgt" in first else "xla/planar")
     log(f"[{name}] n={n} nnz={A.nnz} first factor (incl. compile) "
         f"{t_first:.1f}s  nb={lu.plan.nb} slots={lu.plan.nslots} "
         f"nlvl={lu.plan.n_flevels} pallas={lu._use_pallas()} exec={exc}")

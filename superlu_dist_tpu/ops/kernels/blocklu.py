@@ -88,14 +88,19 @@ class Buckets(NamedTuple):
 
 
 def factor_buckets(plan: SymbolicPlan) -> Buckets:
+    # Generous lower bounds: every matrix small enough to hit them shares
+    # ONE bucket signature, hence one compiled executor. A fresh Mosaic
+    # compile through the remote-TPU tunnel costs minutes, so collapsing
+    # the small-matrix class into a single canonical shape matters far
+    # more than the few MiB of pool padding it costs.
     return Buckets(
         bs=plan.bs,
         nbp=bucket125(plan.nb),
-        poolp=bucket125(plan.nslots + 2),
+        poolp=bucket125(plan.nslots + 2, lo=64),
         dlen=bucket125(plan.nb + 1),
-        llen=bucket125(len(plan.l_slots) + 1),
-        ulen=bucket125(len(plan.u_slots) + 1),
-        glen=bucket125(len(plan.g_l) + 1),
+        llen=bucket125(len(plan.l_slots) + 1, lo=64),
+        ulen=bucket125(len(plan.u_slots) + 1, lo=64),
+        glen=bucket125(len(plan.g_l) + 1, lo=64),
         nlvlp=bucket125(plan.n_flevels),
     )
 
@@ -218,11 +223,12 @@ def make_solve_tapes(plan: SymbolicPlan, which: str) -> SolveTapes:
 
 
 def solve_buckets(plan: SymbolicPlan):
+    # generous lower bounds: see factor_buckets (one compile per class)
     return (plan.bs, bucket125(plan.nb),
-            bucket125(len(plan.lsol_gslot) + 1),
-            bucket125(len(plan.usol_gslot) + 1),
-            bucket125(len(plan.lsol_diag) + 1),
-            bucket125(len(plan.usol_diag) + 1),
+            bucket125(len(plan.lsol_gslot) + 1, lo=64),
+            bucket125(len(plan.usol_gslot) + 1, lo=64),
+            bucket125(len(plan.lsol_diag) + 1, lo=16),
+            bucket125(len(plan.usol_diag) + 1, lo=16),
             bucket125(plan.lsol_nlvl), bucket125(plan.usol_nlvl))
 
 

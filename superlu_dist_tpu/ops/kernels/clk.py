@@ -83,6 +83,11 @@ def build_clk_tapes(plan: SymbolicPlan, MC: int = 8):
     ncol = np.diff(colptr)
     S = int(ncol.max())
     assert S <= PANEL_CAP, "column panel exceeds VMEM capacity"
+    # canonicalize the panel height: S only shapes VMEM scratch and the
+    # trash row, so bucketing it lets matrices of different max column
+    # heights share one Mosaic compile (minutes each through the
+    # remote-TPU tunnel)
+    S = min(_bl.bucket125(S, lo=16), PANEL_CAP)
     diag_slot = np.asarray(plan.diag_slot)
     dpos = diag_slot - colptr[:nb]           # = #U blocks above the diag
     poolp = _bl.factor_buckets(plan).poolp
@@ -186,9 +191,10 @@ def build_clk_tapes(plan: SymbolicPlan, MC: int = 8):
     cuts.append(nj)
 
     # uniform segment size: one Mosaic compile serves the whole chain
-    # (padding jobs have m == 0 / no flags and cost only branches)
+    # (padding jobs have m == 0 / no flags and cost only branches).
+    # lo=128 canonicalizes every small matrix onto one segment shape.
     uni = _bl.bucket125(max(hi - lo for lo, hi in
-                            zip(cuts[:-1], cuts[1:])), lo=1)
+                            zip(cuts[:-1], cuts[1:])), lo=128)
 
     def pack(lo, hi):
         seg = hi - lo

@@ -185,7 +185,7 @@ def build_flk_tapes(plan: SymbolicPlan, Kc: int = 8):
     # serves the whole chain (padding windows have nc == 0 and cost only
     # a branch)
     uni = _bl.bucket125(max(hi - lo for lo, hi in
-                            zip(cuts[:-1], cuts[1:])), lo=1)
+                            zip(cuts[:-1], cuts[1:])), lo=128)
 
     def pack(lo, hi):
         seg = hi - lo
@@ -212,7 +212,8 @@ def build_flk_tapes(plan: SymbolicPlan, Kc: int = 8):
         )
 
     tapes = tuple(pack(lo, hi) for lo, hi in zip(cuts[:-1], cuts[1:]))
-    consts = dict(nbp=nbp, poolp=_bl.bucket125(plan.nslots + 2),
+    consts = dict(nbp=nbp,
+                  poolp=_bl.bucket125(plan.nslots + 2, lo=64),
                   seg_nw=tuple(len(t["w_tgt"]) for t in tapes))
     return tapes, consts
 
