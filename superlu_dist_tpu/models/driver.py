@@ -349,7 +349,7 @@ class SparseLU:
             return False
         if self._fdtype != np.dtype(np.float32):
             return False
-        fused = (self.options.executor or "clk") in ("clk", "flk")
+        fused = (self.options.executor or "clk") in ("clk", "tck", "flk")
         if force == "interpret":
             return self.plan.bs % 8 == 0 if fused else self.plan.bs == 128
         if self.plan.bs != 128:

@@ -104,23 +104,16 @@ def build_tck_tapes(plan: SymbolicPlan, w: int = W, mc: int = MC):
         rows_k = srow[base:base + nck]
         col_starts.append(nj)
         # source prep: for each U position t (source j = its row), the
-        # L-part range of column j and whether it finalizes in place
+        # L-part range of column j, its target positions in column k
+        # (computed once per source, not per tile), and whether it
+        # finalizes in place
         srcs = []
         for t in range(dpk):
             j = int(rows_k[t])
             la0 = int(diag_slot[j]) + 1
             lm = int(colptr[j + 1]) - la0
-            srcs.append((t, j, la0, lm))
-        fin_inplace = np.zeros(dpk, dtype=bool)
-
-        for t0 in range(0, nck, w):
-            t1 = min(t0 + w, nck)
-            tl = t1 - t0
-            emit(J_LOAD, b0=base + t0, nfull=tl // PC, nrem=tl - PC * (tl // PC))
-            # ---- pair-GEMM chunks, ascending source ----
-            for (t, j, la0, lm) in srcs:
-                if lm == 0:
-                    continue
+            pos_j = None
+            if lm:
                 rows_j = srow[la0:la0 + lm]
                 pos_j = np.searchsorted(rows_k, rows_j)
                 ok = (pos_j < nck) & (rows_k[np.minimum(pos_j, nck - 1)]
@@ -128,10 +121,22 @@ def build_tck_tapes(plan: SymbolicPlan, w: int = W, mc: int = MC):
                 if not np.all(ok):
                     raise ValueError("fill closure violated — tck needs "
                                      "exact-LU symbolic")
-                sel = np.flatnonzero((pos_j >= t0) & (pos_j < t1))
-                if len(sel) == 0:
+            srcs.append((t, j, la0, lm, pos_j))
+        fin_inplace = np.zeros(dpk, dtype=bool)
+
+        for t0 in range(0, nck, w):
+            t1 = min(t0 + w, nck)
+            tl = t1 - t0
+            emit(J_LOAD, b0=base + t0, nfull=tl // PC, nrem=tl - PC * (tl // PC))
+            # ---- pair-GEMM chunks, ascending source ----
+            for (t, j, la0, lm, pos_j) in srcs:
+                if lm == 0:
                     continue
-                lo, hi = int(sel[0]), int(sel[-1]) + 1   # contiguous run
+                # positions are sorted: the tile's run is contiguous
+                lo = int(np.searchsorted(pos_j, t0))
+                hi = int(np.searchsorted(pos_j, t1))
+                if lo == hi:
+                    continue
                 in_tile = t0 <= t < t1
                 first = True
                 for c0 in range(lo, hi, mc):
