@@ -280,6 +280,20 @@ class SparseLU:
             if len(bad):
                 self.info = int(bad[0]) + 1
 
+        # env-gated factorization audits (reference: the CHECKLU and
+        # WRITELU/LUFILE debug hooks, SRC env catalog): CHECKLU verifies
+        # L·U against the permuted/scaled A and records the max block
+        # residual; WRITELU dumps the factor pool for offline comparison.
+        import os as _env_os
+        if _env_os.environ.get("SLU_TPU_CHECKLU", "") == "1":
+            from ..utils import debug as _debug
+            stat.counters["checklu_max_resid"] = float(
+                _debug.check_factorization(self, A3))
+        wl = _env_os.environ.get("SLU_TPU_WRITELU", "")
+        if wl:
+            from ..utils import debug as _debug
+            _debug.dump_lu(self, wl)
+
         # COO of the original A for refinement residuals (mixed precision).
         # Complex matrices keep the residual COO in planar (re, im) real
         # arrays on BOTH complex paths: the TPU backend cannot device_put a

@@ -207,8 +207,16 @@ _SPEC_FIELDS = {
 #:   SLU_TPU_NATIVE         0 | 1            (C++ host engine)
 #:   SLU_TPU_NATIVE_CACHE   path             (native .so cache dir)
 #:   SLU_TPU_TEST_PLATFORM  cpu | tpu        (conftest platform pin)
+#:   SLU_TPU_CHECKLU        1                (verify L·U vs A after factor,
+#:                                            reference env CHECKLU)
+#:   SLU_TPU_WRITELU        path             (dump factor pool, ref WRITELU)
+#:   SLU_TPU_COMPLEX        planar | embed   (complex executor override)
+#:   SLU_TPU_XPROF          logdir           (process-wide profiler trace)
+#:   SLU_TPU_INIT_DEVICE_BYTES  N            (on-device pool-init threshold)
+#:   SLU_TPU_SYMB_THREADS   N                (parallel symbolic threads)
 _ENV_ONLY = ("FORCE_PALLAS", "FORCE_PLANAR", "NATIVE", "NATIVE_CACHE",
-             "TEST_PLATFORM")
+             "TEST_PLATFORM", "CHECKLU", "WRITELU", "COMPLEX", "XPROF",
+             "INIT_DEVICE_BYTES", "SYMB_THREADS")
 
 
 def sp_ienv(spec: str, options: Optional[Options] = None):

@@ -75,3 +75,22 @@ def test_driver_respects_env(clean_env):
     b = np.asarray(A @ np.ones(A.shape[0]))
     x = lu.solve(b)
     assert np.abs(A @ x - b).max() < 1e-10
+
+
+def test_checklu_and_writelu_env_hooks(monkeypatch, tmp_path):
+    """Env-gated factorization audits (reference CHECKLU / WRITELU env
+    hooks): CHECKLU records the LU reconstruction residual in stats,
+    WRITELU dumps a pool that compare_lu accepts."""
+    import numpy as np
+    from superlu_dist_tpu import Options, SparseLU
+    from superlu_dist_tpu.utils.debug import compare_lu
+    from superlu_dist_tpu.utils.testing import laplacian_2d
+
+    p = tmp_path / "lu.npz"
+    monkeypatch.setenv("SLU_TPU_CHECKLU", "1")
+    monkeypatch.setenv("SLU_TPU_WRITELU", str(p))
+    A = laplacian_2d(10)
+    lu = SparseLU(A, Options(dtype="float64", block_size=8))
+    assert lu.stat.counters["checklu_max_resid"] < 1e-10
+    assert p.exists()
+    assert compare_lu(p, p)
