@@ -312,12 +312,11 @@ class SparseLU:
                 if self.options.replace_tiny_pivot else 0.0)
 
     def _pallas_solve_ok(self) -> bool:
-        """The fused whole-sweep solve kernel prefetches its level tapes
-        into SMEM (~1 MiB); beyond that the XLA level-loop solve runs
-        instead (segmenting the solve kernel is future work)."""
-        ints = 3 * (len(self.plan.lsol_gslot) + len(self.plan.usol_gslot)) \
-            + len(self.plan.lsol_diag) + len(self.plan.usol_diag)
-        return ints < 150_000
+        """The fused whole-sweep solve kernel prefetches its window tapes
+        into SMEM; streams larger than one segment are scanned as uniform
+        SOLVE_SEG_WINDOWS chunks by a single compiled call (see
+        pallas_exec._segment_sweep_tape), so every plan qualifies."""
+        return True
 
     @property
     def _fdtype(self):

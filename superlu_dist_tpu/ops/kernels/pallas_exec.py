@@ -851,16 +851,58 @@ def sweep_tape(plan: SymbolicPlan, which: str, C: int):
             jnp.asarray(lanes), nwp)
 
 
+#: windows per solve-kernel segment: one segment's scalar-prefetch tapes
+#: ((1 + 3·C) int32 per window) must fit SMEM. Beyond this the window
+#: stream is cut into uniform segments scanned by ONE compiled pallas
+#: call — the grid is sequential, so a cut anywhere preserves the level
+#: order (no state crosses windows except X, which is aliased through).
+SOLVE_SEG_WINDOWS = 2048
+
+
+def _segment_sweep_tape(tape, C):
+    """Split one sweep's (op, ta, tb, tc) into uniform SOLVE_SEG_WINDOWS
+    segments, padded with op=2 / lane=-1 no-op windows; returns stacked
+    (nseg, ...) device arrays."""
+    op, ta, tb, tc = (np.asarray(t) for t in tape)
+    segw = SOLVE_SEG_WINDOWS
+    nseg = max(1, -(-len(op) // segw))
+    pad = nseg * segw - len(op)
+    if pad:
+        op = np.concatenate([op, np.full(pad, 2, op.dtype)])
+        ta = np.concatenate([ta, np.zeros(pad * C, ta.dtype)])
+        tb = np.concatenate([tb, np.zeros(pad * C, tb.dtype)])
+        tc = np.concatenate([tc, np.full(pad * C, -1, tc.dtype)])
+    return (jnp.asarray(op.reshape(nseg, segw)),
+            jnp.asarray(ta.reshape(nseg, segw * C)),
+            jnp.asarray(tb.reshape(nseg, segw * C)),
+            jnp.asarray(tc.reshape(nseg, segw * C)))
+
+
 @functools.lru_cache(maxsize=32)
 def _fused_solve_executor(nbp, nw_l, nw_u, C, W, exact, interpret, bs=BS):
-    sweep_l = make_sweep_call(nw_l, C, W, exact, interpret, bs)
-    sweep_u = make_sweep_call(nw_u, C, W, exact, interpret, bs)
+    from jax import lax
+    seg_l = nw_l > SOLVE_SEG_WINDOWS
+    seg_u = nw_u > SOLVE_SEG_WINDOWS
+    sweep_l = make_sweep_call(SOLVE_SEG_WINDOWS if seg_l else nw_l, C, W,
+                              exact, interpret, bs)
+    sweep_u = make_sweep_call(SOLVE_SEG_WINDOWS if seg_u else nw_u, C, W,
+                              exact, interpret, bs)
+
+    def run(sweep, segmented, pool, dinv, X, tape):
+        if not segmented:
+            return sweep(pool, dinv, X, *tape)
+
+        def body(X, tp):
+            return sweep(pool, dinv, X, *tp), None
+
+        X, _ = lax.scan(body, X, tape)
+        return X
 
     def solve(pool, linv, uinv, tl, tu, b):
         X = b.reshape(nbp, bs, W)
         X = jnp.concatenate([X, jnp.zeros((1, bs, W), X.dtype)], axis=0)
-        X = sweep_l(pool, linv, X, *tl)
-        X = sweep_u(pool, uinv, X, *tu)
+        X = run(sweep_l, seg_l, pool, linv, X, tl)
+        X = run(sweep_u, seg_u, pool, uinv, X, tu)
         return X[:nbp].reshape(nbp * bs, W)
 
     return jax.jit(solve)
@@ -869,16 +911,21 @@ def _fused_solve_executor(nbp, nw_l, nw_u, C, W, exact, interpret, bs=BS):
 def build_solve_fn_pallas_fused(plan: SymbolicPlan, nrhs: int, *,
                                 chunk: int = 16, exact: bool = True,
                                 interpret: bool = False):
-    """One pallas call per triangular sweep. Same contract as
-    build_solve_fn_pallas: returns (solve_fn, (tl, tu), W)."""
+    """One pallas call per triangular sweep (segment-scanned when the
+    window tape exceeds SMEM). Same contract as build_solve_fn_pallas:
+    returns (solve_fn, (tl, tu), W)."""
     assert plan.bs % 8 == 0
     W = max(128, -(-nrhs // 128) * 128)
     opl, tal, tbl, tcl, nwl = sweep_tape(plan, "L", chunk)
     opu, tau, tbu, tcu, nwu = sweep_tape(plan, "U", chunk)
     nbp = _bl.bucket125(plan.nb)
+    tl = ((opl, tal, tbl, tcl) if nwl <= SOLVE_SEG_WINDOWS
+          else _segment_sweep_tape((opl, tal, tbl, tcl), chunk))
+    tu = ((opu, tau, tbu, tcu) if nwu <= SOLVE_SEG_WINDOWS
+          else _segment_sweep_tape((opu, tau, tbu, tcu), chunk))
     fn = _fused_solve_executor(nbp, nwl, nwu, chunk, W, exact, interpret,
                                plan.bs)
-    return fn, ((opl, tal, tbl, tcl), (opu, tau, tbu, tcu)), W
+    return fn, (tl, tu), W
 
 
 # ---------------------------------------------------------------------------

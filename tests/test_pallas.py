@@ -150,3 +150,44 @@ def test_pallas_adversarial_patterns(seed):
     pf = fp(jnp.array(pool0), thresh, tp)[0]
     _assert_f32_close_to_truth(pf, truth, plan.nslots, "adversarial",
                                ref_err)
+
+
+def test_fused_solve_segment_scan(monkeypatch):
+    """Window streams beyond one segment must scan correctly: shrink the
+    segment size so even a small plan needs several segments and compare
+    against the XLA level-loop solve."""
+    import numpy as np
+    import jax.numpy as jnp
+    from superlu_dist_tpu.ops.host.symbolic import block_symbolic
+    from superlu_dist_tpu.ops.kernels import blocklu as bl
+    from superlu_dist_tpu.ops.kernels import pallas_exec as pe
+    from superlu_dist_tpu.utils.testing import laplacian_2d
+
+    monkeypatch.setattr(pe, "SOLVE_SEG_WINDOWS", 4)
+    A = laplacian_2d(12).tocsc().astype(np.float64)
+    plan = block_symbolic(A, bs=8)
+    pool0 = bl.init_pool(plan, A.data.astype(np.float32), np.float32)
+    fx = bl.build_factor_fn(plan, chunk=16)
+    pool, linv, uinv, _ = fx(jnp.array(pool0), jnp.asarray(0.0, jnp.float32),
+                             bl.make_factor_tapes(plan))
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+    nbp = bl.bucket125(plan.nb)
+    b = np.zeros((nbp * plan.bs, 1), np.float32)
+    b[: plan.nb * plan.bs] = rng.standard_normal(
+        (plan.nb * plan.bs, 1)).astype(np.float32)
+    # XLA reference sweep
+    lt = bl.make_solve_tapes(plan, "L")
+    ut = bl.make_solve_tapes(plan, "U")
+    x_ref = bl.build_solve_fn(plan, 1)(pool, linv, uinv, lt, ut,
+                                       jnp.asarray(b))
+    # segmented fused kernel (interpret)
+    fn, (tl, tu), W = pe.build_solve_fn_pallas_fused(plan, 1, chunk=4,
+                                                     interpret=True)
+    assert len(tl) == 4 and tl[0].ndim == 2, "segmentation not exercised"
+    bp = np.zeros((nbp * plan.bs, W), np.float32)
+    bp[:, :1] = b
+    x_seg = fn(pool, linv, uinv, tl, tu, jnp.asarray(bp))
+    nr = plan.nb * plan.bs
+    d = np.abs(np.asarray(x_seg)[:nr, 0] - np.asarray(x_ref)[:nr, 0])
+    assert d.max() < 1e-4 * max(1.0, np.abs(np.asarray(x_ref)).max())
