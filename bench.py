@@ -249,6 +249,29 @@ def bench_dist():
     }))
 
 
+def rdma_hardware_smoke():
+    """Compile + run the RDMA (remote-DMA) executors on a 1x1 hardware
+    mesh and check the solution against scipy."""
+    import scipy.sparse.linalg as spla
+
+    from superlu_dist_tpu import Options
+    from superlu_dist_tpu.models.dist_driver import DistributedSparseLU
+    from superlu_dist_tpu.parallel.grid import Grid2D
+    from superlu_dist_tpu.utils.testing import laplacian_2d
+
+    A = laplacian_2d(16)
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+    b = np.asarray(A @ rng.standard_normal(n))
+    lu = DistributedSparseLU(A, Grid2D(1, 1),
+                             Options(dtype="float32", block_size=128,
+                                     dist_executor="rdma"))
+    x = lu.solve(b)
+    x_ref = spla.spsolve(A.tocsc().astype(np.float64), b)
+    rel = float(np.abs(x - x_ref).max() / np.abs(x_ref).max())
+    assert rel < 1e-4, f"rdma hardware solve error {rel}"
+
+
 def main():
     import jax
 
@@ -309,6 +332,23 @@ def main():
         dt = "complex64" if A.dtype.kind == "c" else "float32"
         jobs.append((which, A, Options(dtype=dt, block_size=bs,
                                        gemm_chunk=chunk)))
+
+    # ---- RDMA hardware smoke: prove Mosaic lowers the remote-DMA factor
+    # program on the real chip (1x1 mesh: no peers, but the full kernel
+    # build + semaphores + DMA descriptors compile and execute). The
+    # NVSHMEM-path analog of the reference runs on real GPUs
+    # (pdgstrs_lsum_cuda.cu:597-657); this is the matching proof for TPU.
+    if dev.platform == "tpu" and which in ("default", "all"):
+        try:
+            t0 = time.perf_counter()
+            rdma_hardware_smoke()
+            log(f"[rdma_hw_smoke] OK ({time.perf_counter() - t0:.1f}s): "
+                "remote-DMA factor + solve kernels lowered and ran on "
+                "hardware (1x1 mesh)")
+        except Exception as e:
+            import traceback
+            log(f"[rdma_hw_smoke] FAILED: {type(e).__name__}: {e}")
+            traceback.print_exc(file=sys.stderr)
 
     results = []
     for name, A, opts in jobs:

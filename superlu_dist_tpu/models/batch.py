@@ -113,6 +113,9 @@ class BatchedSparseLU:
         A3 = sp.csc_matrix(A).multiply(np.asarray(R)[:, None]) \
             .multiply(np.asarray(C)[None, :]).tocsc()
         A3 = A3[p.rowperm, :][p.colperm, :][:, p.colperm]
+        # the proto plan was built on the expanded matrix (etree-aligned
+        # blocks): replicate its expansion so init_idx ordering matches
+        A3 = p._expand_A(sp.csc_matrix(A3))
         return _blocklu.init_pool(p.plan, sp.csc_matrix(A3).data, p.dtype)
 
     def solve(self, Bs) -> np.ndarray:
@@ -126,7 +129,7 @@ class BatchedSparseLU:
         prc = p.rowperm[p.colperm]
         rows = p._bpad_rows()
         bp = np.zeros((self.count, rows, nrhs), dtype=p.dtype)
-        bp[:, : self.n] = self.row_scales[:, prc, None] * B[:, prc]
+        bp[:, p._rows_idx] = self.row_scales[:, prc, None] * B[:, prc]
         if nrhs not in self._solve_batched:
             core = _blocklu.build_solve_core(self.plan, nrhs,
                                              chunk=self.options.gemm_chunk)
@@ -134,7 +137,7 @@ class BatchedSparseLU:
                 jax.vmap(core, in_axes=(0, 0, 0, None, None, 0)))
         y = np.asarray(self._solve_batched[nrhs](
             self.pool_b, self.linv_b, self.uinv_b, p.ltape, p.utape,
-            jnp.asarray(bp)))[:, : self.n]
+            jnp.asarray(bp)))[:, p._rows_idx]
         x = np.empty((self.count, self.n, nrhs), dtype=y.dtype)
         x[:, p.colperm] = self.col_scales[:, p.colperm, None] * y
         return x[:, :, 0] if squeeze else x

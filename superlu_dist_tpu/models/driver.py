@@ -176,7 +176,7 @@ class SparseLU:
             A3 = A.multiply(self.row_scale[:, None]) \
                   .multiply(self.col_scale[None, :]).tocsc()
             A3 = A3[self.rowperm, :][self.colperm, :][:, self.colperm]
-            return sp.csc_matrix(A3)
+            return self._expand_A(sp.csc_matrix(A3))
 
         # ---- equilibration (pdgsequ/pdlaqgs) ----
         with stat.phase("EQUIL"):
@@ -225,7 +225,54 @@ class SparseLU:
         self.col_scale = np.asarray(C)
         self.rowperm = np.asarray(rowperm, dtype=np.int64)
         self.colperm = np.asarray(pc, dtype=np.int64)
-        return sp.csc_matrix(A3)
+        A3 = sp.csc_matrix(A3)
+        if reuse_colperm:
+            # SamePattern: the stored colperm already folds in the
+            # alignment postorder; reapply the stored expansion.
+            return self._expand_A(A3)
+        return self._align_blocks(A3)
+
+    # -- etree-aligned block boundaries (ops/host/align.py) --------------
+
+    def _effective_bs(self) -> int:
+        """Block width in *matrix* columns: the real ring embedding packs
+        two embedded columns per complex column, so alignment must target
+        half the device block width for complex64."""
+        return self.options.block_size // (2 if self._embed else 1)
+
+    def _align_blocks(self, A3: sp.csc_matrix) -> sp.csc_matrix:
+        """Postorder + expand ``A3`` so block boundaries follow the etree
+        (recovers the supernodal-etree schedule parallelism; reference:
+        supernodal_etree.c topological levels, sp_colorder.c postorder)."""
+        from ..ops.host import align as _align
+        opts, stat = self.options, self.stat
+        self._expand = None
+        self._n_e = None
+        mode = (opts.align_blocks or "auto").lower()
+        bs = self._effective_bs()
+        if mode == "off" or bs < 2:
+            return A3
+        with stat.phase("COLPERM"):
+            res = _align.aligned_blocking(
+                A3, bs,
+                max_inflate=(np.inf if mode == "on"
+                             else opts.align_max_inflate))
+        if res is None:
+            return A3
+        A3 = A3[res.po, :][:, res.po]
+        self.colperm = self.colperm[res.po]
+        self._expand = res.expand
+        self._n_e = res.n_e
+        stat.counters["align_inflate"] = round(res.n_e / self.n, 3)
+        stat.counters["align_blocks"] = res.n_blocks
+        return _align.expand_matrix(A3, res.expand, res.n_e)
+
+    def _expand_A(self, A3: sp.csc_matrix) -> sp.csc_matrix:
+        """Reapply a stored expansion (factor-reuse modes)."""
+        if getattr(self, "_expand", None) is None:
+            return A3
+        from ..ops.host import align as _align
+        return _align.expand_matrix(A3, self._expand, self._n_e)
 
     def _factor(self, A: sp.spmatrix, fact: Fact):
         opts, stat = self.options, self.stat
@@ -237,6 +284,9 @@ class SparseLU:
         if reuse_colperm and self.plan is None and not hasattr(self, "colperm"):
             raise ValueError(f"{fact} requested but no prior factorization")
         self._A_orig = A
+        # the embedding decision shapes the alignment pass (block width in
+        # complex columns), so resolve it before preprocessing
+        self._embed = self._use_embed()
         A3 = self._preprocess(A, reuse_perms, reuse_colperm)
         self._anorm = float(np.abs(A3.data).max()) if A3.nnz else 1.0
 
@@ -248,16 +298,25 @@ class SparseLU:
         # mult). The planar (re,im)-planes executor remains for CPU/XLA
         # (2x less memory); force with SLU_TPU_COMPLEX=planar|embed.
         # Reference parity: the z precision suite (SRC/complex16/).
-        self._embed = self._use_embed()
         if self._embed:
             A3 = _embed_csc(A3)
+        # device row indices where the n (or 2n embedded) RHS rows land:
+        # identity without alignment, the expansion map with it
+        base = self._expand if getattr(self, "_expand", None) is not None \
+            else np.arange(self.n, dtype=np.int64)
+        if self._embed:
+            ri = np.empty(2 * len(base), dtype=np.int64)
+            ri[0::2] = 2 * base
+            ri[1::2] = 2 * base + 1
+            self._rows_idx = ri
+        else:
+            self._rows_idx = base
 
         with stat.phase("SYMBFAC"):
             if reuse_perms and self.plan is not None:
                 plan = self.plan
             else:
-                plan = block_symbolic(A3, opts.block_size,
-                                      ilu_level=opts.ilu_level)
+                plan = self._symbolic(A3)
                 self._solve_fns.clear()
         self.plan = plan
         stat.counters["fill_blocks"] = plan.nslots
@@ -306,6 +365,12 @@ class SparseLU:
             self._coo_abs = jnp.sqrt(vr * vr + vi * vi)
         else:
             self._coo_ref = _spmv.coo_arrays(A, jnp.dtype(self.refine_dtype))
+
+    def _symbolic(self, A3: sp.csc_matrix):
+        """Symbolic factorization hook (the distributed drivers override
+        this with a preprocess-once-then-broadcast multi-host version)."""
+        return block_symbolic(A3, self.options.block_size,
+                              ilu_level=self.options.ilu_level)
 
     def _thresh(self) -> float:
         return (np.sqrt(_real_eps(self.dtype)) * self._anorm
@@ -586,10 +651,7 @@ class SparseLU:
         # and x[prc[k]] = Dr[prc[k]]·y[k]
         bp = np.zeros((self._bpad_rows(), nrhs), dtype=self._fdtype)
         b3t = self.col_scale[self.colperm, None] * b[self.colperm]
-        if emb:
-            bp[: 2 * self.n] = _embed_rhs(b3t)
-        else:
-            bp[: self.n] = b3t
+        bp[self._rows_idx] = _embed_rhs(b3t) if emb else b3t
         with self.stat.phase("SOLVE"):
             if self._use_planar():
                 from ..ops.kernels import planar as _planar
@@ -606,15 +668,106 @@ class SparseLU:
                     _real_base(self.dtype)))
                 y2 = self._solve_fns[key](self.pool, self.uinv, self.linv,
                                           self.ttape_u, self.ttape_l, b2)
-                y = _planar.planar_to_complex(np.asarray(y2))[: self.n]
+                y = _planar.planar_to_complex(
+                    np.asarray(y2))[self._rows_idx]
             else:
                 y = np.asarray(self._trans_solve_fn(nrhs)(
                     self.pool, self.uinv, self.linv, self.ttape_u,
                     self.ttape_l, jnp.asarray(bp)))
-                y = _unembed_sol(y[: 2 * self.n]) if emb else y[: self.n]
+                y = _unembed_sol(y[self._rows_idx]) if emb \
+                    else y[self._rows_idx]
         prc = self.rowperm[self.colperm]
         x = np.empty((self.n, nrhs), dtype=y.dtype)
         x[prc] = self.row_scale[prc, None] * y
+        return x[:, 0] if squeeze else x
+
+    #: subclasses whose solve executor has a different signature
+    #: (distributed drivers) keep the host transform path
+    _device_solve_ok = True
+
+    def _device_solve_fn(self, kb: int):
+        """Fully-jitted b → x solve: Dr/Pr/Pc transforms, the triangular
+        sweeps, and the back-transform all run in ONE device dispatch (the
+        pdgstrs contract, reference: pdgstrs.c:1039 — B and X stay
+        distributed; here they stay device-resident). ``kb`` is the padded
+        RHS width; on the Pallas path the fused kernel pads its lanes to
+        W=128 regardless, so one compilation serves every nrhs ≤ 128."""
+        key = ("DEV", kb)
+        if key in self._solve_fns:
+            return self._solve_fns[key]
+        import jax
+
+        plan, n = self.plan, self.n
+        fdt = jnp.dtype(self._fdtype)
+        rows_pad = self._bpad_rows()
+        ridx = jnp.asarray(self._rows_idx)
+        prc = jnp.asarray(self.rowperm[self.colperm])
+        pc = jnp.asarray(self.colperm)
+        rs = jnp.asarray(self.row_scale[self.rowperm[self.colperm]],
+                         dtype=fdt)
+        cs = jnp.asarray(self.col_scale[self.colperm], dtype=fdt)
+
+        if self._use_pallas() and self._pallas_solve_ok():
+            import os
+            from ..ops.kernels import pallas_exec as _pe
+            interp = (os.environ.get("SLU_TPU_FORCE_PALLAS", "")
+                      == "interpret")
+            sfn, (tl, tu), W = _pe.build_solve_fn_pallas_fused(
+                plan, kb, chunk=min(self.options.gemm_chunk, 16),
+                interpret=interp)
+
+            def solve_inner(pool, linv, uinv, bp):
+                bw = jnp.zeros((rows_pad, W), fdt).at[:, :kb].set(bp)
+                return sfn(pool, linv, uinv, tl, tu, bw)[:, :kb]
+        else:
+            core = _blocklu.build_solve_core(
+                plan, kb, chunk=self.options.gemm_chunk)
+            ltape, utape = self.ltape, self.utape
+
+            def solve_inner(pool, linv, uinv, bp):
+                return core(pool, linv, uinv, ltape, utape, bp)
+
+        @jax.jit
+        def dev_solve(pool, linv, uinv, b):
+            bp = jnp.zeros((rows_pad, kb), fdt)
+            bp = bp.at[ridx].set(rs[:, None] * b[prc])
+            y = solve_inner(pool, linv, uinv, bp)[ridx]
+            return jnp.zeros((n, kb), fdt).at[pc].set(cs[:, None] * y)
+
+        self._solve_fns[key] = dev_solve
+        return dev_solve
+
+    _RHS_BUCKETS = (1, 8, 32, 128)
+
+    def _solve_device(self, b, squeeze: bool, want_device: bool):
+        """Device-resident solve entry: ships b once (or not at all for jax
+        inputs), pads the RHS width to a bucket so compilations are shared,
+        and chunks nrhs > 128."""
+        import jax
+
+        n = self.n
+        fdt = jnp.dtype(self._fdtype)
+        bj = jnp.asarray(b, dtype=fdt)
+        k = bj.shape[1]
+        with self.stat.phase("SOLVE"):
+            if self._use_pallas() and self._pallas_solve_ok():
+                cap = 128    # fused kernel lane width: one compile ≤ 128
+            else:
+                cap = self._RHS_BUCKETS[-1]
+            outs = []
+            for lo in range(0, k, cap):
+                piece = bj[:, lo:lo + cap]
+                kp = piece.shape[1]
+                kb = (cap if self._use_pallas() and self._pallas_solve_ok()
+                      else next(c for c in self._RHS_BUCKETS if c >= kp))
+                if kp < kb:
+                    piece = jnp.zeros((n, kb), fdt).at[:, :kp].set(piece)
+                x = self._device_solve_fn(kb)(self.pool, self.linv,
+                                              self.uinv, piece)
+                outs.append(x[:, :kp])
+            x = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+            if not want_device:
+                x = np.asarray(x)
         return x[:, 0] if squeeze else x
 
     def solve(self, b, trans: Trans = Trans.NOTRANS) -> np.ndarray:
@@ -623,6 +776,13 @@ class SparseLU:
             return self.solve_transposed(b)
         if trans == Trans.CONJ:
             return self.solve_transposed(b, conj=True)
+        if (self._device_solve_ok and not self._use_planar()
+                and not getattr(self, "_embed", False)):
+            import jax
+            want_device = isinstance(b, jax.Array)
+            squeeze = b.ndim == 1
+            bb = b[:, None] if squeeze else b
+            return self._solve_device(bb, squeeze, want_device)
         b = np.asarray(b)
         squeeze = b.ndim == 1
         if squeeze:
@@ -633,14 +793,12 @@ class SparseLU:
         prc = self.rowperm[self.colperm]
         bp = np.zeros((self._bpad_rows(), nrhs), dtype=self._fdtype)
         b3 = self.row_scale[prc, None] * b[prc]
-        if getattr(self, "_embed", False):
-            bp[: 2 * self.n] = _embed_rhs(b3)
-        else:
-            bp[: self.n] = b3
+        bp[self._rows_idx] = _embed_rhs(b3) \
+            if getattr(self, "_embed", False) else b3
         with self.stat.phase("SOLVE"):
             y = self._solve_factored(bp)
-        y = _unembed_sol(y[: 2 * self.n]) if getattr(self, "_embed", False) \
-            else y[: self.n]
+        y = _unembed_sol(y[self._rows_idx]) \
+            if getattr(self, "_embed", False) else y[self._rows_idx]
         # x = Dc Pcᵀ y
         x = np.empty((self.n, nrhs), dtype=y.dtype)
         x[self.colperm] = self.col_scale[self.colperm, None] * y
@@ -743,11 +901,13 @@ class SparseLU:
             def solve_inner(pool, linv, uinv, bp):
                 return core(pool, linv, uinv, ltape, utape, bp)
 
+        ridx = jnp.asarray(self._rows_idx)   # expansion-aware row placement
+
         def lu_solve(pool, linv, uinv, prc, pc, rs, cs, r):
             """Dr/Pr/Pc transforms + LU solve + back-transform (device)."""
             bp = jnp.zeros((rows_pad, nrhs), fdt)
-            bp = bp.at[:n].set((rs[:, None] * r[prc]).astype(fdt))
-            y = solve_inner(pool, linv, uinv, bp)[:n]
+            bp = bp.at[ridx].set((rs[:, None] * r[prc]).astype(fdt))
+            y = solve_inner(pool, linv, uinv, bp)[ridx]
             return jnp.zeros((n, nrhs), rdt).at[pc].set(
                 cs[:, None] * y.astype(rdt))
 
@@ -894,6 +1054,12 @@ class SparseLU:
     # extras: diag(U), logdet (pdGetDiagU / PYTHON pdbridge_logdet analogs)
     # ------------------------------------------------------------------
 
+    def _diag_sel(self):
+        """Selector mapping padded diagonal entries back to the original
+        columns (identity without alignment, the expansion map with it)."""
+        exp = getattr(self, "_expand", None)
+        return slice(0, self.n) if exp is None else exp
+
     def diag_u(self) -> np.ndarray:
         """Diagonal of U in elimination order (reference: pdGetDiagU.c)."""
         pool = np.asarray(self.pool)
@@ -907,10 +1073,10 @@ class SparseLU:
             re = blocks[:, np.arange(bs), np.arange(bs)].reshape(nb * bs)
             im = blocks[:, np.arange(1, bs, 2),
                         np.arange(0, bs, 2)].reshape(nb * (bs // 2))
-            return (re[0::2] + 1j * im)[: self.n]
+            return (re[0::2] + 1j * im)[self._diag_sel()]
         d = pool[np.asarray(self.plan.diag_slot)][:, np.arange(bs),
                                                   np.arange(bs)]
-        return d.reshape(nb * bs)[: self.n]
+        return d.reshape(nb * bs)[self._diag_sel()]
 
     def logdet(self):
         """(sign_or_phase, log|det A|) — PYTHON/pdbridge.py logdet analog."""
@@ -997,6 +1163,9 @@ def save_factors(lu: SparseLU, path) -> None:
         block_size=np.asarray(lu.options.block_size),
         anorm=np.asarray(lu._anorm),
         embed=np.asarray(bool(getattr(lu, "_embed", False))),
+        expand=(np.asarray(lu._expand)
+                if getattr(lu, "_expand", None) is not None
+                else np.empty(0, dtype=np.int64)),
         **plan_fields)
 
 
@@ -1038,6 +1207,19 @@ def load_factors(path, options: Optional[Options] = None) -> SparseLU:
     lu.utape = _blocklu.make_solve_tapes(lu.plan, "U")
     lu._planar = z["pool"].ndim == 4   # planar layout self-describes
     lu._embed = bool(z["embed"]) if "embed" in z.files else False
+    exp = z["expand"] if "expand" in z.files else np.empty(0, np.int64)
+    lu._expand = exp if len(exp) else None
+    lu._n_e = ((lu.plan.n // 2 if lu._embed else lu.plan.n)
+               if lu._expand is not None else None)
+    base = lu._expand if lu._expand is not None \
+        else np.arange(lu.n, dtype=np.int64)
+    if lu._embed:
+        ri = np.empty(2 * len(base), dtype=np.int64)
+        ri[0::2] = 2 * base
+        ri[1::2] = 2 * base + 1
+        lu._rows_idx = ri
+    else:
+        lu._rows_idx = base
     if lu._planar or lu._embed:
         rdt = _real_base(lu.refine_dtype)
         lu._coo_ref = _spmv.coo_arrays_planar(lu._A_orig, jnp.dtype(rdt))

@@ -29,6 +29,7 @@ class Distributed3DSparseLU(SparseLU):
     _planar = False   # distributed executors use native complex
 
     _fused_refine_ok = False
+    _device_solve_ok = False
     """3D (z × r × c) distributed factorization."""
 
     def __init__(self, A: sp.spmatrix, grid: Grid3D,
@@ -103,7 +104,7 @@ class Distributed3DSparseLU(SparseLU):
             r, c = divmod(int(dplan.slot_rc[s]), dplan.pc)
             out[k * bs:(k + 1) * bs] = np.diag(
                 pool[z, r, c, dplan.slot_local[s]])
-        return out[: self.n]
+        return out[self._diag_sel()]
 
 
 def gssvx3d(A, b, grid: Grid3D, options: Optional[Options] = None):

@@ -566,9 +566,14 @@ def make_dist_factor_tapes(dplan: DistPlan2D):
                  for n in names)
 
 
-def build_dist_solve_fn(plan: SymbolicPlan, dplan: DistPlan2D, grid: Grid2D,
-                        nrhs: int, *, chunk: int = 16):
-    """Compile the SPMD distributed triangular solves.
+def solve_sweeps_core(plan: SymbolicPlan, dplan: DistPlan2D, nrhs: int, *,
+                      chunk: int = 16):
+    """Per-device L+U sweep body, callable INSIDE a shard_map region.
+
+    Returns ``run(pool, linvL, uinvL, local_tapes, b)`` where every array
+    is the device-local shard (tapes already indexed down to this device)
+    and ``b`` is the replicated (nb·bs, nrhs) right-hand side. Shared by
+    the standalone distributed solve and the fused in-mesh refinement.
 
     Scalable communication (the fmod/fsendx participant-list analog,
     pdgstrs.c:344-827): per level the mesh exchanges two COMPACT buffers —
@@ -577,7 +582,6 @@ def build_dist_solve_fn(plan: SymbolicPlan, dplan: DistPlan2D, grid: Grid2D,
     Diagonal inverses stay sharded by owner (linvL/uinvL from the factor);
     only the (bs, nrhs) solved rows travel."""
     nb, bs = dplan.nb, dplan.bs
-    mesh = grid.mesh
     nlvl_l, nlvl_u = plan.lsol_nlvl, plan.usol_nlvl
 
     lg_len = dplan.lsol_gloc.shape[-1]
@@ -641,14 +645,9 @@ def build_dist_solve_fn(plan: SymbolicPlan, dplan: DistPlan2D, grid: Grid2D,
 
         return lax.fori_loop(0, nlvl, level, X)
 
-    def spmd(pools, linvL, uinvL, lgp, lgl, lgs, lgd, ugp, ugl, ugs, ugd,
-             ldp, ldr, ldq, ldi, udp, udr, udq, udi, b):
-        pool = pools[0, 0]
-        linvL, uinvL = linvL[0, 0], uinvL[0, 0]
-        lgp, lgl, lgs, lgd = lgp[0, 0], lgl[0, 0], lgs[0, 0], lgd[0, 0]
-        ugp, ugl, ugs, ugd = ugp[0, 0], ugl[0, 0], ugs[0, 0], ugd[0, 0]
-        ldp, ldr, ldq, ldi = ldp[0, 0], ldr[0, 0], ldq[0, 0], ldi[0, 0]
-        udp, udr, udq, udi = udp[0, 0], udr[0, 0], udq[0, 0], udi[0, 0]
+    def run(pool, linvL, uinvL, tapes, b):
+        (lgp, lgl, lgs, lgd, ugp, ugl, ugs, ugd,
+         ldp, ldr, ldq, ldi, udp, udr, udq, udi) = tapes
         X = b.reshape(nb, bs, nrhs)
         X = jnp.concatenate([X, jnp.zeros((1, bs, nrhs), X.dtype)], axis=0)
         X = sweep(pool, linvL, lgp, lgl, lgs, lgd, ldp, ldr, ldq, ldi,
@@ -659,10 +658,24 @@ def build_dist_solve_fn(plan: SymbolicPlan, dplan: DistPlan2D, grid: Grid2D,
                   usol_drows)
         return X[:nb].reshape(nb * bs, nrhs)
 
+    return run
+
+
+def build_dist_solve_fn(plan: SymbolicPlan, dplan: DistPlan2D, grid: Grid2D,
+                        nrhs: int, *, chunk: int = 16):
+    """Compile the SPMD distributed triangular solves (see
+    :func:`solve_sweeps_core` for the communication scheme)."""
+    run = solve_sweeps_core(plan, dplan, nrhs, chunk=chunk)
+
+    def spmd(pools, linvL, uinvL, *args):
+        tapes, b = args[:-1], args[-1]
+        local = tuple(t[0, 0] for t in tapes)
+        return run(pools[0, 0], linvL[0, 0], uinvL[0, 0], local, b)
+
     sharded = P(R_AXIS, C_AXIS)
     rep = P()
     fn = shard_map(
-        spmd, mesh=mesh,
+        spmd, mesh=grid.mesh,
         in_specs=(sharded, sharded, sharded) + (sharded,) * 16 + (rep,),
         out_specs=rep, check_vma=False)
 
@@ -680,3 +693,68 @@ def make_dist_solve_tapes(dplan: DistPlan2D):
              "udsol_ptr", "udsol_row", "udsol_pos", "udsol_inv"]
     return tuple(jnp.asarray(getattr(dplan, n), dtype=jnp.int32)
                  for n in names)
+
+
+# ---------------------------------------------------------------------------
+# distributed SpMV + in-mesh iterative refinement
+# ---------------------------------------------------------------------------
+#
+# The reference builds a communication plan so refinement residuals are
+# computed in place on the distributed matrix (pdgsmv_init/pdgsmv,
+# reference: SRC/double/pdgsmv.c:1-383) and runs the berr loop against it
+# (pdgsrfs.c:129-251). The TPU recast: COO entries of the ORIGINAL A are
+# partitioned evenly over the mesh devices; each device segment-sums its
+# partial products and one two-axis psum replicates the full product — the
+# owner-partition + alltoall of pdgsmv becomes partition + allreduce over
+# ICI, consistent with the solve design where X is replicated.
+
+
+def make_coo_shards(A, ndev: int, dtype):
+    """Partition the COO of ``A`` into ``ndev`` equal entry chunks
+    (pdgsmv_init analog). Returns (rows, cols, vals) of shape (ndev, m);
+    padding entries target the trash row ``n`` with value 0."""
+    import scipy.sparse as sp
+    coo = sp.coo_matrix(A)
+    n = A.shape[0]
+    nnz = coo.nnz
+    m = -(-max(nnz, 1) // ndev)
+    rows = np.full(ndev * m, n, dtype=np.int32)
+    cols = np.full(ndev * m, 0, dtype=np.int32)
+    vals = np.zeros(ndev * m, dtype=dtype)
+    rows[:nnz] = coo.row
+    cols[:nnz] = coo.col
+    vals[:nnz] = coo.data.astype(dtype)
+    return (rows.reshape(ndev, m), cols.reshape(ndev, m),
+            vals.reshape(ndev, m))
+
+
+def dist_spmv(rl, cl, vl, x, n):
+    """Per-device partial SpMV + two-axis psum, callable inside shard_map:
+    ``x`` is the replicated (n, k) multiplicand; returns replicated A·x."""
+    part = jnp.zeros((n + 1, x.shape[1]), x.dtype)
+    part = part.at[rl].add(vl[:, None] * x[cl])
+    return lax.psum(lax.psum(part, R_AXIS), C_AXIS)[:n]
+
+
+def build_dist_spmv_fn(A, grid: Grid2D, nrhs: int, dtype):
+    """Standalone compiled distributed SpMV (pdgsmv analog): COO shards
+    live sharded on the mesh; b and the product are replicated."""
+    n = A.shape[0]
+    rows, cols, vals = make_coo_shards(A, grid.nprow * grid.npcol, dtype)
+    pr, pc = grid.nprow, grid.npcol
+    sh3 = (pr, pc, rows.shape[-1])
+    shards = tuple(jnp.asarray(a.reshape(sh3)) for a in (rows, cols, vals))
+    sharded, rep = P(R_AXIS, C_AXIS), P()
+
+    def spmd(rl, cl, vl, x):
+        return dist_spmv(rl[0, 0], cl[0, 0], vl[0, 0], x, n)
+
+    fn = shard_map(spmd, mesh=grid.mesh,
+                   in_specs=(sharded,) * 3 + (rep,), out_specs=rep,
+                   check_vma=False)
+
+    @jax.jit
+    def spmv(x):
+        return fn(*shards, x)
+
+    return spmv

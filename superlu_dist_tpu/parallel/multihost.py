@@ -1,0 +1,110 @@
+"""Multi-host (multi-process) execution support.
+
+The reference is a distributed-memory solver: every rank holds a shard and
+MPI carries collectives (superlu_gridinit splits MPI_COMM_WORLD, reference:
+SRC/prec-independent/superlu_grid.c:37-230). The TPU-native analog is JAX
+multi-process execution: ``jax.distributed.initialize`` connects the hosts,
+the ``Mesh`` spans every process's devices, and XLA lowers the same psums
+to ICI within a slice and DCN across slices.
+
+Roles of this module:
+
+- :func:`initialize` — one-call process bootstrap (superlu_gridinit's
+  MPI_Init role).
+- :func:`replicate` / :func:`shard` — host arrays → global jax Arrays
+  (every process passes the same host value; under a single process these
+  are plain ``jnp.asarray``, so the drivers pay nothing when not
+  distributed).
+- :func:`bcast_obj` — preprocessing-once: process 0 runs the host pipeline
+  (equilibration, MC64, ordering, symbolic) and broadcasts the pickled
+  results, mirroring pdgssvx3d's layer-0-preprocess-then-MPI_Bcast
+  (reference: SRC/double/pdgssvx3d.c:628-959).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+__all__ = ["initialize", "process_count", "process_index", "replicate",
+           "shard", "bcast_obj"]
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Connect this process to the multi-host runtime (MPI_Init role).
+
+    On TPU pods with standard orchestration all arguments are discovered
+    automatically; explicit values support CPU/GPU multi-process testing
+    (the oversubscribed-mpiexec analog of the reference's CI,
+    .ci_tests.sh). On the CPU backend, cross-process collectives need the
+    gloo implementation — selected here automatically."""
+    import os
+    plats = (os.environ.get("JAX_PLATFORMS", "")
+             or jax.config.jax_platforms or "")
+    if "cpu" in plats.split(","):
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def replicate(mesh, arr):
+    """Host array → mesh-replicated global Array (single-process: asarray).
+
+    Every process must pass the same value (it is NOT broadcast — use
+    :func:`bcast_obj` first if only one process has it)."""
+    if jax.process_count() == 1:
+        return jnp.asarray(arr)
+    arr = np.asarray(arr)
+    sharding = NamedSharding(mesh, P())
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def shard(mesh, spec, arr):
+    """Host array → global Array sharded by ``spec`` over ``mesh``.
+
+    Every process passes the full host array; each device receives only
+    its shard via the callback (owner-computed, no cross-host traffic)."""
+    if jax.process_count() == 1:
+        return jnp.asarray(arr)
+    arr = np.asarray(arr)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def bcast_obj(obj=None):
+    """Broadcast a picklable object from process 0 to every process
+    (pdgssvx3d's MPI_Bcast of perms/scalars, pdgssvx3d.c:850-959).
+
+    Process 0 passes the object; the others pass None and receive it.
+    Single-process: returns ``obj`` unchanged."""
+    if jax.process_count() == 1:
+        return obj
+    from jax.experimental import multihost_utils as mhu
+    if jax.process_index() == 0:
+        buf = np.frombuffer(pickle.dumps(obj), dtype=np.uint8).copy()
+        n = np.array(len(buf), dtype=np.int64)
+    else:
+        buf = None
+        n = np.array(0, dtype=np.int64)
+    n = int(mhu.broadcast_one_to_all(n))
+    if buf is None or len(buf) != n:
+        buf = np.zeros(n, dtype=np.uint8)
+    buf = np.asarray(mhu.broadcast_one_to_all(buf))
+    return pickle.loads(buf.tobytes())

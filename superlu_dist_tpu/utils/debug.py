@@ -35,6 +35,7 @@ def check_factorization(lu, A3=None, tol=1e-3) -> float:
         A3 = lu._A_orig.multiply(lu.row_scale[:, None]) \
             .multiply(lu.col_scale[None, :]).tocsc()
         A3 = A3[lu.rowperm, :][lu.colperm, :][:, lu.colperm]
+        A3 = lu._expand_A(sp.csc_matrix(A3))   # etree-aligned blocking
     L, U = lu_to_dense(lu)
     R = L @ U - sp.csc_matrix(A3).toarray()
     rel = float(np.abs(R).max() / max(np.abs(A3.data).max(), 1e-300))

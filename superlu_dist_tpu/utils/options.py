@@ -149,6 +149,13 @@ class Options:
     user_colperm: object = None
     user_rowperm: object = None
 
+    # etree-aligned block boundaries (ops/host/align.py): "auto" aligns
+    # whenever the expansion stays under align_max_inflate (recovers the
+    # supernodal-etree schedule parallelism, reference:
+    # supernodal_etree.c:32-1099); "off" keeps position blocking.
+    align_blocks: str = "auto"         # "auto" | "on" | "off"
+    align_max_inflate: float = 1.5     # max padded-dimension growth factor
+
     batch_count: int = 0               # >0 for the batched interface
     # level-based incomplete factorization (ILU(k) analog of
     # ilu_level_symbfact); None = complete LU. The factorization becomes a
@@ -179,6 +186,8 @@ _SPEC_FIELDS = {
     # elimination structure
     "BLOCK_SIZE": ("block_size", int),       # MAXSUP analog (SUPERLU_MAXSUP)
     "ILU_LEVEL": ("ilu_level", int),         # ILU(k) drop level
+    "ALIGN": ("align_blocks", str),          # etree-aligned blocks (auto|on|off)
+    "ALIGN_MAX_INFLATE": ("align_max_inflate", float),
     # executor selection & shape
     "EXECUTOR": ("executor", str),           # clk | flk | pallas | xla
     "DIST_EXECUTOR": ("dist_executor", str),  # xla | rdma

@@ -1,0 +1,82 @@
+"""Multi-host (2-process) execution of the distributed driver.
+
+The analog of the reference's oversubscribed-mpiexec CI (.ci_tests.sh:
+pdtest on 2/3/6 ranks of one node): two OS processes, each owning 4
+virtual CPU devices, connected with ``jax.distributed.initialize``; the 2D
+driver factors and solves over the global 2x4 mesh with preprocessing run
+once on process 0 and broadcast (pdgssvx3d.c:628-959 layer-0 pattern).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from superlu_dist_tpu.parallel import multihost as mh
+    mh.initialize(coordinator_address=f"127.0.0.1:{port}",
+                  num_processes=2, process_id=pid)
+    import numpy as np
+    from superlu_dist_tpu import Options
+    from superlu_dist_tpu.models.dist_driver import gssvx_dist
+    from superlu_dist_tpu.parallel.grid import Grid2D
+    from superlu_dist_tpu.utils.testing import laplacian_2d
+
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8, jax.devices()
+
+    A = laplacian_2d(12)
+    n = A.shape[0]
+    rng = np.random.default_rng(7)
+    b = np.asarray(A @ rng.standard_normal(n))
+    grid = Grid2D(2, 4)          # spans both processes' devices
+    res, lu = gssvx_dist(A, b, grid,
+                         Options(dtype="float32", block_size=16))
+    rel = float(np.abs(A @ res.x - b).max() / np.abs(b).max())
+    assert rel < 1e-12, f"residual {rel}"
+    assert float(res.berr.max()) < 1e-13, f"berr {res.berr}"
+    # preprocessing ran only on process 0 (broadcast elsewhere)
+    ran_rowperm = res.stat.utime.get("ROWPERM", 0.0) > 0.0
+    assert ran_rowperm == (pid == 0), (pid, dict(res.stat.utime))
+    print(f"MULTIHOST_OK pid={pid} rel={rel:.2e} "
+          f"berr={float(res.berr.max()):.2e}", flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_cpu_mesh(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), str(port)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert f"MULTIHOST_OK pid={pid}" in out, out

@@ -4,6 +4,11 @@ The fused one-kernel-per-device factorization (parallel/dist2d_rdma.py)
 broadcasts panels and diagonal inverses with remote DMAs (ICI puts on
 hardware, interpret-simulated on the CPU mesh). It must agree with the
 psum-based executor to fp roundoff on every grid shape.
+
+Interpret-mode sweeps cost minutes per case, so the default run keeps one
+small case per kernel (factor + solve) and the full grid sweep / larger
+patterns are ``slow`` (run with ``pytest -m slow``) — the same budget split
+as the reference's .ci_tests.sh vs nightly matrix.
 """
 
 import numpy as np
@@ -30,14 +35,11 @@ def _pair(A, pr, pc, bs):
     return lu_x, lu_r
 
 
-@needs_8
-@pytest.mark.parametrize("pr,pc", [(2, 4), (2, 2), (1, 8), (4, 2)])
-def test_rdma_matches_xla_executor(pr, pc):
-    A = laplacian_2d(12)
+def _check_factor_and_solve(A, pr, pc, bs, seed):
     n = A.shape[0]
-    rng = np.random.default_rng(1)
+    rng = np.random.default_rng(seed)
     b = np.asarray(A @ rng.standard_normal(n))
-    lu_x, lu_r = _pair(A, pr, pc, bs=16)
+    lu_x, lu_r = _pair(A, pr, pc, bs=bs)
     px, pr_ = np.asarray(lu_x.pool), np.asarray(lu_r.pool)
     # same math, different diagonal-LU kernels -> fp-roundoff agreement
     scale = max(1.0, float(np.abs(px).max()))
@@ -52,6 +54,21 @@ def test_rdma_matches_xla_executor(pr, pc):
 
 
 @needs_8
+def test_rdma_matches_xla_executor():
+    """Fast default case: one small plan exercises the full RDMA factor +
+    solve kernels on a 2x4 mesh."""
+    _check_factor_and_solve(laplacian_2d(8), 2, 4, bs=8, seed=1)
+
+
+@needs_8
+@pytest.mark.slow
+@pytest.mark.parametrize("pr,pc", [(2, 2), (1, 8), (4, 2)])
+def test_rdma_matches_xla_executor_grids(pr, pc):
+    _check_factor_and_solve(laplacian_2d(12), pr, pc, bs=16, seed=1)
+
+
+@needs_8
+@pytest.mark.slow
 def test_rdma_unsymmetric_pattern():
     A = random_sparse(150, density=0.04, seed=7)
     n = A.shape[0]
@@ -65,11 +82,25 @@ def test_rdma_unsymmetric_pattern():
 
 
 @needs_8
+def test_rdma_unsymmetric_pattern_small():
+    """Fast unsymmetric-pattern coverage (refine to double precision)."""
+    A = random_sparse(72, density=0.06, seed=7)
+    n = A.shape[0]
+    rng = np.random.default_rng(2)
+    b = np.asarray(A @ rng.standard_normal(n))
+    _, lu_r = _pair(A, 2, 2, bs=8)
+    x_r = lu_r.solve(b)
+    xr, berr = lu_r.refine(b, x_r)
+    assert compute_resid(A, xr, b) < THRESH
+    assert float(np.max(berr)) < 1e-13
+
+
+@needs_8
 def test_rdma_inverse_tables_clean():
     """Non-owned rows of the owner-local inverse tables must be zero
     (masked padded reads in the solve would propagate garbage/NaN)."""
-    A = laplacian_2d(10)
-    _, lu_r = _pair(A, 2, 4, bs=16)
+    A = laplacian_2d(8)
+    _, lu_r = _pair(A, 2, 4, bs=8)
     linv = np.asarray(lu_r.linv)
     uinv = np.asarray(lu_r.uinv)
     assert np.isfinite(linv).all()
@@ -77,6 +108,7 @@ def test_rdma_inverse_tables_clean():
 
 
 @needs_8
+@pytest.mark.slow
 @pytest.mark.parametrize("pr,pc", [(2, 4), (2, 2), (4, 2), (1, 8)])
 def test_rdma_solve_matches_collective(pr, pc):
     """The fused RDMA solve sweep (puts + counted waits, the NVSHMEM
@@ -96,7 +128,7 @@ def test_rdma_solve_matches_collective(pr, pc):
 
 @needs_8
 def test_rdma_solve_multirhs_and_refine():
-    A = random_sparse(150, density=0.04, seed=11)
+    A = random_sparse(72, density=0.06, seed=11)
     n = A.shape[0]
     rng = np.random.default_rng(4)
     B = np.asarray(A @ rng.standard_normal((n, 3)))
