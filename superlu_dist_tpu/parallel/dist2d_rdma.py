@@ -157,13 +157,13 @@ def _rdma_kernel(pr, pc, bs, DL, LBUF, UBUF, dlen, interpret):
                 cp2.wait()
                 return 0
 
-            lax.fori_loop(0, dlen + 1, z, 0, unroll=False)
+            lax.fori_loop(jnp.int32(0), jnp.int32(dlen + 1), z, 0, unroll=False)
 
         def wait_n(sem, n):
             def w(i, _):
                 pltpu.make_async_copy(sT, sT, sem).wait()
                 return 0
-            lax.fori_loop(0, n, w, 0, unroll=False)
+            lax.fori_loop(jnp.int32(0), jnp.asarray(n, jnp.int32), w, 0, unroll=False)
 
         # ---- A: owned diagonal steps ----
         def diag_step(t, _):
@@ -193,7 +193,7 @@ def _rdma_kernel(pr, pc, bs, DL, LBUF, UBUF, dlen, interpret):
                     device_id_type=pltpu.DeviceIdType.MESH).start()
                 return 0
 
-            lax.fori_loop(0, pc - 1, put_li, 0)
+            lax.fori_loop(jnp.int32(0), jnp.int32(pc - 1), put_li, 0)
             wait_n(semSnd, pc - 1)
             # uinv -> local table + column peers' uC[pos]
             sI[...] = ui
@@ -212,7 +212,7 @@ def _rdma_kernel(pr, pc, bs, DL, LBUF, UBUF, dlen, interpret):
                     device_id_type=pltpu.DeviceIdType.MESH).start()
                 return 0
 
-            lax.fori_loop(0, pr - 1, put_ui, 0)
+            lax.fori_loop(jnp.int32(0), jnp.int32(pr - 1), put_ui, 0)
             wait_n(semSnd, pr - 1)
             return 0
 
@@ -243,7 +243,7 @@ def _rdma_kernel(pr, pc, bs, DL, LBUF, UBUF, dlen, interpret):
                     device_id_type=pltpu.DeviceIdType.MESH).start()
                 return 0
 
-            lax.fori_loop(0, pc - 1, put, 0)
+            lax.fori_loop(jnp.int32(0), jnp.int32(pc - 1), put, 0)
             wait_n(semSnd, pc - 1)
             return 0
 
@@ -272,7 +272,7 @@ def _rdma_kernel(pr, pc, bs, DL, LBUF, UBUF, dlen, interpret):
                     device_id_type=pltpu.DeviceIdType.MESH).start()
                 return 0
 
-            lax.fori_loop(0, pr - 1, put, 0)
+            lax.fori_loop(jnp.int32(0), jnp.int32(pr - 1), put, 0)
             wait_n(semSnd, pr - 1)
             return 0
 
@@ -308,7 +308,7 @@ def _rdma_kernel(pr, pc, bs, DL, LBUF, UBUF, dlen, interpret):
                                    device_id_type=pltpu.DeviceIdType.MESH)
             return 0
 
-        lax.fori_loop(0, pr * pc - 1, bar_sig, 0, unroll=False)
+        lax.fori_loop(jnp.int32(0), jnp.int32(pr * pc - 1), bar_sig, 0, unroll=False)
         pltpu.semaphore_wait(semBar, pr * pc - 1)
 
         @pl.when(l == nlvl - 1)
@@ -358,7 +358,8 @@ def _rdma_call(pr, pc, bs, DL, LBUF, UBUF, dlen, nlvl, n_local, dtype_name,
             grid_spec=grid_spec,
             input_output_aliases={21: 0},
             compiler_params=pltpu.CompilerParams(
-                has_side_effects=True, collective_id=3),
+                has_side_effects=True, collective_id=3,
+                allow_collective_id_without_custom_barrier=True),
             interpret=(pltpu.InterpretParams(dma_execution_mode="eager")
                        if interpret else False),
         )(*scalars, pool)
@@ -551,7 +552,7 @@ def _rdma_solve_kernel(pr, pc, bs, R, MAXR, nb):
             def w(i, _):
                 pltpu.make_async_copy(sT, sT, sem).wait()
                 return 0
-            lax.fori_loop(0, n, w, 0, unroll=False)
+            lax.fori_loop(jnp.int32(0), jnp.asarray(n, jnp.int32), w, 0, unroll=False)
 
         # ---- 1. zero my partial rows, then owned GEMMs ----
         def zero(t, _):
@@ -618,7 +619,7 @@ def _rdma_solve_kernel(pr, pc, bs, R, MAXR, nb):
                     sT[...] = sT[...] + sX[...]
                 return 0
 
-            lax.fori_loop(0, pc, add_slot, 0, unroll=False)
+            lax.fori_loop(jnp.int32(0), jnp.int32(pc), add_slot, 0, unroll=False)
             cp = pltpu.make_async_copy(dinvL.at[dinv[t]], sI, semL)
             cp.start()
             cp.wait()
@@ -638,7 +639,7 @@ def _rdma_solve_kernel(pr, pc, bs, R, MAXR, nb):
                     device_id_type=pltpu.DeviceIdType.MESH).start()
                 return 0
 
-            lax.fori_loop(0, pr * pc - 1, put_x, 0, unroll=False)
+            lax.fori_loop(jnp.int32(0), jnp.int32(pr * pc - 1), put_x, 0, unroll=False)
             wait_n(semSnd, pr * pc - 1)
             return 0
 
@@ -655,7 +656,7 @@ def _rdma_solve_kernel(pr, pc, bs, R, MAXR, nb):
                                    device_id_type=pltpu.DeviceIdType.MESH)
             return 0
 
-        lax.fori_loop(0, pr * pc - 1, bar_sig, 0, unroll=False)
+        lax.fori_loop(jnp.int32(0), jnp.int32(pr * pc - 1), bar_sig, 0, unroll=False)
         pltpu.semaphore_wait(semBar, pr * pc - 1)
 
     return kern
@@ -694,7 +695,8 @@ def _rdma_solve_call(pr, pc, bs, R, MAXR, nlvl, n_local, dlen, nb,
             grid_spec=grid_spec,
             input_output_aliases={16: 0},
             compiler_params=pltpu.CompilerParams(
-                has_side_effects=True, collective_id=collective_id),
+                has_side_effects=True, collective_id=collective_id,
+                allow_collective_id_without_custom_barrier=True),
             interpret=(pltpu.InterpretParams(dma_execution_mode="eager")
                        if interpret else False),
         )(*scalars, pool, dinvL, x0)
