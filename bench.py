@@ -164,14 +164,15 @@ def bench_matrix(name, A, opts, reps):
     # what lets the 4.3 GiB lap3d50 pool fit next to nothing else.
     lu.pool = lu.linv = lu.uinv = None
     lu._solve_fns.clear()
+    A3e = lu._expand_A(A3)      # etree-aligned blocking expansion
     if getattr(lu, "_embed", False):
         from superlu_dist_tpu.models.driver import _embed_csc
-        pp = blocklu.init_pool(lu.plan, _embed_csc(A3).data, np.float32)
+        pp = blocklu.init_pool(lu.plan, _embed_csc(A3e).data, np.float32)
     elif lu._use_planar():
         from superlu_dist_tpu.ops.kernels import planar as _planar
-        pp = _planar.init_pool_planar(lu.plan, A3.data, lu.dtype)
+        pp = _planar.init_pool_planar(lu.plan, A3e.data, lu.dtype)
     else:
-        pp = blocklu.init_pool(lu.plan, A3.data, lu._fdtype)
+        pp = blocklu.init_pool(lu.plan, A3e.data, lu._fdtype)
     thresh = jnp.asarray(lu._thresh(), dtype=np.float32
                          if lu.dtype != np.float64 else np.float64)
     best = np.inf

@@ -28,7 +28,7 @@ class Distributed3DSparseLU(SparseLU):
 
     _planar = False   # distributed executors use native complex
 
-    _fused_refine_ok = False
+    _fused_refine_ok = True    # in-mesh fused refinement (see below)
     _device_solve_ok = False
     """3D (z × r × c) distributed factorization."""
 
@@ -82,6 +82,122 @@ class Distributed3DSparseLU(SparseLU):
         return np.asarray(self._solve_fn(nrhs)(
             self.pool, self.linv, self.uinv, self.stapes,
             jnp.asarray(bp)))
+
+    def _fused_refine_fn(self, nrhs: int):
+        """In-mesh iterative refinement on the 3D grid (the pdgsrfs3d
+        analog, reference: pdgssvx3d.c:1600): COO entry shards across all
+        z×r×c devices, residuals psum-reduced over the three axes, solve
+        sweeps from solve_sweeps_core3d, the whole berr loop one jitted
+        shard_map while_loop. Same call signature as the base fused
+        refine."""
+        key = ("FR", nrhs)
+        if key in self._solve_fns:
+            return self._solve_fns[key]
+        import jax
+        from jax import lax
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+        from ..parallel import dist2d, multihost as mh
+        from ..parallel.grid import C_AXIS, R_AXIS, Z_AXIS
+        from .driver import _real_eps
+
+        plan, dplan, grid = self.plan, self.dplan, self.grid
+        n = self.n
+        rdt = jnp.dtype(self.refine_dtype)
+        fdt = jnp.dtype(self.dtype)
+        rows_pad = self._bpad_rows()
+        ridx = jnp.asarray(self._rows_idx)
+        eps = _real_eps(rdt)
+        nz = int(self._A_orig.getnnz(axis=1).max()) + 1
+        safe1 = nz * np.finfo(np.float64).tiny
+        safe2 = safe1 / np.finfo(np.float64).eps
+        itmax = self.options.max_refine_steps
+        rthresh = self.options.refine_rthresh
+
+        run = dist3d.solve_sweeps_core3d(plan, dplan, nrhs,
+                                         chunk=self.options.gemm_chunk)
+        pz, pr, pc_ = grid.npdep, grid.nprow, grid.npcol
+        rows, cols, vals = dist2d.make_coo_shards(
+            self._A_orig, pz * pr * pc_, np.dtype(rdt))
+        m = rows.shape[-1]
+        coo_shards = tuple(
+            mh.shard(grid.mesh, P(Z_AXIS, R_AXIS, C_AXIS),
+                     a.reshape(pz, pr, pc_, m))
+            for a in (rows, cols, vals))
+        stapes = self.stapes
+
+        def spmv3(rl, cl, vl, x):
+            part = jnp.zeros((n + 1, x.shape[1]), x.dtype)
+            part = part.at[rl].add(vl[:, None] * x[cl])
+            return lax.psum(lax.psum(lax.psum(part, Z_AXIS), R_AXIS),
+                            C_AXIS)[:n]
+
+        def spmd(pools, linv, uinv, *args):
+            tapes = tuple(t[0, 0, 0] for t in args[:8])
+            rl, cl, vl = (a[0, 0, 0] for a in args[8:11])
+            prc, pcp, rs, cs, b, x0 = args[11:]
+            pool = pools[0, 0, 0]
+            b = b.astype(rdt)
+            va = jnp.abs(vl)
+
+            def berr_of(x):
+                r = b - spmv3(rl, cl, vl, x)
+                denom = spmv3(rl, cl, va, jnp.abs(x)) + jnp.abs(b)
+                num = jnp.abs(r)
+                val = jnp.where(denom > safe2,
+                                num / jnp.maximum(denom, safe1),
+                                (num + safe1) / (denom + safe1))
+                return val.max(axis=0), r
+
+            def lu_solve(r):
+                bp = jnp.zeros((rows_pad, nrhs), fdt)
+                bp = bp.at[ridx].set((rs[:, None] * r[prc]).astype(fdt))
+                y = run(pool, linv, uinv, tapes, bp)[ridx]
+                return jnp.zeros((n, nrhs), rdt).at[pcp].set(
+                    cs[:, None] * y.astype(rdt))
+
+            def cond(carry):
+                x, berr, prev, it = carry
+                keep = (berr > eps).any() & (berr <= rthresh * prev).all()
+                return (it < itmax) & ((it == 0) | keep)
+
+            def body(carry):
+                x, berr, prev, it = carry
+                r = b - spmv3(rl, cl, vl, x)
+                x = x + lu_solve(r)
+                nberr, _ = berr_of(x)
+                return (x, nberr.astype(berr.dtype), berr, it + 1)
+
+            berr0, _ = berr_of(x0.astype(rdt))
+            rreal = jnp.dtype(np.zeros((), rdt).real.dtype)
+            x, berr, prev, it = lax.while_loop(
+                cond, body,
+                (x0.astype(rdt), berr0.astype(rreal),
+                 jnp.full((nrhs,), jnp.inf, rreal),
+                 jnp.zeros((), jnp.int32)))
+            return x, berr, it
+
+        sharded, rep = P(Z_AXIS, R_AXIS, C_AXIS), P()
+        fn = shard_map(
+            spmd, mesh=grid.mesh,
+            in_specs=(sharded, rep, rep) + (sharded,) * (8 + 3)
+            + (rep,) * 6,
+            out_specs=(rep, rep, rep), check_vma=False)
+
+        jfn = jax.jit(lambda pool, linv, uinv, st, coo, prc, pcp, rs, cs,
+                      b, x0: fn(pool, linv, uinv, *st, *coo,
+                                prc, pcp, rs, cs, b, x0))
+
+        def refine(pool, linv, uinv, _vals, prc, pcp, rs, cs, b, x0):
+            if mh.process_count() > 1:
+                prc, pcp, rs, cs, b, x0 = (
+                    mh.replicate(grid.mesh, np.asarray(a))
+                    for a in (prc, pcp, rs, cs, b, x0))
+            return jfn(pool, linv, uinv, stapes, coo_shards,
+                       prc, pcp, rs, cs, b, x0)
+
+        self._solve_fns[key] = refine
+        return refine
 
     def solve_transposed(self, b, conj: bool = False) -> np.ndarray:
         raise NotImplementedError(

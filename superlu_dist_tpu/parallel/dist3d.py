@@ -607,13 +607,14 @@ def make_dist3d_factor_tapes(dplan: DistPlan3D):
                  for n in names)
 
 
-def build_dist3d_solve_fn(plan: SymbolicPlan, dplan: DistPlan3D,
-                          grid: Grid3D, nrhs: int, *, chunk: int = 16):
-    """Distributed solve on the 3D grid: X replicated everywhere, per-level
-    psums over all three axes (ancestor work assigned to layer 0 only,
-    so nothing is double counted)."""
+def solve_sweeps_core3d(plan: SymbolicPlan, dplan: DistPlan3D, nrhs: int,
+                        *, chunk: int = 16):
+    """Per-device 3D L+U sweep body callable inside shard_map (the analog
+    of dist2d.solve_sweeps_core): X replicated everywhere, per-level psums
+    over all three axes (ancestor work assigned to layer 0 only, so
+    nothing is double counted). Returns ``run(pool, linv, uinv,
+    local_tapes, b)``."""
     nb, bs = dplan.nb, dplan.bs
-    mesh = grid.mesh
     nlvl_l, nlvl_u = plan.lsol_nlvl, plan.usol_nlvl
     ldptr = jnp.asarray(plan.lsol_dptr, jnp.int32)
     ldiag = jnp.asarray(np.concatenate([plan.lsol_diag, [nb]]), jnp.int32)
@@ -665,10 +666,8 @@ def build_dist3d_solve_fn(plan: SymbolicPlan, dplan: DistPlan3D,
 
         return lax.fori_loop(0, nlvl, level, X)
 
-    def spmd(pools, linv, uinv, lgp, lgl, lgs, lgd, ugp, ugl, ugs, ugd, b):
-        pool = pools[0, 0, 0]
-        lgp, lgl, lgs, lgd = (x[0, 0, 0] for x in (lgp, lgl, lgs, lgd))
-        ugp, ugl, ugs, ugd = (x[0, 0, 0] for x in (ugp, ugl, ugs, ugd))
+    def run(pool, linv, uinv, tapes, b):
+        (lgp, lgl, lgs, lgd, ugp, ugl, ugs, ugd) = tapes
         X = b.reshape(nb, bs, nrhs)
         X = jnp.concatenate([X, jnp.zeros((1, bs, nrhs), X.dtype)], axis=0)
         X = sweep(pool, linv, lgp, lgl, lgs, lgd, X, nlvl_l, lg_len,
@@ -677,9 +676,22 @@ def build_dist3d_solve_fn(plan: SymbolicPlan, dplan: DistPlan3D,
                   udptr, udiag, udlen)
         return X[:nb].reshape(nb * bs, nrhs)
 
+    return run
+
+
+def build_dist3d_solve_fn(plan: SymbolicPlan, dplan: DistPlan3D,
+                          grid: Grid3D, nrhs: int, *, chunk: int = 16):
+    """Compile the SPMD 3D distributed solve (see solve_sweeps_core3d)."""
+    run = solve_sweeps_core3d(plan, dplan, nrhs, chunk=chunk)
+
+    def spmd(pools, linv, uinv, *args):
+        tapes, b = args[:-1], args[-1]
+        local = tuple(t[0, 0, 0] for t in tapes)
+        return run(pools[0, 0, 0], linv, uinv, local, b)
+
     sharded = P(Z_AXIS, R_AXIS, C_AXIS)
     rep = P()
-    fn = shard_map(spmd, mesh=mesh,
+    fn = shard_map(spmd, mesh=grid.mesh,
                    in_specs=(sharded, rep, rep) + (sharded,) * 8 + (rep,),
                    out_specs=rep, check_vma=False)
 

@@ -79,3 +79,21 @@ def test_dist_refine_complex():
     assert ("FR", 1) in lu._solve_fns
     assert res.berr.max() < 1e-13
     assert np.abs(A @ res.x - b).max() / np.abs(b).max() < 1e-12
+
+
+@needs_8
+def test_dist3d_refine_in_mesh():
+    """3D driver: refinement runs in the z x r x c mesh (pdgsrfs3d role)."""
+    from superlu_dist_tpu.models.driver3d import Distributed3DSparseLU
+    from superlu_dist_tpu.parallel.grid import Grid3D
+    A = laplacian_3d(7)
+    n = A.shape[0]
+    rng = np.random.default_rng(6)
+    b = rng.standard_normal(n)
+    lu = Distributed3DSparseLU(A, Grid3D(2, 2, 2),
+                               Options(dtype="float32", block_size=16))
+    x0 = lu.solve(b)
+    x, berr = lu.refine(b, x0)
+    assert ("FR", 1) in lu._solve_fns
+    assert float(np.max(berr)) < 1e-13
+    assert np.abs(A @ x - b).max() / np.abs(b).max() < 1e-12

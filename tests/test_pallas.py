@@ -136,7 +136,9 @@ def _adversarial(seed, n=1280):
     return sp.csc_matrix(M + M.T + sp.eye(n) * (3.0 * n))
 
 
-@pytest.mark.parametrize("seed", [11, 12, 13])
+@pytest.mark.parametrize("seed", [11,
+                                  pytest.param(12, marks=pytest.mark.slow),
+                                  pytest.param(13, marks=pytest.mark.slow)])
 def test_pallas_adversarial_patterns(seed):
     """Randomized duplicate-target stress for the window scheduler, each
     kernel variant against the f64 truth."""

@@ -96,6 +96,7 @@ def test_rdma_unsymmetric_pattern_small():
 
 
 @needs_8
+@pytest.mark.slow
 def test_rdma_inverse_tables_clean():
     """Non-owned rows of the owner-local inverse tables must be zero
     (masked padded reads in the solve would propagate garbage/NaN)."""
@@ -127,6 +128,7 @@ def test_rdma_solve_matches_collective(pr, pc):
 
 
 @needs_8
+@pytest.mark.slow
 def test_rdma_solve_multirhs_and_refine():
     A = random_sparse(72, density=0.06, seed=11)
     n = A.shape[0]
