@@ -740,31 +740,38 @@ class SparseLU:
     _RHS_BUCKETS = (1, 8, 32, 128)
 
     def _solve_device(self, b, squeeze: bool, want_device: bool):
-        """Device-resident solve entry: ships b once (or not at all for jax
-        inputs), pads the RHS width to a bucket so compilations are shared,
-        and chunks nrhs > 128."""
+        """Device-resident solve entry: numpy inputs are padded to the
+        nrhs bucket ON THE HOST (so the transfer is the payload plus pad,
+        and the jitted solve needs no eager reshape dispatches — each
+        eager op costs a tunnel round-trip on remote TPUs); jax inputs
+        stay on device and pad eagerly. nrhs > 128 runs in 128-wide
+        chunks; on the fused Pallas path every bucket reuses the same
+        W=128-lane kernel, only the thin XLA wrapper recompiles."""
         import jax
 
         n = self.n
         fdt = jnp.dtype(self._fdtype)
-        bj = jnp.asarray(b, dtype=fdt)
-        k = bj.shape[1]
+        is_np = not isinstance(b, jax.Array)
+        k = b.shape[1]
+        cap = self._RHS_BUCKETS[-1]
         with self.stat.phase("SOLVE"):
-            if self._use_pallas() and self._pallas_solve_ok():
-                cap = 128    # fused kernel lane width: one compile ≤ 128
-            else:
-                cap = self._RHS_BUCKETS[-1]
             outs = []
             for lo in range(0, k, cap):
-                piece = bj[:, lo:lo + cap]
+                piece = b[:, lo:lo + cap]
                 kp = piece.shape[1]
-                kb = (cap if self._use_pallas() and self._pallas_solve_ok()
-                      else next(c for c in self._RHS_BUCKETS if c >= kp))
-                if kp < kb:
-                    piece = jnp.zeros((n, kb), fdt).at[:, :kp].set(piece)
+                kb = next(c for c in self._RHS_BUCKETS if c >= kp)
+                if is_np:
+                    bp = np.zeros((n, kb), dtype=fdt)
+                    bp[:, :kp] = piece
+                    piece = jnp.asarray(bp)
+                else:
+                    piece = piece.astype(fdt)
+                    if kp < kb:
+                        piece = jnp.zeros((n, kb), fdt) \
+                            .at[:, :kp].set(piece)
                 x = self._device_solve_fn(kb)(self.pool, self.linv,
                                               self.uinv, piece)
-                outs.append(x[:, :kp])
+                outs.append(x[:, :kp] if kp < kb else x)
             x = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
             if not want_device:
                 x = np.asarray(x)

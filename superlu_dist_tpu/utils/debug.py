@@ -72,3 +72,62 @@ def compare_lu(path_a, path_b, rtol=1e-6) -> bool:
         elif not np.array_equal(a[k], b[k]):
             return False
     return True
+
+
+def print_block(lu, I: int, J: int, file=None) -> None:
+    """Pretty-print one B×B block of the factor (dPrint_Dense_Matrix-style
+    inspection, reference: SRC/double/dutil_dist.c dPrint_* helpers)."""
+    import sys
+    plan = lu.plan
+    out = file or sys.stdout
+    srow = np.asarray(plan.slot_row)
+    scol = np.asarray(plan.slot_col)
+    hit = np.flatnonzero((srow == I) & (scol == J))
+    if not len(hit):
+        print(f"block ({I},{J}): structurally zero", file=out)
+        return
+    pool = np.asarray(lu.pool)
+    if pool.ndim == 4:     # planar complex
+        blk = pool[hit[0], 0] + 1j * pool[hit[0], 1]
+    else:
+        blk = pool[hit[0]]
+    print(f"block ({I},{J}) slot {int(hit[0])}:", file=out)
+    with np.printoptions(precision=4, suppress=True, linewidth=120):
+        print(blk, file=out)
+
+
+def lu_summary(lu) -> str:
+    """One-paragraph structural summary of a factorization (the
+    PStatPrint-adjacent dQuerySpace role): dimensions, block structure,
+    schedule shape, memory."""
+    plan = lu.plan
+    lev = np.asarray(plan.step_level)
+    counts = np.bincount(lev, minlength=plan.n_flevels)
+    lines = [
+        f"n={lu.n} (padded {plan.n_pad}, expansion "
+        f"{'on' if getattr(lu, '_expand', None) is not None else 'off'})",
+        f"block size {plan.bs}, {plan.nb} block columns, "
+        f"{plan.nslots} stored blocks ({plan.a_blocks} from A)",
+        f"elimination levels {plan.n_flevels} "
+        f"(serial {int(np.sum(counts == 1))}, "
+        f"mean steps/level {plan.nb / plan.n_flevels:.2f}, "
+        f"max {int(counts.max())})",
+        f"solve levels L={plan.lsol_nlvl} U={plan.usol_nlvl}",
+        f"pool {plan.pool_bytes(np.asarray(lu.pool).dtype) / 2**20:.1f} "
+        f"MiB, model flops {plan.factor_flops:.3e}",
+    ]
+    return "\n".join(lines)
+
+
+def dump_pattern(lu, path) -> None:
+    """Write the filled block pattern as a PBM bitmap (block row/col
+    occupancy) for eyeballing fill — the dPrint_CompCol role at block
+    granularity."""
+    plan = lu.plan
+    nb = plan.nb
+    grid = np.zeros((nb, nb), dtype=np.uint8)
+    grid[np.asarray(plan.slot_row), np.asarray(plan.slot_col)] = 1
+    with open(path, "w") as f:
+        f.write(f"P1\n{nb} {nb}\n")
+        for r in range(nb):
+            f.write(" ".join("1" if v else "0" for v in grid[r]) + "\n")

@@ -185,3 +185,21 @@ def test_init_pool_device_path_matches_host(monkeypatch):
     dev = np.asarray(_bl.init_pool(plan, A.data, np.float32))
     assert host.shape == dev.shape
     np.testing.assert_array_equal(host, dev)
+
+
+def test_debug_inspection_helpers(lap, tmp_path):
+    """print_block / lu_summary / dump_pattern (dutil_dist dPrint_* role)."""
+    import io
+    from superlu_dist_tpu.utils import debug as dbg
+    lu = SparseLU(lap, Options(dtype="float64", block_size=16))
+    buf = io.StringIO()
+    dbg.print_block(lu, 0, 0, file=buf)
+    assert "slot" in buf.getvalue()
+    buf = io.StringIO()
+    dbg.print_block(lu, 0, lu.plan.nb - 1, file=buf)  # may be zero
+    s = dbg.lu_summary(lu)
+    assert "block size 16" in s and "elimination levels" in s
+    p = tmp_path / "pat.pbm"
+    dbg.dump_pattern(lu, p)
+    head = p.read_text().splitlines()
+    assert head[0] == "P1"
