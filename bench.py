@@ -200,20 +200,35 @@ def bench_matrix(name, A, opts, reps):
     elif lu._use_planar():
         from superlu_dist_tpu.ops.kernels import planar as _planar
         pp = _planar.init_pool_planar(lu.plan, A3e.data, lu.dtype)
+    elif getattr(lu, "_factor_takes_values", False):
+        # fused init+factor path: the input is the staged value stream,
+        # not a pool — each call rebuilds + refactors in one dispatch
+        pp = blocklu.staged_values(lu.plan, A3e.data, lu._fdtype)
     else:
         pp = blocklu.init_pool(lu.plan, A3e.data, lu._fdtype)
     thresh = jnp.asarray(lu._thresh(), dtype=np.float32
                          if lu.dtype != np.float64 else np.float64)
     best = np.inf
-    pp, _l, _u, _t = lu._factor_fn(pp, thresh, lu.tapes)     # warm
-    _ = np.asarray(pp[0, 0, :2])
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            pp, _l, _u, _t = lu._factor_fn(pp, thresh, lu.tapes)
+    if getattr(lu, "_factor_takes_values", False):
+        out, _l, _u, _t = lu._factor_fn(pp, thresh, lu.tapes)   # warm
+        _ = np.asarray(out[0, 0, :2])
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out, _l, _u, _t = lu._factor_fn(pp, thresh, lu.tapes)
+            _ = np.asarray(out[0, 0, :2])
+            best = min(best, (time.perf_counter() - t0) / reps)
+        del pp, out, _l, _u
+    else:
+        pp, _l, _u, _t = lu._factor_fn(pp, thresh, lu.tapes)     # warm
         _ = np.asarray(pp[0, 0, :2])
-        best = min(best, (time.perf_counter() - t0) / reps)
-    del pp, _l, _u
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                pp, _l, _u, _t = lu._factor_fn(pp, thresh, lu.tapes)
+            _ = np.asarray(pp[0, 0, :2])
+            best = min(best, (time.perf_counter() - t0) / reps)
+        del pp, _l, _u
     gf_useful = useful / best / 1e9
     gf_padded = model / best / 1e9
     log(f"[{name}] useful {useful/1e9:.3f}G  model {model/1e9:.2f}G "

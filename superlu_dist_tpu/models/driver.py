@@ -393,6 +393,10 @@ class SparseLU:
     #: opt out of the embedding
     _embed_ok = True
 
+    #: True when _factor_fn takes a staged_values triple instead of a
+    #: pre-built pool (the fused init+factor capacity path)
+    _factor_takes_values = False
+
     def _use_embed(self) -> bool:
         """complex64 factors via the real ring embedding on accelerators
         (TPU has no complex dtype; the embedding reuses the fused f32
@@ -523,10 +527,27 @@ class SparseLU:
                         plan, chunk=min(opts.gemm_chunk, 16),
                         interpret=interp)
             else:
-                pool = _blocklu.init_pool(plan, A3.data, self._fdtype)
                 self.tapes = _blocklu.make_factor_tapes(plan)
-                self._factor_fn = _blocklu.build_factor_fn(
-                    plan, chunk=opts.gemm_chunk)
+                import jax as _jax
+                import os as _os
+                _fused = _os.environ.get("SLU_TPU_FUSED_INIT", "")
+                self._factor_takes_values = (
+                    _fused == "1" or
+                    (_fused != "0"
+                     and _jax.devices()[0].platform == "tpu"))
+                if self._factor_takes_values:
+                    # fused scatter-init + factor: the pool never crosses
+                    # a jit boundary inbound, so no layout-conversion
+                    # copies and peak device memory is ONE pool — the
+                    # million-row capacity path (see blocklu layout note)
+                    pool = _blocklu.staged_values(plan, A3.data,
+                                                  self._fdtype)
+                    self._factor_fn = _blocklu.build_factor_values_fn(
+                        plan, chunk=opts.gemm_chunk)
+                else:
+                    pool = _blocklu.init_pool(plan, A3.data, self._fdtype)
+                    self._factor_fn = _blocklu.build_factor_fn(
+                        plan, chunk=opts.gemm_chunk)
             stat.counters["dist_pool_and_build_s"] = round(
                 _time.perf_counter() - _t0, 3)
 

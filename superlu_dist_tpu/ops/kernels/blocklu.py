@@ -487,6 +487,82 @@ def _factor_executor(b: Buckets, chunk: int, diag_chunk: int):
     return jax.jit(_factor_core(b, chunk, diag_chunk), donate_argnums=(0,))
 
 
+# The TPU runtime's default layout for a (slots, B, B) pool transferred or
+# scattered at a jit boundary does NOT match the layout XLA's assignment
+# picks for the factor loop carry (observed: (1,2,0) / (2,1,0) entries vs a
+# (0,1,2)-class carry). The mismatch silently rejects the pool donation and
+# inserts TWO full-pool layout-conversion copies into the executable
+# (measured: peak temp = 2.02x pool — the n=1e6 pool is 12.9 GiB, so the
+# copies alone OOM a 16 GiB chip). Explicitly pinning boundary layouts
+# (jax.experimental.layout.Format) is not reliably honored through this
+# remote-compile stack, so the capacity path removes the boundary instead:
+# one fused executable scatters the nnz value stream into a fresh pool and
+# factors it in place (build_factor_values_fn); downstream solves
+# specialize on whatever output layout XLA chose. This is the analog of
+# the reference's factor-in-place storage discipline (dLocalLU_t,
+# superlu_ddefs.h:97-307 — never two copies of the factors).
+
+
+def _values_factor_core(b: Buckets, chunk: int, diag_chunk: int):
+    core = _factor_core(b, chunk, diag_chunk)
+    bs = b.bs
+
+    def factor_values(slot, off, vals, thresh, tapes: FactorTapes):
+        flat = jnp.zeros((b.poolp, bs * bs), vals.dtype)
+        flat = flat.at[slot, off].add(vals)
+        return core(flat.reshape(b.poolp, bs, bs), thresh, tapes)
+
+    return factor_values
+
+
+@functools.lru_cache(maxsize=128)
+def _values_factor_executor(b: Buckets, chunk: int, diag_chunk: int):
+    # plain jit: with the pool internal to the program, XLA picks ONE
+    # layout for the zeros→scatter→factor-carry→output chain and inserts
+    # no copies; requesting explicit/AUTO boundary layouts is NOT honored
+    # reliably by this remote-compile stack and corrupts buffer metadata
+    return jax.jit(_values_factor_core(b, chunk, diag_chunk))
+
+
+def staged_values(plan: SymbolicPlan, a_data, dtype):
+    """(slot, off, vals) device triple for build_factor_values_fn: the A
+    values, the padding-diagonal ones, and bucket-pad zeros aimed at the
+    trash slot (scatter-adding 0 is a no-op), so one compile serves every
+    matrix in the (plan-bucket, nnz-bucket) class."""
+    vals = np.asarray(a_data, dtype=dtype)
+    bb = plan.bs * plan.bs
+    idx = np.asarray(plan.init_idx)
+    npad = bucket125(len(idx) + 1)
+    slot = np.full(npad, plan.trash_slot, dtype=np.int32)
+    off = np.zeros(npad, dtype=np.int32)
+    slot[: len(idx)] = idx // bb
+    off[: len(idx)] = idx % bb
+    v = np.zeros(npad, dtype=dtype)
+    v[: len(vals)] = vals
+    if plan.init_ones:
+        v[len(vals): len(idx)] = 1
+    return jnp.asarray(slot), jnp.asarray(off), jnp.asarray(v)
+
+
+def build_factor_values_fn(plan: SymbolicPlan, *, chunk: int = 32,
+                           diag_chunk: int = 8):
+    """Fused scatter-init + factorization executor.
+
+    ``factor((slot, off, vals), thresh, tapes) -> (pool, linv, uinv,
+    tiny)`` where the triple comes from :func:`staged_values`. The pool
+    never crosses a jit boundary on the way in, so no layout-conversion
+    copies exist and peak memory is ONE pool (+ small temps) — required
+    for million-row single-chip factorizations.
+    """
+    inner = _values_factor_executor(factor_buckets(plan), chunk, diag_chunk)
+
+    def factor(triple, thresh, tapes):
+        slot, off, vals = triple
+        return inner(slot, off, vals, thresh, tapes)
+
+    return factor
+
+
 def build_factor_core(plan: SymbolicPlan, *, chunk: int = 32,
                       diag_chunk: int = 8):
     """Unjitted factorization core (vmap-able for the batched interface)."""

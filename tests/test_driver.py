@@ -164,3 +164,31 @@ def test_schedule_counters_recorded():
     assert c["sched_levels"] >= 1
     assert c["sched_gemms_total"] >= 0
     assert c["sched_steps_per_level_max"] >= 1
+
+
+def test_fused_init_factor_driver_path(monkeypatch):
+    """SLU_TPU_FUSED_INIT=1 routes the XLA executor through the fused
+    scatter-init + factor program (the million-row capacity path — the
+    pool never crosses a jit boundary inbound). Same answers, including
+    through refactor staging."""
+    monkeypatch.setenv("SLU_TPU_FUSED_INIT", "1")
+    from superlu_dist_tpu.models.driver import SparseLU
+
+    A = laplacian_2d(12).tocsc()
+    n = A.shape[0]
+    rng = np.random.default_rng(3)
+    xt = rng.standard_normal(n)
+    b = np.asarray(A @ xt)
+    lu = SparseLU(A, Options(dtype="float32", block_size=16,
+                             executor="xla"))
+    assert lu._factor_takes_values
+    x = lu.solve(b)
+    x2, berr = lu.refine(b, x)
+    assert compute_resid(A, x2, b) < THRESH
+    assert float(np.max(berr)) < 1e-13
+    # SamePattern_SameRowPerm refactor reruns the fused program
+    A2 = (A * 1.5).tocsc()
+    lu.refactor(A2, fact=Fact.SAME_PATTERN_SAME_ROWPERM)
+    y = lu.solve(b)
+    y2, berr2 = lu.refine(b, y)
+    assert compute_resid(A2, y2, b) < THRESH

@@ -203,3 +203,31 @@ def test_debug_inspection_helpers(lap, tmp_path):
     dbg.dump_pattern(lu, p)
     head = p.read_text().splitlines()
     assert head[0] == "P1"
+
+
+def test_factor_values_fused_matches_pool_path():
+    """The fused scatter-init + factor executor (build_factor_values_fn,
+    the million-row capacity path: the pool never enters through a jit
+    boundary) must produce bit-identical factors to the init_pool +
+    build_factor_fn pipeline."""
+    import jax.numpy as jnp
+    from superlu_dist_tpu.ops.kernels import blocklu as _bl
+    from superlu_dist_tpu.ops.host.symbolic import block_symbolic
+
+    A = laplacian_2d(12).tocsc()
+    plan = block_symbolic(A, bs=8)
+    tapes = _bl.make_factor_tapes(plan)
+    thresh = jnp.float32(1e-8)
+
+    pool = _bl.init_pool(plan, A.data, np.float32)
+    ref, lref, uref, tref = _bl.build_factor_fn(plan, chunk=16)(
+        pool, thresh, tapes)
+
+    triple = _bl.staged_values(plan, A.data, np.float32)
+    fn = _bl.build_factor_values_fn(plan, chunk=16)
+    out, lout, uout, tout = fn(triple, thresh, tapes)
+
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    np.testing.assert_array_equal(np.asarray(lref), np.asarray(lout))
+    np.testing.assert_array_equal(np.asarray(uref), np.asarray(uout))
+    assert int(tref) == int(tout)

@@ -48,7 +48,8 @@ def _adversarial(n, nnz_per_row, seed):
 # structured + one adversarial case fast and mark the rest slow
 CASES = [
     ("lap3d12", lambda: testing.laplacian_3d(12).tocsc()),
-    ("adv600", lambda: _adversarial(600, 4, 0)),
+    pytest.param("adv600", lambda: _adversarial(600, 4, 0),
+                 marks=pytest.mark.slow),
     pytest.param("lap2d24", lambda: testing.laplacian_2d(24).tocsc(),
                  marks=pytest.mark.slow),
     pytest.param("adv900", lambda: _adversarial(900, 6, 1),
