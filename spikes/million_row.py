@@ -15,7 +15,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def main(nx=100, bs=64):
+def main(nx=100, bs=64, executor="xla"):
     import jax
     from superlu_dist_tpu import Options, gssvx
     from superlu_dist_tpu.utils.options import ColPerm
@@ -31,7 +31,8 @@ def main(nx=100, bs=64):
     b = np.asarray(A @ xt)
     print(f"built A n={n} nnz={A.nnz} in {time.time()-t0:.1f}s", flush=True)
 
-    opts = Options(dtype="float32", block_size=bs, executor="xla",
+    opts = Options(dtype="float32", block_size=bs,
+                   executor=None if executor == "auto" else executor,
                    gemm_chunk=int(os.environ.get("SLU_TPU_BENCH_CHUNK", "64")),
                    col_perm=ColPerm.MY_PERMC,
                    user_colperm=geometric_nd((nx, nx, nx)))
@@ -66,4 +67,5 @@ def main(nx=100, bs=64):
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 100,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 64)
+         int(sys.argv[2]) if len(sys.argv) > 2 else 64,
+         sys.argv[3] if len(sys.argv) > 3 else "xla")

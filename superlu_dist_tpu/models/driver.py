@@ -462,8 +462,15 @@ class SparseLU:
         """Distribute values into the device pool and run the factorization
         (overridden by the mesh-distributed driver)."""
         import time as _time
+        # Release any previous factorization FIRST: a refactor must not
+        # hold the old multi-GiB pool while the new one initializes
+        # (measured: n=512k refactor OOMs a 16 GiB chip otherwise). Same
+        # in-place refactor discipline as the reference's
+        # SamePattern_SameRowPerm path (pdgssvx.c re-uses LUstruct).
+        self.pool = self.linv = self.uinv = None
         opts, stat, plan = self.options, self.stat, self.plan
         self._planar = self._use_planar()
+        self._a3_data = np.asarray(A3.data)   # for profile_levels / reuse
         with stat.phase("DIST"):
             _t0 = _time.perf_counter()
             self.ltape = _blocklu.make_solve_tapes(plan, "L")
@@ -528,18 +535,16 @@ class SparseLU:
                         interpret=interp)
             else:
                 self.tapes = _blocklu.make_factor_tapes(plan)
-                import jax as _jax
                 import os as _os
-                _fused = _os.environ.get("SLU_TPU_FUSED_INIT", "")
-                self._factor_takes_values = (
-                    _fused == "1" or
-                    (_fused != "0"
-                     and _jax.devices()[0].platform == "tpu"))
+                # At B=128 the separated init_pool (3D device scatter) +
+                # donated pool-input executor is copy-free: peak device
+                # memory is ONE pool + linv/uinv — the SuiteSparse-scale
+                # capacity path (n=885k factors in 14.5 of 16 GiB).
+                # SLU_TPU_FUSED_INIT=1 opts into the fused single-dispatch
+                # init+factor variant instead (see blocklu layout note).
+                self._factor_takes_values = \
+                    _os.environ.get("SLU_TPU_FUSED_INIT", "") == "1"
                 if self._factor_takes_values:
-                    # fused scatter-init + factor: the pool never crosses
-                    # a jit boundary inbound, so no layout-conversion
-                    # copies and peak device memory is ONE pool — the
-                    # million-row capacity path (see blocklu layout note)
                     pool = _blocklu.staged_values(plan, A3.data,
                                                   self._fdtype)
                     self._factor_fn = _blocklu.build_factor_values_fn(
@@ -1050,6 +1055,25 @@ class SparseLU:
     # ------------------------------------------------------------------
     # condition estimation (pdlangs + pdgscon-style analog)
     # ------------------------------------------------------------------
+
+    def profile_levels(self):
+        """Per-elimination-level device timings of the factorization tape
+        — the fine-grain profiler role of the reference's SCT_t counters
+        (reference: SRC/include/superlu_defs.h SCT_t; per-phase timing in
+        dSchCompUdt-2Ddynamic.c). Re-runs the stored schedule one level
+        per dispatch and returns a list of per-level dicts (ms, steps,
+        lpanels, upanels, gemms, gflops_model). Each row's wall time
+        includes one dispatch + sync, so read the shape, not the sum.
+        """
+        if self._use_planar():
+            raise NotImplementedError(
+                "profile_levels: planar complex executor not supported")
+        from ..ops.kernels import blocklu as _bl
+        rows, _ = _bl.profile_factor_levels(
+            self.plan, self._a3_data, self._fdtype, self._thresh(),
+            chunk=self.options.gemm_chunk)
+        self.stat.counters["profiled_levels"] = len(rows)
+        return rows
 
     def rcond_1(self) -> float:
         """Reciprocal 1-norm condition estimate via Hager/Higham iteration

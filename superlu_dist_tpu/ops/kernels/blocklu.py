@@ -61,6 +61,24 @@ def bucket125(x: int, lo: int = 8) -> int:
     return 2 ** (k + 1)
 
 
+# Above this many pool slots, bucket the pool dimension at 1/32-of-octave
+# granularity (≤3.1% waste) instead of 1/4 (≤25%). A 25% pad on a
+# SuiteSparse-class pool is GiBs of HBM (n=1e6 at B=128: nslots 242689
+# → 262144 would waste 1.2 GiB), while executor-compile sharing is
+# irrelevant there — no two million-row matrices share a bucket anyway.
+_FINE_SLOTS = 1 << 16
+
+
+def bucket_fine(x: int, lo: int = 8) -> int:
+    """bucket125 below _FINE_SLOTS; 1/32-octave steps above it."""
+    x = max(int(x), lo)
+    if x <= _FINE_SLOTS:
+        return bucket125(x, lo)
+    k = int(np.floor(np.log2(x)))
+    step = 2 ** k / 32.0
+    return int(np.ceil(np.ceil(x / step) * step))
+
+
 def _pad_to(a, size, fill, dtype=np.int32):
     a = np.asarray(a, dtype=dtype)
     out = np.full(size, fill, dtype=dtype)
@@ -96,7 +114,7 @@ def factor_buckets(plan: SymbolicPlan) -> Buckets:
     return Buckets(
         bs=plan.bs,
         nbp=bucket125(plan.nb),
-        poolp=bucket125(plan.nslots + 2, lo=64),
+        poolp=bucket_fine(plan.nslots + 2, lo=64),
         dlen=bucket125(plan.nb + 1),
         llen=bucket125(len(plan.l_slots) + 1, lo=64),
         ulen=bucket125(len(plan.u_slots) + 1, lo=64),
@@ -396,83 +414,97 @@ def _chunk_indices(lo, hi, c, chunk, tape_len):
     return offs, valid
 
 
-def _factor_core(b: Buckets, chunk: int, diag_chunk: int):
-    """Level-batched factorization core for one bucket class."""
+def _make_level_step(b: Buckets, chunk: int, diag_chunk: int):
+    """One elimination level of the factorization: diag batch → L-panel
+    TRSMs → U-panel TRSMs → Schur GEMM/scatter. Shared by the fused
+    whole-factorization executor and the per-level profiled runner."""
     bs, nbp = b.bs, b.nbp
     blu = jax.vmap(block_lu_inv, in_axes=(0, None))
 
-    def factor(pool, thresh, tapes: FactorTapes):
+    def level_step(l, carry, thresh, tapes: FactorTapes):
+        pool, linv, uinv, tiny = carry
         dtype = pool.dtype
         zs = tapes.consts[0]
         ts = tapes.consts[1]
+
+        lo, hi = tapes.dptr[l], tapes.dptr[l + 1]
+
+        def diag(c, carry):
+            pool, linv, uinv, tiny = carry
+            offs, valid = _chunk_indices(lo, hi, c, diag_chunk, b.dlen)
+            steps = jnp.where(valid, tapes.dstep[offs], nbp)
+            dsl = tapes.dslot[steps]           # padding → zero slot
+            LU, lk, uk, nt = blu(pool[dsl], thresh)
+            pool = pool.at[jnp.where(valid, dsl, ts)].set(LU)
+            linv = linv.at[steps].set(lk)      # masked → row nbp
+            uinv = uinv.at[steps].set(uk)
+            tiny = tiny + jnp.sum(nt * valid).astype(jnp.int32)
+            return pool, linv, uinv, tiny
+
+        nch = (hi - lo + diag_chunk - 1) // diag_chunk
+        pool, linv, uinv, tiny = lax.fori_loop(
+            0, nch, diag, (pool, linv, uinv, tiny))
+
+        llo, lhi = tapes.lptr[l], tapes.lptr[l + 1]
+
+        def ltrsm(c, pool):
+            offs, valid = _chunk_indices(llo, lhi, c, chunk, b.llen)
+            si = jnp.where(valid, tapes.l_slot[offs], ts)
+            st = jnp.where(valid, tapes.l_step[offs], nbp)
+            Y = jnp.einsum("cij,cjk->cik", pool[si], uinv[st],
+                           preferred_element_type=dtype,
+                           precision=MATMUL_PRECISION)
+            return pool.at[si].set(Y)
+
+        nch = (lhi - llo + chunk - 1) // chunk
+        pool = lax.fori_loop(0, nch, ltrsm, pool)
+
+        ulo, uhi = tapes.uptr[l], tapes.uptr[l + 1]
+
+        def utrsm(c, pool):
+            offs, valid = _chunk_indices(ulo, uhi, c, chunk, b.ulen)
+            si = jnp.where(valid, tapes.u_slot[offs], ts)
+            st = jnp.where(valid, tapes.u_step[offs], nbp)
+            Y = jnp.einsum("cij,cjk->cik", linv[st], pool[si],
+                           preferred_element_type=dtype,
+                           precision=MATMUL_PRECISION)
+            return pool.at[si].set(Y)
+
+        nch = (uhi - ulo + chunk - 1) // chunk
+        pool = lax.fori_loop(0, nch, utrsm, pool)
+
+        glo, ghi = tapes.gptr[l], tapes.gptr[l + 1]
+
+        def gemm(c, pool):
+            offs, valid = _chunk_indices(glo, ghi, c, chunk, b.glen)
+            li = jnp.where(valid, tapes.g_l[offs], zs)
+            ui = jnp.where(valid, tapes.g_u[offs], zs)
+            ti = jnp.where(valid, tapes.g_t[offs], ts)
+            P = jnp.einsum("cij,cjk->cik", pool[li], pool[ui],
+                           preferred_element_type=dtype,
+                           precision=MATMUL_PRECISION)
+            return pool.at[ti].add(-P)
+
+        nch = (ghi - glo + chunk - 1) // chunk
+        pool = lax.fori_loop(0, nch, gemm, pool)
+
+        return pool, linv, uinv, tiny
+
+    return level_step
+
+
+def _factor_core(b: Buckets, chunk: int, diag_chunk: int):
+    """Level-batched factorization core for one bucket class."""
+    bs, nbp = b.bs, b.nbp
+    level_step = _make_level_step(b, chunk, diag_chunk)
+
+    def factor(pool, thresh, tapes: FactorTapes):
+        dtype = pool.dtype
         linv0 = jnp.zeros((nbp + 1, bs, bs), dtype)
         uinv0 = jnp.zeros((nbp + 1, bs, bs), dtype)
 
         def level(l, carry):
-            pool, linv, uinv, tiny = carry
-
-            lo, hi = tapes.dptr[l], tapes.dptr[l + 1]
-
-            def diag(c, carry):
-                pool, linv, uinv, tiny = carry
-                offs, valid = _chunk_indices(lo, hi, c, diag_chunk, b.dlen)
-                steps = jnp.where(valid, tapes.dstep[offs], nbp)
-                dsl = tapes.dslot[steps]           # padding → zero slot
-                LU, lk, uk, nt = blu(pool[dsl], thresh)
-                pool = pool.at[jnp.where(valid, dsl, ts)].set(LU)
-                linv = linv.at[steps].set(lk)      # masked → row nbp
-                uinv = uinv.at[steps].set(uk)
-                tiny = tiny + jnp.sum(nt * valid).astype(jnp.int32)
-                return pool, linv, uinv, tiny
-
-            nch = (hi - lo + diag_chunk - 1) // diag_chunk
-            pool, linv, uinv, tiny = lax.fori_loop(
-                0, nch, diag, (pool, linv, uinv, tiny))
-
-            llo, lhi = tapes.lptr[l], tapes.lptr[l + 1]
-
-            def ltrsm(c, pool):
-                offs, valid = _chunk_indices(llo, lhi, c, chunk, b.llen)
-                si = jnp.where(valid, tapes.l_slot[offs], ts)
-                st = jnp.where(valid, tapes.l_step[offs], nbp)
-                Y = jnp.einsum("cij,cjk->cik", pool[si], uinv[st],
-                               preferred_element_type=dtype,
-                               precision=MATMUL_PRECISION)
-                return pool.at[si].set(Y)
-
-            nch = (lhi - llo + chunk - 1) // chunk
-            pool = lax.fori_loop(0, nch, ltrsm, pool)
-
-            ulo, uhi = tapes.uptr[l], tapes.uptr[l + 1]
-
-            def utrsm(c, pool):
-                offs, valid = _chunk_indices(ulo, uhi, c, chunk, b.ulen)
-                si = jnp.where(valid, tapes.u_slot[offs], ts)
-                st = jnp.where(valid, tapes.u_step[offs], nbp)
-                Y = jnp.einsum("cij,cjk->cik", linv[st], pool[si],
-                               preferred_element_type=dtype,
-                               precision=MATMUL_PRECISION)
-                return pool.at[si].set(Y)
-
-            nch = (uhi - ulo + chunk - 1) // chunk
-            pool = lax.fori_loop(0, nch, utrsm, pool)
-
-            glo, ghi = tapes.gptr[l], tapes.gptr[l + 1]
-
-            def gemm(c, pool):
-                offs, valid = _chunk_indices(glo, ghi, c, chunk, b.glen)
-                li = jnp.where(valid, tapes.g_l[offs], zs)
-                ui = jnp.where(valid, tapes.g_u[offs], zs)
-                ti = jnp.where(valid, tapes.g_t[offs], ts)
-                P = jnp.einsum("cij,cjk->cik", pool[li], pool[ui],
-                               preferred_element_type=dtype,
-                               precision=MATMUL_PRECISION)
-                return pool.at[ti].add(-P)
-
-            nch = (ghi - glo + chunk - 1) // chunk
-            pool = lax.fori_loop(0, nch, gemm, pool)
-
-            return pool, linv, uinv, tiny
+            return level_step(l, carry, thresh, tapes)
 
         pool, linv, uinv, tiny = lax.fori_loop(
             0, b.nlvlp, level,
@@ -561,6 +593,58 @@ def build_factor_values_fn(plan: SymbolicPlan, *, chunk: int = 32,
         return inner(slot, off, vals, thresh, tapes)
 
     return factor
+
+
+@functools.lru_cache(maxsize=32)
+def _level_executor(b: Buckets, chunk: int, diag_chunk: int):
+    step = _make_level_step(b, chunk, diag_chunk)
+
+    def one(pool, linv, uinv, tiny, l, thresh, tapes):
+        return step(l, (pool, linv, uinv, tiny), thresh, tapes)
+
+    # level index l is traced → ONE compile serves every level
+    return jax.jit(one, donate_argnums=(0, 1, 2, 3))
+
+
+def profile_factor_levels(plan: SymbolicPlan, a_data, dtype, thresh, *,
+                          chunk: int = 32, diag_chunk: int = 8):
+    """Per-elimination-level device timing of the factorization — the
+    fine-grain profiler role of the reference's SCT_t counters
+    (reference: SRC/include/superlu_defs.h SCT_t, dSchCompUdt timing in
+    dSchCompUdt-2Ddynamic.c). Runs the same tape one level per dispatch
+    (so each level's wall time includes one dispatch + sync through the
+    device link — use relative shape, not absolute sums).
+
+    Returns ``(rows, (pool, linv, uinv, tiny))`` where rows is a list of
+    dicts: level, ms, steps, lpanels, upanels, gemms, gflops_model.
+    """
+    import time as _time
+    b = factor_buckets(plan)
+    tapes = make_factor_tapes(plan)
+    pool = init_pool(plan, a_data, dtype)
+    linv = jnp.zeros((b.nbp + 1, b.bs, b.bs), pool.dtype)
+    uinv = jnp.zeros_like(linv)
+    tiny = jnp.zeros((), jnp.int32)
+    one = _level_executor(b, chunk, diag_chunk)
+    lv = level_order(plan)
+    th = jnp.asarray(thresh, dtype=np.dtype(dtype))
+    b3 = float(plan.bs) ** 3
+    rows = []
+    for l in range(plan.n_flevels):
+        t0 = _time.perf_counter()
+        pool, linv, uinv, tiny = one(pool, linv, uinv, tiny,
+                                     jnp.int32(l), th, tapes)
+        jax.block_until_ready(pool)
+        dt = _time.perf_counter() - t0
+        steps = int(lv["dptr"][l + 1] - lv["dptr"][l])
+        lp = int(lv["lptr"][l + 1] - lv["lptr"][l])
+        up = int(lv["uptr"][l + 1] - lv["uptr"][l])
+        gm = int(lv["gptr"][l + 1] - lv["gptr"][l])
+        fl = (2.0 / 3.0) * b3 * steps + b3 * (lp + up) + 2.0 * b3 * gm
+        rows.append(dict(level=l, ms=dt * 1e3, steps=steps, lpanels=lp,
+                         upanels=up, gemms=gm,
+                         gflops_model=fl / max(dt, 1e-12) / 1e9))
+    return rows, (pool, linv, uinv, tiny)
 
 
 def build_factor_core(plan: SymbolicPlan, *, chunk: int = 32,
@@ -673,14 +757,36 @@ _INIT_DEVICE_MIN_BYTES = int(_os.environ.get(
     "SLU_TPU_INIT_DEVICE_BYTES", 256 << 20))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("poolp", "bs", "nv", "dtype"))
-def _pool_scatter_device(slot, off, vals, poolp, bs, nv, dtype):
-    flat = jnp.zeros((poolp, bs * bs), dtype)
-    flat = flat.at[slot[:nv], off[:nv]].add(vals.astype(dtype))
-    if nv < slot.shape[0]:
-        flat = flat.at[slot[nv:], off[nv:]].add(jnp.asarray(1, dtype))
-    return flat.reshape(poolp, bs, bs)
+#: updates per scatter dispatch inside the init loop (bounds the
+#: sort-based TPU scatter lowering's temp memory to ~1 GiB at B=128)
+_INIT_SCATTER_CHUNK = 1 << 20
+
+
+@functools.partial(jax.jit, static_argnames=("poolp", "bs", "dtype"))
+def _pool_scatter_device(slot, off, vals, poolp, bs, dtype):
+    # Two structural choices keep the init peak at ~1.08x the pool — a
+    # flat (poolp, bs*bs) scatter + reshape forced XLA to materialize
+    # the pool TWICE (the 3D layout it picks is not reshape-compatible
+    # with {1,0}; measured 13.3 GiB temp at n=885k/B=128), and a single
+    # whole-stream scatter costs ~3.6 GiB of sort-lowering temps:
+    #   1. scatter directly in the 3D pool shape (slot, row, col);
+    #   2. chunk the update stream through a fori_loop so the sort
+    #      temps are bounded by the chunk, not the nnz.
+    # The caller pads the stream to a chunk multiple with zero-adds.
+    r = off // bs
+    c = off % bs
+    pool = jnp.zeros((poolp, bs, bs), dtype)
+    n = slot.shape[0]
+    ch = min(_INIT_SCATTER_CHUNK, n)
+
+    def body(i, pool):
+        sl = lax.dynamic_slice(slot, (i * ch,), (ch,))
+        rr = lax.dynamic_slice(r, (i * ch,), (ch,))
+        cc = lax.dynamic_slice(c, (i * ch,), (ch,))
+        vv = lax.dynamic_slice(vals, (i * ch,), (ch,))
+        return pool.at[sl, rr, cc].add(vv.astype(dtype))
+
+    return lax.fori_loop(0, -(-n // ch), body, pool)
 
 
 def init_pool(plan: SymbolicPlan, a_data, dtype) -> jax.Array:
@@ -697,11 +803,22 @@ def init_pool(plan: SymbolicPlan, a_data, dtype) -> jax.Array:
     idx = np.asarray(plan.init_idx)
     nbytes = b.poolp * bb * vals.dtype.itemsize
     if nbytes >= _INIT_DEVICE_MIN_BYTES:
-        slot = (idx // bb).astype(np.int32)
-        off = (idx % bb).astype(np.int32)
+        # full update stream = A values + padding-diagonal ones, padded
+        # to a scatter-chunk multiple with zero-adds (no-ops)
+        n_upd = len(idx)
+        npad = n_upd if n_upd <= _INIT_SCATTER_CHUNK else \
+            -(-n_upd // _INIT_SCATTER_CHUNK) * _INIT_SCATTER_CHUNK
+        slot = np.zeros(npad, dtype=np.int32)
+        off = np.zeros(npad, dtype=np.int32)
+        slot[:n_upd] = idx // bb
+        off[:n_upd] = idx % bb
+        v = np.zeros(npad, dtype=dtype)
+        v[: len(vals)] = vals
+        if plan.init_ones:
+            v[len(vals): n_upd] = 1
         return _pool_scatter_device(
-            jnp.asarray(slot), jnp.asarray(off), jnp.asarray(vals),
-            b.poolp, plan.bs, len(vals), jnp.dtype(dtype))
+            jnp.asarray(slot), jnp.asarray(off), jnp.asarray(v),
+            b.poolp, plan.bs, jnp.dtype(dtype))
     flat = np.zeros(b.poolp * bb, dtype=dtype)
     np.add.at(flat, idx[: len(vals)], vals)
     if plan.init_ones:

@@ -213,7 +213,7 @@ def build_flk_tapes(plan: SymbolicPlan, Kc: int = 8):
 
     tapes = tuple(pack(lo, hi) for lo, hi in zip(cuts[:-1], cuts[1:]))
     consts = dict(nbp=nbp,
-                  poolp=_bl.bucket125(plan.nslots + 2, lo=64),
+                  poolp=_bl.bucket_fine(plan.nslots + 2, lo=64),
                   seg_nw=tuple(len(t["w_tgt"]) for t in tapes))
     return tapes, consts
 

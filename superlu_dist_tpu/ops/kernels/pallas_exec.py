@@ -338,7 +338,7 @@ def pallas_factor_meta(plan: SymbolicPlan, C: int, min_dist: int = 1):
                   grid_l=_bl.bucket125(grid_l, lo=1),
                   grid_u=_bl.bucket125(grid_u, lo=1),
                   dlen=_bl.bucket125(plan.nb + 1),
-                  poolp=_bl.bucket125(plan.nslots + 2))
+                  poolp=_bl.bucket_fine(plan.nslots + 2))
     return tapes, consts
 
 

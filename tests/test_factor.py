@@ -231,3 +231,39 @@ def test_factor_values_fused_matches_pool_path():
     np.testing.assert_array_equal(np.asarray(lref), np.asarray(lout))
     np.testing.assert_array_equal(np.asarray(uref), np.asarray(uout))
     assert int(tref) == int(tout)
+
+
+def test_profile_factor_levels_matches_full_run():
+    """The per-level profiled runner (SCT_t fine-grain profiler analog)
+    must reproduce the fused executor's factorization exactly, and its
+    per-level counters must sum to the plan totals."""
+    import jax.numpy as jnp
+    from superlu_dist_tpu.ops.kernels import blocklu as _bl
+    from superlu_dist_tpu.ops.host.symbolic import block_symbolic
+
+    A = laplacian_2d(12).tocsc()
+    plan = block_symbolic(A, bs=8)
+    tapes = _bl.make_factor_tapes(plan)
+    pool = _bl.init_pool(plan, A.data, np.float32)
+    ref = _bl.build_factor_fn(plan, chunk=16)(pool, jnp.float32(1e-8),
+                                              tapes)
+
+    rows, out = _bl.profile_factor_levels(plan, A.data, np.float32, 1e-8,
+                                          chunk=16)
+    assert len(rows) == plan.n_flevels
+    assert sum(r["steps"] for r in rows) == plan.nb
+    assert sum(r["gemms"] for r in rows) == len(plan.g_l)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(out[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
+
+
+def test_driver_profile_levels():
+    """SparseLU.profile_levels surfaces the per-level profile."""
+    from superlu_dist_tpu.models.driver import SparseLU
+    A = laplacian_2d(10).tocsc()
+    lu = SparseLU(A, Options(dtype="float32", block_size=8,
+                             executor="xla"))
+    rows = lu.profile_levels()
+    assert len(rows) == lu.plan.n_flevels
+    assert all(r["ms"] >= 0 for r in rows)
+    assert lu.stat.counters["profiled_levels"] == len(rows)
