@@ -41,17 +41,25 @@ def log(*a):
 
 def scalar_lu_flops(A3):
     """Exact GESP flop count on the scalar L/U structure of A3 (natural
-    order): sum_j [ div flops + 2*|L_j|*|U_j| gemm flops ]. Returns
+    order): sum_j [ div flops + 2*|L_j|*|U_j| gemm flops ]. Complex
+    matrices factor in complex128 and count 4 REAL flops per complex
+    flop (a complex multiply-add is 4 real multiplies + 4 real adds
+    against the real fma's 2 — the LINPACK/LAPACK convention the
+    reference's PStatPrint flop counts follow). Returns
     (flops, nnz(L)+nnz(U))."""
     import scipy.sparse.linalg as spla
-    lu = spla.splu(A3.tocsc().astype(np.float64), permc_spec="NATURAL",
+    A3 = A3.tocsc()
+    dt = np.complex128 if A3.dtype.kind == "c" else np.float64
+    lu = spla.splu(A3.astype(dt), permc_spec="NATURAL",
                    diag_pivot_thresh=0.0,
                    options=dict(SymmetricMode=False))
     L, U = lu.L.tocsc(), lu.U.tocsr()
     nnzL_col = np.diff(L.indptr) - 1
     nnzU_row = np.diff(U.indptr)
-    return (float(np.sum(nnzL_col) + np.sum(2.0 * nnzL_col * nnzU_row)),
-            int(L.nnz + U.nnz))
+    flops = float(np.sum(nnzL_col) + np.sum(2.0 * nnzL_col * nnzU_row))
+    if np.dtype(dt).kind == "c":
+        flops *= 4.0
+    return flops, int(L.nnz + U.nnz)
 
 
 def scipy_baseline(A, b):

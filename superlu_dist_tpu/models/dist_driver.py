@@ -36,6 +36,11 @@ class DistributedSparseLU(SparseLU):
     _planar = False
     """2D block-cyclic distributed factorization (pdgssvx analog)."""
 
+    def _align_standdown(self) -> bool:
+        # the distributed level-batched executors are exactly what
+        # etree alignment exists for — never stand down
+        return False
+
     def __init__(self, A: sp.spmatrix, grid: Grid2D,
                  options: Optional[Options] = None,
                  stat: Optional[Stats] = None):

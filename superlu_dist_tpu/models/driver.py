@@ -240,6 +240,32 @@ class SparseLU:
         half the device block width for complex64."""
         return self.options.block_size // (2 if self._embed else 1)
 
+    def _align_standdown(self) -> bool:
+        """In ``align_blocks="auto"`` mode, alignment stands down on the
+        single-chip fused-Pallas path: the fused kernels (clk/tck/flk)
+        stream columns serially inside one kernel, so the level-schedule
+        parallelism alignment buys is unusable there while its padding
+        costs real work (measured round 3: lap3d20 96 → 50.8 useful GF/s,
+        pad 8.5 → 14.2×). The distributed/3D drivers override this to
+        False — their level-batched executors are exactly what alignment
+        exists for. Mirrors the reference, where the supernodal-etree
+        schedule is consulted only by the parallel factorization
+        (dstatic_schedule.c:46) while panel kernels stay dense."""
+        import os
+        import jax
+        opts = self.options
+        if self._fdtype != np.dtype(np.float32):
+            return False
+        if (opts.executor or "clk") not in ("clk", "tck", "flk"):
+            return False
+        force = os.environ.get("SLU_TPU_FORCE_PALLAS", "")
+        if force == "off":
+            return False
+        if force == "interpret":
+            return True
+        return (opts.block_size == 128
+                and jax.devices()[0].platform == "tpu")
+
     def _align_blocks(self, A3: sp.csc_matrix) -> sp.csc_matrix:
         """Postorder + expand ``A3`` so block boundaries follow the etree
         (recovers the supernodal-etree schedule parallelism; reference:
@@ -251,6 +277,8 @@ class SparseLU:
         mode = (opts.align_blocks or "auto").lower()
         bs = self._effective_bs()
         if mode == "off" or bs < 2:
+            return A3
+        if mode == "auto" and self._align_standdown():
             return A3
         with stat.phase("COLPERM"):
             res = _align.aligned_blocking(
@@ -578,6 +606,15 @@ class SparseLU:
         ``SAME_PATTERN_SAME_ROWPERM`` reuses perms + scalings + the whole
         symbolic plan (cheapest); ``SAME_PATTERN`` reuses only the column
         ordering and redoes equilibration/row pivoting.
+
+        The previous factors are released BEFORE the new factorization
+        starts (peak device memory stays ~one pool — required at capacity
+        scale), so a refactor that fails midway (OOM, interrupt) leaves
+        the instance without valid factors: subsequent solves raise a
+        clear "factorization incomplete/released" error rather than
+        silently using stale data. This diverges from the reference's
+        SamePattern_SameRowPerm path, which keeps the old LUstruct alive
+        on failure at the cost of double-resident factors.
         """
         if fact not in (Fact.SAME_PATTERN, Fact.SAME_PATTERN_SAME_ROWPERM):
             raise ValueError("refactor expects a SamePattern* mode")
@@ -587,6 +624,13 @@ class SparseLU:
     # ------------------------------------------------------------------
     # solves
     # ------------------------------------------------------------------
+
+    def _require_factors(self):
+        if getattr(self, "pool", None) is None:
+            raise RuntimeError(
+                "factorization incomplete or released (a refactor/"
+                "profile run failed midway, or the factors were dropped "
+                "for capacity) — refactor() before solving")
 
     def _solve_fn(self, nrhs: int):
         if nrhs not in self._solve_fns:
@@ -662,6 +706,7 @@ class SparseLU:
         backward Lᵀ sweep with transposed diagonal inverses. Aᴴ is solved
         through conjugation of b and x (the reference's trans_t branches).
         """
+        self._require_factors()
         b = np.asarray(b)
         emb = getattr(self, "_embed", False)
         # the embedded pool's transpose solves Aᴴ natively
@@ -763,6 +808,107 @@ class SparseLU:
         self._solve_fns[key] = dev_solve
         return dev_solve
 
+    def _device_solve_fn_cplx(self, kb: int):
+        """Device-resident complex solve: one dispatch takes the stacked
+        (2, n, kb) real planes of b and returns the planes of x — the
+        transforms, the sweeps, and the back-transform all on device.
+        Serves BOTH complex layouts (the ring-embedded f32 pool and the
+        planar (re,im) pool); the host only splits/joins re+im. Without
+        this, complex solves paid a host round-trip per transform
+        (measured round 3: cg20 37.93 ms host-loop vs 2.48 ms sweep)."""
+        key = ("DEVC", kb)
+        if key in self._solve_fns:
+            return self._solve_fns[key]
+        import jax
+
+        plan, n = self.plan, self.n
+        rows_pad = self._bpad_rows()
+        prc = jnp.asarray(self.rowperm[self.colperm])
+        pc = jnp.asarray(self.colperm)
+        if self._use_planar():
+            from ..ops.kernels import planar as _planar
+            rdt = jnp.dtype(_real_base(self.dtype))
+            rs = jnp.asarray(self.row_scale[self.rowperm[self.colperm]],
+                             dtype=rdt)
+            cs = jnp.asarray(self.col_scale[self.colperm], dtype=rdt)
+            ridx = jnp.asarray(self._rows_idx)
+            core = _planar.build_solve_core_planar(
+                plan, kb, chunk=self.options.gemm_chunk)
+            ltape, utape = self.ltape, self.utape
+
+            @jax.jit
+            def dev_solve(pool, linv, uinv, b2):
+                bp = jnp.zeros((2, rows_pad, kb), rdt)
+                bp = bp.at[:, ridx].set(rs[:, None] * b2[:, prc])
+                y = core(pool, linv, uinv, ltape, utape, bp)[:, ridx]
+                return jnp.zeros((2, n, kb), rdt).at[:, pc].set(
+                    cs[:, None] * y)
+        else:   # ring embedding: f32 pool, interleaved (re, im) rows
+            fdt = jnp.dtype(np.float32)
+            rs = jnp.asarray(self.row_scale[self.rowperm[self.colperm]],
+                             dtype=fdt)
+            cs = jnp.asarray(self.col_scale[self.colperm], dtype=fdt)
+            ri_re = jnp.asarray(self._rows_idx[0::2])
+            ri_im = jnp.asarray(self._rows_idx[1::2])
+            if self._use_pallas() and self._pallas_solve_ok():
+                import os
+                from ..ops.kernels import pallas_exec as _pe
+                interp = (os.environ.get("SLU_TPU_FORCE_PALLAS", "")
+                          == "interpret")
+                sfn, (tl, tu), W = _pe.build_solve_fn_pallas_fused(
+                    plan, kb, chunk=min(self.options.gemm_chunk, 16),
+                    interpret=interp)
+
+                def solve_inner(pool, linv, uinv, bp):
+                    bw = jnp.zeros((rows_pad, W), fdt).at[:, :kb].set(bp)
+                    return sfn(pool, linv, uinv, tl, tu, bw)[:, :kb]
+            else:
+                core = _blocklu.build_solve_core(
+                    plan, kb, chunk=self.options.gemm_chunk)
+                ltape, utape = self.ltape, self.utape
+
+                def solve_inner(pool, linv, uinv, bp):
+                    return core(pool, linv, uinv, ltape, utape, bp)
+
+            @jax.jit
+            def dev_solve(pool, linv, uinv, b2):
+                bp = jnp.zeros((rows_pad, kb), fdt)
+                bp = bp.at[ri_re].set(rs[:, None] * b2[0][prc])
+                bp = bp.at[ri_im].set(rs[:, None] * b2[1][prc])
+                y = solve_inner(pool, linv, uinv, bp)
+                yr, yi = y[ri_re], y[ri_im]
+                z = jnp.zeros((n, kb), fdt)
+                return jnp.stack([z.at[pc].set(cs[:, None] * yr),
+                                  z.at[pc].set(cs[:, None] * yi)])
+
+        self._solve_fns[key] = dev_solve
+        return dev_solve
+
+    def _solve_device_cplx(self, b: np.ndarray, squeeze: bool):
+        """Complex device-resident solve entry (numpy in/out): ships one
+        stacked (2, n, kb) real array per bucket, returns complex."""
+        n = self.n
+        rdt = (np.float32 if getattr(self, "_embed", False)
+               else _real_base(self.dtype))
+        k = b.shape[1]
+        cap = self._RHS_BUCKETS[-1]
+        with self.stat.phase("SOLVE"):
+            outs = []
+            for lo in range(0, k, cap):
+                piece = b[:, lo:lo + cap]
+                kp = piece.shape[1]
+                kb = next(c for c in self._RHS_BUCKETS if c >= kp)
+                b2 = np.zeros((2, n, kb), dtype=rdt)
+                b2[0, :, :kp] = piece.real
+                b2[1, :, :kp] = piece.imag
+                x2 = np.asarray(self._device_solve_fn_cplx(kb)(
+                    self.pool, self.linv, self.uinv, jnp.asarray(b2)))
+                x = x2[0] + 1j * x2[1]
+                outs.append(x[:, :kp] if kp < kb else x)
+            x = outs[0] if len(outs) == 1 else np.concatenate(outs, axis=1)
+        x = x.astype(self.dtype)
+        return x[:, 0] if squeeze else x
+
     _RHS_BUCKETS = (1, 8, 32, 128)
 
     def _solve_device(self, b, squeeze: bool, want_device: bool):
@@ -805,17 +951,24 @@ class SparseLU:
 
     def solve(self, b, trans: Trans = Trans.NOTRANS) -> np.ndarray:
         """Single LU solve (no refinement) — ``pdgstrs`` analog."""
+        self._require_factors()
         if trans == Trans.TRANS:
             return self.solve_transposed(b)
         if trans == Trans.CONJ:
             return self.solve_transposed(b, conj=True)
-        if (self._device_solve_ok and not self._use_planar()
-                and not getattr(self, "_embed", False)):
-            import jax
-            want_device = isinstance(b, jax.Array)
-            squeeze = b.ndim == 1
-            bb = b[:, None] if squeeze else b
-            return self._solve_device(bb, squeeze, want_device)
+        if self._device_solve_ok:
+            if not self._use_planar() and not getattr(self, "_embed",
+                                                      False):
+                import jax
+                want_device = isinstance(b, jax.Array)
+                squeeze = b.ndim == 1
+                bb = b[:, None] if squeeze else b
+                return self._solve_device(bb, squeeze, want_device)
+            # complex (embed or planar): device-resident via re/im planes
+            bb = np.asarray(b)
+            squeeze = bb.ndim == 1
+            return self._solve_device_cplx(
+                bb[:, None] if squeeze else bb, squeeze)
         b = np.asarray(b)
         squeeze = b.ndim == 1
         if squeeze:
@@ -1064,35 +1217,72 @@ class SparseLU:
         per dispatch and returns a list of per-level dicts (ms, steps,
         lpanels, upanels, gemms, gflops_model). Each row's wall time
         includes one dispatch + sync, so read the shape, not the sum.
+
+        The profile always runs the level-batched XLA hybrid executor —
+        per-level timing is only meaningful there; fused single-kernel
+        executors (clk/tck/flk) have no level boundary to time (their
+        counters live in stat.counters['clk_*'/'tck_*'/'flk_*']). The
+        current factors are RELEASED first (peak device memory stays ~one
+        pool, the capacity-scale discipline of _device_factor) and the
+        profiled factorization is reinstalled as the live factors — same
+        math, same pool/linv/uinv shapes — so the instance stays
+        solve-ready.
         """
         if self._use_planar():
             raise NotImplementedError(
                 "profile_levels: planar complex executor not supported")
+        if getattr(self, "_a3_data", None) is None:
+            raise RuntimeError(
+                "profile_levels needs the single-chip factorization input "
+                "values, which this instance does not carry (load_factors-"
+                "restored, or a mesh-distributed driver) — use a freshly "
+                "factored single-chip SparseLU")
         from ..ops.kernels import blocklu as _bl
-        rows, _ = _bl.profile_factor_levels(
+        # release-first: holding the old pool while the profiler builds a
+        # fresh one doubles peak memory — exactly what OOMs at capacity
+        self.pool = self.linv = self.uinv = None
+        rows, (pool, linv, uinv, tiny) = _bl.profile_factor_levels(
             self.plan, self._a3_data, self._fdtype, self._thresh(),
             chunk=self.options.gemm_chunk)
+        self.pool, self.linv, self.uinv = pool, linv, uinv
         self.stat.counters["profiled_levels"] = len(rows)
+        self.stat.counters["profiled_executor_is_hybrid"] = 1
         return rows
 
     def rcond_1(self) -> float:
         """Reciprocal 1-norm condition estimate via Hager/Higham iteration
         (the LAPACK dlacn2 algorithm the reference's gscon path wraps),
-        powered by the factorization's solve + transpose solve."""
+        powered by the factorization's solve + transpose solve.
+
+        Follows the dlacn2 contract: at most ITMAX=5 power steps
+        (dlacn2's own cap), stopping early when the estimate stops
+        increasing or the dual test |z|_∞ ≤ zᵀx signals a stationary
+        point, then the alternating-sign probe guards against
+        underestimation. ``stat.counters['rcond_iters']`` records the
+        steps taken and ``'rcond_converged'`` whether a stopping test
+        fired before the cap (0 means the cap was hit — the estimate is
+        still a valid lower bound, as in dlacn2)."""
         n = self.n
         anorm = langs("1", self._A_orig)
         if anorm == 0:
             return 0.0
         x = np.full(n, 1.0 / n)
         est = 0.0
-        for _ in range(5):
+        converged = 0
+        it = 0
+        for it in range(1, 6):
             y = self.solve(x)
-            est = np.abs(y).sum()
+            est_new = float(np.abs(y).sum())
+            if it > 1 and est_new <= est:
+                converged = 1          # estimate stopped increasing
+                break
+            est = max(est, est_new)
             xi = np.sign(y)
             xi[xi == 0] = 1.0
             z = self.solve_transposed(xi)
             j = int(np.argmax(np.abs(z)))
             if np.abs(z[j]) <= float(np.real(np.vdot(z, x))):
+                converged = 1          # stationary point of the dual
                 break
             x = np.zeros(n)
             x[j] = 1.0
@@ -1100,6 +1290,8 @@ class SparseLU:
         v = np.array([(-1.0) ** i * (1.0 + i / max(n - 1, 1))
                       for i in range(n)])
         est = max(est, 2.0 * np.abs(self.solve(v)).sum() / (3.0 * n))
+        self.stat.counters["rcond_iters"] = it
+        self.stat.counters["rcond_converged"] = converged
         return float(1.0 / (anorm * est)) if est > 0 else 0.0
 
     # ------------------------------------------------------------------

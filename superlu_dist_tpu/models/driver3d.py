@@ -32,6 +32,10 @@ class Distributed3DSparseLU(SparseLU):
     _device_solve_ok = False
     """3D (z × r × c) distributed factorization."""
 
+    def _align_standdown(self) -> bool:
+        # level-batched 3D executor wants the etree-aligned schedule
+        return False
+
     def __init__(self, A: sp.spmatrix, grid: Grid3D,
                  options: Optional[Options] = None,
                  stat: Optional[Stats] = None):

@@ -527,11 +527,15 @@ def _factor_executor(b: Buckets, chunk: int, diag_chunk: int):
 # (measured: peak temp = 2.02x pool — the n=1e6 pool is 12.9 GiB, so the
 # copies alone OOM a 16 GiB chip). Explicitly pinning boundary layouts
 # (jax.experimental.layout.Format) is not reliably honored through this
-# remote-compile stack, so the capacity path removes the boundary instead:
-# one fused executable scatters the nnz value stream into a fresh pool and
-# factors it in place (build_factor_values_fn); downstream solves
-# specialize on whatever output layout XLA chose. This is the analog of
-# the reference's factor-in-place storage discipline (dLocalLU_t,
+# remote-compile stack. Two routes avoid the copies; the DEFAULT capacity
+# route (driver.py _device_factor) is the separated path — init_pool's
+# device scatter + the donated-pool executor below, which measured
+# copy-free at n=885k. build_factor_values_fn is the opt-in
+# (SLU_TPU_FUSED_INIT=1) fused variant: one executable scatters the nnz
+# value stream into a fresh pool and factors it in place, removing the
+# boundary entirely — useful when a future toolchain regresses the
+# donated-path layouts. Both are the analog of the reference's
+# factor-in-place storage discipline (dLocalLU_t,
 # superlu_ddefs.h:97-307 — never two copies of the factors).
 
 
@@ -540,9 +544,27 @@ def _values_factor_core(b: Buckets, chunk: int, diag_chunk: int):
     bs = b.bs
 
     def factor_values(slot, off, vals, thresh, tapes: FactorTapes):
-        flat = jnp.zeros((b.poolp, bs * bs), vals.dtype)
-        flat = flat.at[slot, off].add(vals)
-        return core(flat.reshape(b.poolp, bs, bs), thresh, tapes)
+        # Same two layout rules as _pool_scatter_device: scatter directly
+        # in the 3D (poolp, bs, bs) shape (a flat scatter + reshape makes
+        # XLA materialize the pool twice — 13.3 GiB temp at n=885k), and
+        # chunk the update stream so the sort-lowering temps are bounded
+        # by the chunk, not the nnz. staged_values pads the stream to a
+        # chunk multiple with trash-slot zero-adds.
+        r = off // bs
+        c = off % bs
+        pool = jnp.zeros((b.poolp, bs, bs), vals.dtype)
+        n = slot.shape[0]
+        ch = min(_INIT_SCATTER_CHUNK, n)
+
+        def body(i, pool):
+            sl = lax.dynamic_slice(slot, (i * ch,), (ch,))
+            rr = lax.dynamic_slice(r, (i * ch,), (ch,))
+            cc = lax.dynamic_slice(c, (i * ch,), (ch,))
+            vv = lax.dynamic_slice(vals, (i * ch,), (ch,))
+            return pool.at[sl, rr, cc].add(vv)
+
+        pool = lax.fori_loop(0, -(-n // ch), body, pool)
+        return core(pool, thresh, tapes)
 
     return factor_values
 
@@ -565,6 +587,10 @@ def staged_values(plan: SymbolicPlan, a_data, dtype):
     bb = plan.bs * plan.bs
     idx = np.asarray(plan.init_idx)
     npad = bucket125(len(idx) + 1)
+    if npad > _INIT_SCATTER_CHUNK:
+        # the fused core slices the stream in _INIT_SCATTER_CHUNK pieces;
+        # a non-multiple length would make the clamped tail re-add values
+        npad = -(-npad // _INIT_SCATTER_CHUNK) * _INIT_SCATTER_CHUNK
     slot = np.full(npad, plan.trash_slot, dtype=np.int32)
     off = np.zeros(npad, dtype=np.int32)
     slot[: len(idx)] = idx // bb

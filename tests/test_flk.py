@@ -48,6 +48,9 @@ def _adversarial(n, nnz_per_row, seed):
 # structured + one adversarial case fast and mark the rest slow
 CASES = [
     ("lap3d12", lambda: testing.laplacian_3d(12).tocsc()),
+    # one small adversarial pattern stays in the fast set so
+    # pattern-irregular flk scheduling is covered by default
+    ("adv300", lambda: _adversarial(300, 4, 0)),
     pytest.param("adv600", lambda: _adversarial(600, 4, 0),
                  marks=pytest.mark.slow),
     pytest.param("lap2d24", lambda: testing.laplacian_2d(24).tocsc(),
@@ -57,7 +60,9 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("name,make", CASES, ids=["lap3d12", "adv600", "lap2d24", "adv900"])
+@pytest.mark.parametrize("name,make", CASES,
+                         ids=["lap3d12", "adv300", "adv600", "lap2d24",
+                              "adv900"])
 def test_flk_matches_f64_truth(name, make):
     A = make()
     plan = block_symbolic(A, 128)

@@ -53,8 +53,9 @@ _WORKER = textwrap.dedent("""
 """)
 
 
-@pytest.mark.slow
 def test_two_process_cpu_mesh(tmp_path):
+    # ~13 s wall (measured) — runs in the default suite: multi-process
+    # execution is a headline capability, not a slow-bucket extra
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]

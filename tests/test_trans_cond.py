@@ -49,6 +49,25 @@ def test_rcond(lu_and_A):
     assert truth / 30 < est < truth * 30
 
 
+def test_rcond_ill_conditioned_tight():
+    """Pin the dlacn2-style estimator on a hard case: a geometrically
+    graded diagonal plus off-diagonal coupling (cond ~ 1e8). The Hager
+    iteration must land within 10% of the exact dense 1-norm value and
+    report its convergence state."""
+    n = 120
+    rng = np.random.default_rng(3)
+    grades = np.logspace(0, -8, n)
+    A = sp.diags(grades).tocsc() + 1e-10 * sp.csc_matrix(
+        random_sparse(n, density=0.05, seed=13, diag_dominant=False))
+    lu = SparseLU(A, Options(dtype="float64", block_size=16))
+    est = lu.rcond_1()
+    truth = 1.0 / (langs("1", A)
+                   * np.abs(np.linalg.inv(A.toarray())).sum(axis=0).max())
+    assert 0.9 * truth < est < 1.1 * truth, (est, truth)
+    assert lu.stat.counters["rcond_iters"] >= 1
+    assert lu.stat.counters["rcond_converged"] in (0, 1)
+
+
 def test_langs():
     A = sp.csc_matrix(np.array([[1.0, -2.0], [0.0, 3.0]]))
     assert langs("M", A) == 3.0
