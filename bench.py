@@ -265,10 +265,22 @@ def bench_matrix(name, A, opts, reps):
 
 
 def bench_dist():
-    """Distributed-path wall time + collective-volume capture on a
-    virtual 8-device mesh (SLU_TPU_BENCH_MATRIX=dist; the driver has one
-    real chip, so the mesh is CPU — the number tracks the SPMD program's
-    structure, not TPU silicon)."""
+    """Distributed-path capture on the etree-ALIGNED production-scale
+    plans (SLU_TPU_BENCH_MATRIX=dist), on a virtual 8-device mesh (the
+    driver has one real chip, so the mesh is CPU).
+
+    What each number means there:
+      - wall times track the SPMD program's structure only (8 virtual
+        devices oversubscribe the host cores) — no efficiency claims;
+      - comm_volume counters ARE meaningful: exact collective payload of
+        the compiled program (factor psums + compact solve psums);
+      - correctness is checked against float64 scipy.
+
+    Rows: (a) executed — aligned lap3d32, n=32768, B=128, 2x4 mesh (the
+    EXAMPLE/pddrive3d.c-class run, reference pdgstrf3d.c:121-439);
+    (b) plan-only — aligned lap3d50, n=125000 (the 56-level plan):
+    per-level parallelism + comm volume from the host partition, no
+    mesh execution needed."""
     import jax
 
     # force the virtual CPU mesh BEFORE backend init (same mechanism as
@@ -284,58 +296,81 @@ def bench_dist():
         except RuntimeError:
             pass
     import jax.numpy as jnp
+    import scipy.sparse.linalg as spla
     from superlu_dist_tpu import Options
     from superlu_dist_tpu.models.dist_driver import DistributedSparseLU
+    from superlu_dist_tpu.ops.host.align import (aligned_blocking,
+                                                 expand_matrix)
+    from superlu_dist_tpu.ops.host.ordering import geometric_nd
+    from superlu_dist_tpu.ops.host.symbolic import block_symbolic
+    from superlu_dist_tpu.parallel.dist2d import partition_plan
     from superlu_dist_tpu.parallel.grid import Grid2D
-    from superlu_dist_tpu.utils.testing import laplacian_2d
+    from superlu_dist_tpu.utils.options import ColPerm
+    from superlu_dist_tpu.utils.testing import laplacian_3d
 
-    A = laplacian_2d(64)                         # n = 4096
+    # ---- row (a): executed aligned run, n = 32768 ----
+    nx = 32
+    A = laplacian_3d(nx)
     n = A.shape[0]
     rng = np.random.default_rng(0)
     b = np.asarray(A @ rng.standard_normal(n))
-
-    # strong-scaling row: the SAME SPMD program on 1x1 vs 2x4 virtual
-    # devices (wall time on a CPU mesh tracks program structure, the
-    # comm_volume counters track the collective payload — the
-    # methodology row for BASELINE.md's >=70% scaling-efficiency target
-    # once real multi-chip hardware is attached)
-    rows = {}
-    for pr, pc in ((1, 1), (2, 4)):
-        t0 = time.time()
-        lu = DistributedSparseLU(A, Grid2D(pr, pc),
-                                 Options(dtype="float32", block_size=32))
-        t_first = time.time() - t0
+    x_ref = spla.spsolve(A.tocsc().astype(np.float64), b)
+    opts = Options(dtype="float32", block_size=128,
+                   col_perm=ColPerm.MY_PERMC,
+                   user_colperm=geometric_nd((nx, nx, nx)))
+    t0 = time.time()
+    lu = DistributedSparseLU(A, Grid2D(2, 4), opts)
+    t_first = time.time() - t0
+    assert lu._expand is not None, "bench dist must run an aligned plan"
+    plan = lu.plan
+    x = lu.solve(b)
+    t0 = time.perf_counter()
+    for _ in range(3):
         x = lu.solve(b)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            x = lu.solve(b)
-        t_solve = (time.perf_counter() - t0) / 3
-        # steady-state factor wall time (tape re-run on the mesh)
-        import jax.numpy as _jnp
-        thresh = _jnp.asarray(lu._thresh(), dtype=np.float32)
-        pools, _l, _u, _t = lu._factor_fn(lu.pool, thresh, lu.tapes)
-        pools.block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(3):
-            pools, _l, _u, _t = lu._factor_fn(pools, thresh, lu.tapes)
-        pools.block_until_ready()
-        t_fact = (time.perf_counter() - t0) / 3
-        resid = float(np.abs(A @ x - b).max() / np.abs(b).max())
-        cnt = lu.stat.counters
-        log(f"[dist2d {pr}x{pc}] n={n} first factor {t_first:.1f}s  "
-            f"steady factor {t_fact*1e3:.1f} ms  solve {t_solve*1e3:.1f} "
-            f"ms  resid {resid:.1e}  "
-            f"factor_psum {cnt.get('factor_psum_bytes', 0)/2**20:.2f} MiB  "
-            f"solve_psum {cnt.get('solve_psum_bytes', 0)/2**20:.2f} MiB")
-        rows[(pr, pc)] = (t_fact, t_solve)
-    eff = rows[(1, 1)][0] / (rows[(2, 4)][0] * 8)
-    log(f"[dist2d] 1x1 -> 2x4 factor wall ratio "
-        f"{rows[(1, 1)][0] / rows[(2, 4)][0]:.2f}x "
-        f"(parallel efficiency {eff:.2f} on the CPU mesh)")
+    t_solve = (time.perf_counter() - t0) / 3
+    # steady-state factor wall time (tape re-run on the mesh)
+    thresh = jnp.asarray(lu._thresh(), dtype=np.float32)
+    pools, _l, _u, _t = lu._factor_fn(lu.pool, thresh, lu.tapes)
+    pools.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        pools, _l, _u, _t = lu._factor_fn(pools, thresh, lu.tapes)
+    pools.block_until_ready()
+    t_fact = (time.perf_counter() - t0) / 3
+    err = float(np.abs(x - x_ref).max() / np.abs(x_ref).max())
+    cnt = lu.stat.counters
+    fac_mib = cnt.get("factor_psum_bytes", 0) / 2**20
+    sol_mib = cnt.get("solve_psum_bytes", 0) / 2**20
+    log(f"[dist2d 2x4 ALIGNED lap3d32] n={n} B=128 "
+        f"levels={plan.n_flevels} steps/lvl={plan.nb / plan.n_flevels:.1f}  "
+        f"first factor {t_first:.1f}s  steady factor {t_fact:.2f}s  "
+        f"solve {t_solve*1e3:.1f} ms  vs-scipy err {err:.1e}  "
+        f"factor_psum {fac_mib:.0f} MiB  solve_psum {sol_mib:.2f} MiB  "
+        f"(CPU-mesh wall times track program structure, not silicon)")
+    assert err < 1e-5, f"dist bench mismatch vs scipy: {err}"
+
+    # ---- row (b): plan-only comm volume for the 56-level n=125k plan ----
+    nx5 = 50
+    A5 = laplacian_3d(nx5)
+    pc5 = geometric_nd((nx5, nx5, nx5))
+    A5p = A5[pc5, :][:, pc5].tocsc()
+    t0 = time.time()
+    r5 = aligned_blocking(A5p, 128, max_inflate=np.inf)
+    A5e = expand_matrix(A5p[r5.po, :][:, r5.po], r5.expand, r5.n_e)
+    plan5 = block_symbolic(A5e, 128)
+    dp5 = partition_plan(plan5, 2, 4)
+    t_plan = time.time() - t0
+    vol5 = dp5.comm_volume(4)
+    log(f"[dist2d 2x4 ALIGNED lap3d50 plan-only] n={A5.shape[0]} B=128 "
+        f"levels={plan5.n_flevels} "
+        f"steps/lvl={plan5.nb / plan5.n_flevels:.1f}  "
+        f"host plan+partition {t_plan:.1f}s  "
+        f"factor_psum {vol5['factor_psum_bytes']/2**30:.2f} GiB  "
+        f"solve_psum {vol5['solve_psum_bytes']/2**20:.2f} MiB")
     print(json.dumps({
-        "metric": "dist2d_2x4_solve_ms_lap2d64",
-        "value": round(rows[(2, 4)][1] * 1e3, 2), "unit": "ms",
-        "vs_baseline": round(rows[(1, 1)][1] / rows[(2, 4)][1], 3),
+        "metric": "dist2d_2x4_solve_ms_lap3d32_aligned",
+        "value": round(t_solve * 1e3, 2), "unit": "ms",
+        "vs_baseline": round(fac_mib / 1024, 3),
     }))
 
 

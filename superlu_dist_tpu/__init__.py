@@ -31,6 +31,16 @@ if _cache:
     _jax.config.update("jax_compilation_cache_dir", _cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# Keep Python-traceback source locations OUT of lowered programs: the
+# Mosaic kernel payload embeds MLIR location metadata, so two byte-identical
+# factorization programs traced from different user call sites (or even the
+# same site twice in one process) serialize differently and defeat the
+# persistent compile cache — the dominant first-touch cost (measured: a
+# same-bucket matrix re-compiled 245 s instead of hitting cache in <10 s).
+# Opt back in for debugging with SLU_TPU_FULL_TRACEBACKS=1.
+if _os.environ.get("SLU_TPU_FULL_TRACEBACKS", "") != "1":
+    _jax.config.update("jax_include_full_tracebacks_in_locations", False)
+
 from .version import __version__, get_version_number
 from .utils.options import (ColPerm, DiagScale, Equil, Fact, IterRefine,
                             Options, RowPerm, Trans, set_default_options,
