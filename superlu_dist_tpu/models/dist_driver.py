@@ -19,7 +19,7 @@ import scipy.sparse as sp
 
 import jax.numpy as jnp
 
-from ..utils.options import Options
+from ..utils.options import Options, Trans
 from ..utils.stats import Stats
 from ..parallel import dist2d
 from ..parallel.grid import Grid2D
@@ -30,9 +30,12 @@ class DistributedSparseLU(SparseLU):
 
     _fused_refine_ok = True    # in-mesh fused refinement (see below)
     _device_solve_ok = False
-    _embed_ok = False
-    #: the distributed executors use native complex (CPU-mesh capable);
-    #: planar recasting of the distributed path is not implemented yet
+    #: complex64 rides the real ring embedding on TPU meshes (the f32
+    #: collective/RDMA machinery reused unchanged; reference parity:
+    #: SRC/complex16/pzgstrf.c on the same 2D grid); complex128 (and the
+    #: CPU mesh default) stays native complex. Planar recasting of the
+    #: distributed path is not implemented.
+    _embed_ok = True
     _planar = False
     """2D block-cyclic distributed factorization (pdgssvx analog)."""
 
@@ -55,18 +58,87 @@ class DistributedSparseLU(SparseLU):
     # the results; every process then rebuilds its cheap local state
     # (permuted matrix, partition, tapes) deterministically.
 
+    def _ingest_input(self, A):
+        """Sharded NRLoc input (``local=True`` chunks, one set per
+        process): keep the input distributed. Values are gathered ONLY to
+        process 0 (device-side collective; the pdgssvx.c:768-794 gather
+        role for rowperm/symbolic) and the pool is later built straight
+        from the local chunks (dReDistribute_A analog). Non-partial
+        NRLoc / plain matrices use the inherited host gather."""
+        from ..parallel import multihost as mh
+        from ..utils.nrloc import NRLocMatrix
+        self._nrloc = None
+        if isinstance(A, NRLocMatrix) and A.local:
+            if mh.process_count() == 1:
+                raise ValueError("local=True NRLoc input requires "
+                                 "multi-process execution")
+            self._nrloc = A
+            n = A.n
+            ii, jj, vv = [], [], []
+            for fst, M in A.chunks:
+                C = M.tocoo()
+                ii.append(C.row.astype(np.int64) + fst)
+                jj.append(C.col.astype(np.int64))
+                vv.append(C.data)
+            rows = np.concatenate(ii) if ii else np.empty(0, np.int64)
+            cols = np.concatenate(jj) if jj else np.empty(0, np.int64)
+            vals = np.concatenate(vv) if vv else np.empty(0)
+            Ag = dist2d.gather_values_to0(self.grid, rows, cols, vals, n,
+                                          vals.dtype if len(vals)
+                                          else np.float64)
+            # process 0 preprocesses on the gathered matrix; the others
+            # keep only their local rows (O(local nnz) host memory)
+            return Ag if mh.process_index() == 0 else A.to_partial_csc()
+        return super()._ingest_input(A)
+
+    def _refine_hostloop(self, b, x0, **kw):
+        from ..parallel import multihost as mh
+        if self._nrloc is not None and mh.process_count() > 1:
+            raise NotImplementedError(
+                "host-loop refinement needs global A values; with sharded "
+                "NRLoc input use real dtypes (in-mesh fused refinement) "
+                "or pass a gathered matrix")
+        return super()._refine_hostloop(b, x0, **kw)
+
+    def _berr(self, x, b, trans=Trans.NOTRANS):
+        from ..parallel import multihost as mh
+        if self._nrloc is not None and mh.process_count() > 1:
+            raise NotImplementedError(
+                "componentwise berr on the host needs global A; with "
+                "sharded NRLoc input run refine() (in-mesh berr) instead")
+        return super()._berr(x, b, trans)
+
     def _preprocess(self, A, reuse_perms: bool, reuse_colperm: bool):
         from ..parallel import multihost as mh
+        if (self._nrloc is not None and mh.process_count() > 1
+                and (reuse_perms or reuse_colperm)):
+            raise NotImplementedError(
+                "factor-reuse staging with sharded NRLoc input is not "
+                "supported yet — re-gather or re-create the driver")
         if mh.process_count() == 1 or reuse_perms:
             return super()._preprocess(A, reuse_perms, reuse_colperm)
         if mh.process_index() == 0:
             A3 = super()._preprocess(A, reuse_perms, reuse_colperm)
+            extras = dict(
+                anorm=float(np.abs(A3.data).max()) if A3.nnz else 1.0,
+                anorm1=float(np.abs(A).sum(axis=0).max()),
+                nz=int(A.getnnz(axis=1).max()))
             mh.bcast_obj((self.row_scale, self.col_scale, self.rowperm,
                           self.colperm, self._expand, self._n_e,
-                          self.equed))
+                          self.equed, extras))
+            self._anorm_global = extras["anorm"]
+            self._anorm1_global = extras["anorm1"]
+            self._nz_global = extras["nz"]
             return A3
         (self.row_scale, self.col_scale, self.rowperm, self.colperm,
-         self._expand, self._n_e, self.equed) = mh.bcast_obj()
+         self._expand, self._n_e, self.equed, extras) = mh.bcast_obj()
+        self._anorm_global = extras["anorm"]
+        self._anorm1_global = extras["anorm1"]
+        self._nz_global = extras["nz"]
+        if self._nrloc is not None:
+            # sharded input: no global A3 view exists here; the pool is
+            # built from the local chunks in _device_factor
+            return sp.csc_matrix((self.n, self.n))
         A3 = A.multiply(self.row_scale[:, None]) \
              .multiply(self.col_scale[None, :]).tocsc()
         A3 = A3[self.rowperm, :][self.colperm, :][:, self.colperm]
@@ -100,10 +172,25 @@ class DistributedSparseLU(SparseLU):
             self.stapes = tuple(
                 mh.shard(mesh, spec_rc, t)
                 for t in dist2d.make_dist_solve_tapes(self.dplan))
-            pools = dist2d.init_local_pools(plan, self.dplan, A3,
-                                            self.dtype, self.grid)
+            if self._nrloc is not None and mh.process_count() > 1:
+                # sharded input: map local chunk entries straight to
+                # (owner device, pool offset) and exchange device-side
+                # (dReDistribute_A, pddistribute.c:66-433) — no global
+                # A3 values on this host
+                dev, off, val = dist2d.nrloc_entry_offsets(
+                    plan, self.dplan, self._nrloc.chunks,
+                    self.row_scale, self.col_scale, self.rowperm,
+                    self.colperm, self._expand, self._n_e, self.n,
+                    embed=getattr(self, "_embed", False),
+                    with_identity=mh.process_index() == 0)
+                pools = dist2d.init_local_pools_nrloc(
+                    plan, self.dplan, self.grid, dev, off, val,
+                    self._fdtype)
+            else:
+                pools = dist2d.init_local_pools(plan, self.dplan, A3,
+                                                self._fdtype, self.grid)
             if (opts.dist_executor == "rdma"
-                    and np.dtype(self.dtype) == np.float32):
+                    and np.dtype(self._fdtype) == np.float32):
                 # fused one-kernel-per-device executor with remote-DMA
                 # panel/inverse broadcasts (ICI puts on hardware;
                 # interpret-simulated on the CPU mesh)
@@ -116,7 +203,7 @@ class DistributedSparseLU(SparseLU):
                 self._factor_fn = dist2d.build_dist_factor_fn(
                     plan, self.dplan, self.grid, chunk=opts.gemm_chunk)
             stat.counters.update(self.dplan.comm_volume(
-                np.dtype(self.dtype).itemsize))
+                np.dtype(self._fdtype).itemsize))
 
         with stat.phase("FACT"):
             thresh = mh.replicate(mesh, np.asarray(
@@ -132,7 +219,7 @@ class DistributedSparseLU(SparseLU):
     def _solve_fn(self, nrhs: int):
         if nrhs not in self._solve_fns:
             if (self.options.dist_executor == "rdma"
-                    and np.dtype(self.dtype) == np.float32):
+                    and np.dtype(self._fdtype) == np.float32):
                 import jax
                 from ..parallel import dist2d_rdma
                 interp = jax.devices()[0].platform != "tpu"
@@ -181,7 +268,7 @@ class DistributedSparseLU(SparseLU):
         rows_pad = self._bpad_rows()
         ridx = jnp.asarray(self._rows_idx)
         eps = _real_eps(rdt)
-        nz = int(self._A_orig.getnnz(axis=1).max()) + 1
+        nz = self._max_row_nnz() + 1
         safe1 = nz * np.finfo(np.float64).tiny
         safe2 = safe1 / np.finfo(np.float64).eps
         itmax = self.options.max_refine_steps
@@ -191,13 +278,27 @@ class DistributedSparseLU(SparseLU):
         run = dist2d.solve_sweeps_core(plan, dplan, nrhs,
                                        chunk=self.options.gemm_chunk)
         pr, pc_ = grid.nprow, grid.npcol
-        rows, cols, vals = dist2d.make_coo_shards(
-            self._A_orig, pr * pc_, np.dtype(rdt))
-        m = rows.shape[-1]
-        coo_shards = tuple(
-            mh.shard(grid.mesh, P(R_AXIS, C_AXIS), a.reshape(pr, pc_, m))
-            for a in (rows, cols, vals))
-        stapes = self.stapes
+
+        def build_coo_shards():
+            """Mesh-sharded COO of the CURRENT matrix — re-captured per
+            factorization epoch so a refactor() refines against the new
+            values (a stale closure here silently refined against the
+            OLD matrix; caught by the pdtest reuse sweep)."""
+            if self._nrloc is not None and mh.process_count() > 1:
+                # sharded input: each process's devices carry its local
+                # rows (pdgsmv_init from local data; no global COO)
+                shards3 = dist2d.make_coo_shards_nrloc(
+                    self._nrloc.chunks, n, grid, np.dtype(rdt))
+                return tuple(
+                    mh.shard(grid.mesh, P(R_AXIS, C_AXIS), a)
+                    for a in shards3)
+            rows, cols, vals = dist2d.make_coo_shards(
+                self._A_orig, pr * pc_, np.dtype(rdt))
+            m = rows.shape[-1]
+            return tuple(
+                mh.shard(grid.mesh, P(R_AXIS, C_AXIS),
+                         a.reshape(pr, pc_, m))
+                for a in (rows, cols, vals))
 
         def spmd(pools, linvL, uinvL, *args):
             tapes = tuple(t[0, 0] for t in args[:16])
@@ -258,47 +359,111 @@ class DistributedSparseLU(SparseLU):
                       b, x0: fn(pool, linv, uinv, *st, *coo,
                                 prc, pcp, rs, cs, b, x0))
 
+        state = {"epoch": None, "coo": None}
+
         def refine(pool, linv, uinv, _vals, prc, pcp, rs, cs, b, x0):
+            epoch = getattr(self, "_factor_epoch", 0)
+            if state["epoch"] != epoch:
+                state["coo"] = build_coo_shards()
+                state["epoch"] = epoch
             if mh.process_count() > 1:
                 prc, pcp, rs, cs, b, x0 = (
                     mh.replicate(grid.mesh, np.asarray(a))
                     for a in (prc, pcp, rs, cs, b, x0))
-            return jfn(pool, linv, uinv, stapes, coo_shards,
+            return jfn(pool, linv, uinv, self.stapes, state["coo"],
                        prc, pcp, rs, cs, b, x0)
 
         self._solve_fns[key] = refine
         return refine
 
-    def solve_transposed(self, b, conj: bool = False) -> np.ndarray:
-        """Aᵀ solves need distributed transpose tapes, which are not built
-        for the mesh-sharded pool; the inherited single-device path would
-        crash deep in the executor with a shape mismatch."""
-        raise NotImplementedError(
-            "transpose solve is not supported by the distributed drivers "
-            "yet; use the single-chip SparseLU for Trans.TRANS/CONJ")
+    def _trans_solve_fn(self, nrhs: int):
+        """Distributed Aᵀ solve executor, slotted into the inherited
+        ``solve_transposed`` host pipeline (same 6-argument signature as
+        the single-chip executor; the single-chip transpose tapes are
+        stubbed out — the mesh tapes ship as closure state)."""
+        key = ("T", nrhs)
+        if key not in self._solve_fns:
+            from jax.sharding import PartitionSpec as P
+            from ..parallel import multihost as mh
+            from ..parallel.grid import C_AXIS, R_AXIS
+            if not hasattr(self, "_ttapes"):
+                self.tplan = dist2d.trans_partition_plan(self.plan,
+                                                         self.dplan)
+                self._ttapes = tuple(
+                    mh.shard(self.grid.mesh, P(R_AXIS, C_AXIS), t)
+                    for t in dist2d.make_dist_trans_tapes(self.tplan))
+                # satisfy the base solve_transposed's tape staging without
+                # building the (unused) single-chip tapes
+                self.ttape_u = self.ttape_l = None
+            core = dist2d.build_dist_trans_solve_fn(
+                self.plan, self.dplan, self.tplan, self.grid, nrhs,
+                chunk=self.options.gemm_chunk)
 
-    def rcond_1(self) -> float:
-        raise NotImplementedError(
-            "rcond_1 needs transpose solves, which the distributed drivers "
-            "do not support yet")
+            def wrapper(pool, uinv, linv, _tu, _tl, bp):
+                return core(pool, linv, uinv, self._ttapes,
+                            mh.replicate(self.grid.mesh, np.asarray(bp)))
+
+            self._solve_fns[key] = wrapper
+        return self._solve_fns[key]
 
     def diag_u(self) -> np.ndarray:
-        """Diagonal of U gathered from the distributed pool."""
-        import jax
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "diag_u needs the full pool on one host; gather factors "
-                "with save_factors per process instead")
-        pool = np.asarray(self.pool)   # (pr, pc, n_local, B, B)
-        plan, dplan = self.plan, self.dplan
-        bs, nb = plan.bs, plan.nb
-        out = np.empty(nb * bs, dtype=pool.dtype)
-        for k in range(nb):
-            s = plan.diag_slot[k]
-            d = dplan.owner_dev[s]
-            r, c = divmod(int(d), dplan.pc)
-            blk = pool[r, c, dplan.local_slot[s]]
-            out[k * bs:(k + 1) * bs] = np.diag(blk)
+        """Diagonal of U gathered in-mesh: every device contributes its
+        owned diagonal rows into a replicated psum buffer, so no host ever
+        needs the full pool (works multi-process; reference:
+        pdGetDiagU.c's gather over the process grid)."""
+        key = "DIAGU"
+        if key not in self._solve_fns:
+            import jax
+            from jax import lax
+            from jax.sharding import PartitionSpec as P
+            from jax import shard_map
+            from ..parallel import multihost as mh
+            from ..parallel.grid import C_AXIS, R_AXIS
+            plan, dplan = self.plan, self.dplan
+            bs, nb = plan.bs, plan.nb
+            ndev = dplan.pr * dplan.pc
+            dev = np.asarray(dplan.owner_dev)[np.asarray(plan.diag_slot)]
+            loc = np.asarray(dplan.local_slot)[np.asarray(plan.diag_slot)]
+            maxk = max(1, int(np.bincount(dev, minlength=ndev).max()))
+            ks = np.full((ndev, maxk), nb, dtype=np.int32)
+            ls = np.zeros((ndev, maxk), dtype=np.int32)
+            fill = np.zeros(ndev, dtype=np.int64)
+            for k in range(nb):
+                d = int(dev[k])
+                ks[d, fill[d]] = k
+                ls[d, fill[d]] = loc[k]
+                fill[d] += 1
+            sh = (dplan.pr, dplan.pc, maxk)
+            tk = mh.shard(self.grid.mesh, P(R_AXIS, C_AXIS),
+                          jnp.asarray(ks.reshape(sh)))
+            tl = mh.shard(self.grid.mesh, P(R_AXIS, C_AXIS),
+                          jnp.asarray(ls.reshape(sh)))
+
+            emb = getattr(self, "_embed", False)
+
+            def spmd(pools, ks, ls):
+                pool = pools[0, 0]
+                blocks = pool[ls[0, 0]]
+                d = jnp.diagonal(blocks, axis1=-2, axis2=-1)
+                out = jnp.zeros((nb + 1, bs), pool.dtype).at[ks[0, 0]].set(d)
+                out = lax.psum(lax.psum(out[:nb], R_AXIS), C_AXIS)
+                if not emb:
+                    return out, out
+                # embedded blocks also carry Im(U_kk) at (2j+1, 2j)
+                s = blocks[:, jnp.arange(1, bs, 2), jnp.arange(0, bs, 2)]
+                sub = jnp.zeros((nb + 1, bs // 2),
+                                pool.dtype).at[ks[0, 0]].set(s)
+                return out, lax.psum(lax.psum(sub[:nb], R_AXIS), C_AXIS)
+
+            fn = shard_map(spmd, mesh=self.grid.mesh,
+                           in_specs=(P(R_AXIS, C_AXIS),) * 3,
+                           out_specs=(P(), P()), check_vma=False)
+            self._solve_fns[key] = jax.jit(
+                lambda pool: fn(pool, tk, tl))
+        d, s = self._solve_fns[key](self.pool)
+        out = np.asarray(d).reshape(-1)
+        if getattr(self, "_embed", False):
+            out = out[0::2] + 1j * np.asarray(s).reshape(-1)
         return out[self._diag_sel()]
 
 

@@ -149,9 +149,7 @@ class SparseLU:
         from ..utils.options import apply_env_overrides
         self.options = apply_env_overrides(options or Options())
         self.stat = stat or Stats()
-        from ..utils.nrloc import NRLocMatrix
-        if isinstance(A, NRLocMatrix):
-            A = A.to_global()   # dGatherNRformat_loc3d role
+        A = self._ingest_input(A)
         A = sp.csc_matrix(A)
         if A.shape[0] != A.shape[1]:
             raise ValueError("SparseLU requires a square matrix")
@@ -165,6 +163,15 @@ class SparseLU:
     # ------------------------------------------------------------------
     # preprocessing + factorization
     # ------------------------------------------------------------------
+
+    def _ingest_input(self, A):
+        """Input normalization hook. The single-chip driver gathers
+        NRLoc chunks host-side (dGatherNRformat_loc3d role); the
+        distributed drivers override to keep partial input sharded."""
+        from ..utils.nrloc import NRLocMatrix
+        if isinstance(A, NRLocMatrix):
+            return A.to_global()
+        return A
 
     def _preprocess(self, A: sp.spmatrix, reuse_perms: bool,
                     reuse_colperm: bool) -> sp.csc_matrix:
@@ -316,7 +323,12 @@ class SparseLU:
         # complex columns), so resolve it before preprocessing
         self._embed = self._use_embed()
         A3 = self._preprocess(A, reuse_perms, reuse_colperm)
-        self._anorm = float(np.abs(A3.data).max()) if A3.nnz else 1.0
+        # sharded-input processes receive the global norm via broadcast
+        # (their A3 view is partial/absent)
+        if getattr(self, "_anorm_global", None) is not None:
+            self._anorm = self._anorm_global
+        else:
+            self._anorm = float(np.abs(A3.data).max()) if A3.nnz else 1.0
 
         # complex64 on TPU: factor the real ring embedding a+bi ->
         # [[a,-b],[b,a]] (interleaved 2x2 blocks) so the complex
@@ -354,6 +366,9 @@ class SparseLU:
         stat.peak_buffer_bytes = max(stat.peak_buffer_bytes,
                                      plan.pool_bytes(self._fdtype))
 
+        # epoch counter: lets cached per-nrhs closures (the distributed
+        # fused refine) detect a refactor and re-capture value state
+        self._factor_epoch = getattr(self, "_factor_epoch", 0) + 1
         self._device_factor(A3)
         stat.ops["FACT"] += plan.factor_flops
 
@@ -771,6 +786,10 @@ class SparseLU:
         plan, n = self.plan, self.n
         fdt = jnp.dtype(self._fdtype)
         rows_pad = self._bpad_rows()
+        # plan-specific arrays ride as OPERANDS, not closure constants:
+        # baked-in perms/tapes made every matrix's solve HLO unique, which
+        # defeated the persistent compile cache (measured: same-bucket
+        # matrix paid a fresh ~95 s jit_dev_solve compile)
         ridx = jnp.asarray(self._rows_idx)
         prc = jnp.asarray(self.rowperm[self.colperm])
         pc = jnp.asarray(self.colperm)
@@ -787,26 +806,30 @@ class SparseLU:
                 plan, kb, chunk=min(self.options.gemm_chunk, 16),
                 interpret=interp)
 
-            def solve_inner(pool, linv, uinv, bp):
+            def solve_inner(pool, linv, uinv, bp, t1, t2):
                 bw = jnp.zeros((rows_pad, W), fdt).at[:, :kb].set(bp)
-                return sfn(pool, linv, uinv, tl, tu, bw)[:, :kb]
+                return sfn(pool, linv, uinv, t1, t2, bw)[:, :kb]
         else:
             core = _blocklu.build_solve_core(
                 plan, kb, chunk=self.options.gemm_chunk)
-            ltape, utape = self.ltape, self.utape
+            tl, tu = self.ltape, self.utape
 
-            def solve_inner(pool, linv, uinv, bp):
-                return core(pool, linv, uinv, ltape, utape, bp)
+            def solve_inner(pool, linv, uinv, bp, t1, t2):
+                return core(pool, linv, uinv, t1, t2, bp)
 
         @jax.jit
-        def dev_solve(pool, linv, uinv, b):
+        def dev_solve(pool, linv, uinv, b, ridx, prc, pc, rs, cs, t1, t2):
             bp = jnp.zeros((rows_pad, kb), fdt)
             bp = bp.at[ridx].set(rs[:, None] * b[prc])
-            y = solve_inner(pool, linv, uinv, bp)[ridx]
+            y = solve_inner(pool, linv, uinv, bp, t1, t2)[ridx]
             return jnp.zeros((n, kb), fdt).at[pc].set(cs[:, None] * y)
 
-        self._solve_fns[key] = dev_solve
-        return dev_solve
+        def bound(pool, linv, uinv, b):
+            return dev_solve(pool, linv, uinv, b, ridx, prc, pc, rs, cs,
+                             tl, tu)
+
+        self._solve_fns[key] = bound
+        return bound
 
     def _device_solve_fn_cplx(self, kb: int):
         """Device-resident complex solve: one dispatch takes the stacked
@@ -823,6 +846,7 @@ class SparseLU:
 
         plan, n = self.plan, self.n
         rows_pad = self._bpad_rows()
+        # plan-specific arrays as operands (see _device_solve_fn)
         prc = jnp.asarray(self.rowperm[self.colperm])
         pc = jnp.asarray(self.colperm)
         if self._use_planar():
@@ -834,15 +858,20 @@ class SparseLU:
             ridx = jnp.asarray(self._rows_idx)
             core = _planar.build_solve_core_planar(
                 plan, kb, chunk=self.options.gemm_chunk)
-            ltape, utape = self.ltape, self.utape
+            tl, tu = self.ltape, self.utape
 
             @jax.jit
-            def dev_solve(pool, linv, uinv, b2):
+            def dev_solve(pool, linv, uinv, b2, ridx, prc, pc, rs, cs,
+                          t1, t2):
                 bp = jnp.zeros((2, rows_pad, kb), rdt)
                 bp = bp.at[:, ridx].set(rs[:, None] * b2[:, prc])
-                y = core(pool, linv, uinv, ltape, utape, bp)[:, ridx]
+                y = core(pool, linv, uinv, t1, t2, bp)[:, ridx]
                 return jnp.zeros((2, n, kb), rdt).at[:, pc].set(
                     cs[:, None] * y)
+
+            def bound(pool, linv, uinv, b2):
+                return dev_solve(pool, linv, uinv, b2, ridx, prc, pc,
+                                 rs, cs, tl, tu)
         else:   # ring embedding: f32 pool, interleaved (re, im) rows
             fdt = jnp.dtype(np.float32)
             rs = jnp.asarray(self.row_scale[self.rowperm[self.colperm]],
@@ -859,30 +888,35 @@ class SparseLU:
                     plan, kb, chunk=min(self.options.gemm_chunk, 16),
                     interpret=interp)
 
-                def solve_inner(pool, linv, uinv, bp):
+                def solve_inner(pool, linv, uinv, bp, t1, t2):
                     bw = jnp.zeros((rows_pad, W), fdt).at[:, :kb].set(bp)
-                    return sfn(pool, linv, uinv, tl, tu, bw)[:, :kb]
+                    return sfn(pool, linv, uinv, t1, t2, bw)[:, :kb]
             else:
                 core = _blocklu.build_solve_core(
                     plan, kb, chunk=self.options.gemm_chunk)
-                ltape, utape = self.ltape, self.utape
+                tl, tu = self.ltape, self.utape
 
-                def solve_inner(pool, linv, uinv, bp):
-                    return core(pool, linv, uinv, ltape, utape, bp)
+                def solve_inner(pool, linv, uinv, bp, t1, t2):
+                    return core(pool, linv, uinv, t1, t2, bp)
 
             @jax.jit
-            def dev_solve(pool, linv, uinv, b2):
+            def dev_solve(pool, linv, uinv, b2, ri_re, ri_im, prc, pc,
+                          rs, cs, t1, t2):
                 bp = jnp.zeros((rows_pad, kb), fdt)
                 bp = bp.at[ri_re].set(rs[:, None] * b2[0][prc])
                 bp = bp.at[ri_im].set(rs[:, None] * b2[1][prc])
-                y = solve_inner(pool, linv, uinv, bp)
+                y = solve_inner(pool, linv, uinv, bp, t1, t2)
                 yr, yi = y[ri_re], y[ri_im]
                 z = jnp.zeros((n, kb), fdt)
                 return jnp.stack([z.at[pc].set(cs[:, None] * yr),
                                   z.at[pc].set(cs[:, None] * yi)])
 
-        self._solve_fns[key] = dev_solve
-        return dev_solve
+            def bound(pool, linv, uinv, b2):
+                return dev_solve(pool, linv, uinv, b2, ri_re, ri_im,
+                                 prc, pc, rs, cs, tl, tu)
+
+        self._solve_fns[key] = bound
+        return bound
 
     def _solve_device_cplx(self, b: np.ndarray, squeeze: bool):
         """Complex device-resident solve entry (numpy in/out): ships one
@@ -952,6 +986,17 @@ class SparseLU:
     def solve(self, b, trans: Trans = Trans.NOTRANS) -> np.ndarray:
         """Single LU solve (no refinement) — ``pdgstrs`` analog."""
         self._require_factors()
+        # accept the reference's integer trans_t codes (0/1/2) and the
+        # letter codes too — an unrecognized value must NOT silently run
+        # the NOTRANS path
+        if not isinstance(trans, Trans):
+            try:
+                trans = Trans(trans) if isinstance(trans, str) \
+                    else list(Trans)[int(trans)]
+            except (ValueError, IndexError, TypeError):
+                raise ValueError(f"invalid trans={trans!r}; expected "
+                                 f"Trans.NOTRANS/TRANS/CONJ, 'N'/'T'/'C', "
+                                 f"or 0/1/2") from None
         if trans == Trans.TRANS:
             return self.solve_transposed(b)
         if trans == Trans.CONJ:
@@ -1032,13 +1077,21 @@ class SparseLU:
             denom = np.asarray(
                 _spmv.abs_spmv_t(rows, cols, vals, jnp.abs(xj), self.n)
                 + jnp.abs(bj))
-        nz = int(self._A_orig.getnnz(axis=1).max()) + 1
+        nz = self._max_row_nnz() + 1
         safe1 = nz * np.finfo(np.float64).tiny
         safe2 = safe1 / np.finfo(np.float64).eps
         num = np.abs(r)
         val = np.where(denom > safe2, num / np.maximum(denom, safe1),
                        (num + safe1) / (denom + safe1))
         return val.max(axis=0), r
+
+    def _max_row_nnz(self) -> int:
+        """Global max row-nnz (for the berr safe1/safe2 guards). Sharded-
+        input processes use the broadcast value — it MUST be identical on
+        every process (it is baked into the SPMD refine program)."""
+        if getattr(self, "_nz_global", None) is not None:
+            return self._nz_global
+        return int(self._A_orig.getnnz(axis=1).max())
 
     #: subclasses without a single-device solve path disable device fusion
     _fused_refine_ok = True
@@ -1061,12 +1114,15 @@ class SparseLU:
         rows, cols, _ = self._coo_ref   # pattern is fixed per plan
         rows_pad = self._bpad_rows()
         eps = _real_eps(self.refine_dtype)
-        nz = int(self._A_orig.getnnz(axis=1).max()) + 1
+        nz = self._max_row_nnz() + 1
         safe1 = nz * np.finfo(np.float64).tiny
         safe2 = safe1 / np.finfo(np.float64).eps
         itmax = self.options.max_refine_steps
         rthresh = self.options.refine_rthresh
 
+        # plan-specific arrays (COO pattern, row placement, solve tapes)
+        # ride as OPERANDS so same-bucket plans share one compiled refine
+        # (see _device_solve_fn)
         if self._use_pallas() and self._pallas_solve_ok():
             import os
             from ..ops.kernels import pallas_exec as _pe
@@ -1076,29 +1132,30 @@ class SparseLU:
                 plan, nrhs, chunk=min(self.options.gemm_chunk, 16),
                 interpret=interp)
 
-            def solve_inner(pool, linv, uinv, bp):
+            def solve_inner(pool, linv, uinv, bp, t1, t2):
                 bw = jnp.zeros((rows_pad, W), fdt).at[:, :nrhs].set(bp)
-                return sfn(pool, linv, uinv, tl, tu, bw)[:, :nrhs]
+                return sfn(pool, linv, uinv, t1, t2, bw)[:, :nrhs]
         else:
             core = _blocklu.build_solve_core(
                 plan, nrhs, chunk=self.options.gemm_chunk)
-            ltape, utape = self.ltape, self.utape
+            tl, tu = self.ltape, self.utape
 
-            def solve_inner(pool, linv, uinv, bp):
-                return core(pool, linv, uinv, ltape, utape, bp)
+            def solve_inner(pool, linv, uinv, bp, t1, t2):
+                return core(pool, linv, uinv, t1, t2, bp)
 
-        ridx = jnp.asarray(self._rows_idx)   # expansion-aware row placement
+        ridx_a = jnp.asarray(self._rows_idx)  # expansion-aware placement
 
-        def lu_solve(pool, linv, uinv, prc, pc, rs, cs, r):
+        def lu_solve(pool, linv, uinv, prc, pc, rs, cs, r, ridx, t1, t2):
             """Dr/Pr/Pc transforms + LU solve + back-transform (device)."""
             bp = jnp.zeros((rows_pad, nrhs), fdt)
             bp = bp.at[ridx].set((rs[:, None] * r[prc]).astype(fdt))
-            y = solve_inner(pool, linv, uinv, bp)[ridx]
+            y = solve_inner(pool, linv, uinv, bp, t1, t2)[ridx]
             return jnp.zeros((n, nrhs), rdt).at[pc].set(
                 cs[:, None] * y.astype(rdt))
 
         @jax.jit
-        def refine(pool, linv, uinv, vals, prc, pc, rs, cs, b, x0):
+        def refine_j(pool, linv, uinv, vals, prc, pc, rs, cs, b, x0,
+                     rows, cols, ridx, t1, t2):
             b = b.astype(rdt)
 
             def berr_of(x):
@@ -1119,7 +1176,8 @@ class SparseLU:
             def body(carry):
                 x, berr, prev, it = carry
                 r = b - _spmv.spmv(rows, cols, vals, x, n)
-                x = x + lu_solve(pool, linv, uinv, prc, pc, rs, cs, r)
+                x = x + lu_solve(pool, linv, uinv, prc, pc, rs, cs, r,
+                                 ridx, t1, t2)
                 nberr, _ = berr_of(x)
                 return (x, nberr.astype(berr.dtype), berr, it + 1)
 
@@ -1131,6 +1189,10 @@ class SparseLU:
                  jnp.full((nrhs,), jnp.inf, rreal),
                  jnp.zeros((), jnp.int32)))
             return x, berr, it
+
+        def refine(pool, linv, uinv, vals, prc, pc, rs, cs, b, x0):
+            return refine_j(pool, linv, uinv, vals, prc, pc, rs, cs, b,
+                            x0, rows, cols, ridx_a, tl, tu)
 
         self._solve_fns[key] = refine
         return refine
@@ -1263,7 +1325,9 @@ class SparseLU:
         fired before the cap (0 means the cap was hit — the estimate is
         still a valid lower bound, as in dlacn2)."""
         n = self.n
-        anorm = langs("1", self._A_orig)
+        anorm = (self._anorm1_global
+                 if getattr(self, "_anorm1_global", None) is not None
+                 else langs("1", self._A_orig))
         if anorm == 0:
             return 0.0
         x = np.full(n, 1.0 / n)

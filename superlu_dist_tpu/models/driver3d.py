@@ -26,7 +26,10 @@ from .driver import SparseLU, _real_base
 
 class Distributed3DSparseLU(SparseLU):
 
-    _planar = False   # distributed executors use native complex
+    #: complex64 rides the real ring embedding (f32 executors unchanged,
+    #: see dist_driver); complex128 / CPU-mesh default is native complex
+    _embed_ok = True
+    _planar = False
 
     _fused_refine_ok = True    # in-mesh fused refinement (see below)
     _device_solve_ok = False
@@ -51,7 +54,7 @@ class Distributed3DSparseLU(SparseLU):
             self.tapes = dist3d.make_dist3d_factor_tapes(self.dplan)
             self.stapes = dist3d.make_dist3d_solve_tapes(self.dplan)
             pools = dist3d.init_local_pools3d(plan, self.dplan, A3,
-                                              self.dtype, g)
+                                              self._fdtype, g)
             self._factor_fn = dist3d.build_dist3d_factor_fn(
                 plan, self.dplan, g, chunk=opts.gemm_chunk)
             stat.counters["anc_steps"] = float(
@@ -112,7 +115,7 @@ class Distributed3DSparseLU(SparseLU):
         rows_pad = self._bpad_rows()
         ridx = jnp.asarray(self._rows_idx)
         eps = _real_eps(rdt)
-        nz = int(self._A_orig.getnnz(axis=1).max()) + 1
+        nz = self._max_row_nnz() + 1
         safe1 = nz * np.finfo(np.float64).tiny
         safe2 = safe1 / np.finfo(np.float64).eps
         itmax = self.options.max_refine_steps
@@ -121,14 +124,18 @@ class Distributed3DSparseLU(SparseLU):
         run = dist3d.solve_sweeps_core3d(plan, dplan, nrhs,
                                          chunk=self.options.gemm_chunk)
         pz, pr, pc_ = grid.npdep, grid.nprow, grid.npcol
-        rows, cols, vals = dist2d.make_coo_shards(
-            self._A_orig, pz * pr * pc_, np.dtype(rdt))
-        m = rows.shape[-1]
-        coo_shards = tuple(
-            mh.shard(grid.mesh, P(Z_AXIS, R_AXIS, C_AXIS),
-                     a.reshape(pz, pr, pc_, m))
-            for a in (rows, cols, vals))
-        stapes = self.stapes
+
+        def build_coo_shards():
+            """Re-captured per factorization epoch — a stale closure
+            would refine against the OLD matrix after refactor() (see
+            dist_driver._fused_refine_fn)."""
+            rows, cols, vals = dist2d.make_coo_shards(
+                self._A_orig, pz * pr * pc_, np.dtype(rdt))
+            m = rows.shape[-1]
+            return tuple(
+                mh.shard(grid.mesh, P(Z_AXIS, R_AXIS, C_AXIS),
+                         a.reshape(pz, pr, pc_, m))
+                for a in (rows, cols, vals))
 
         def spmv3(rl, cl, vl, x):
             part = jnp.zeros((n + 1, x.shape[1]), x.dtype)
@@ -192,38 +199,62 @@ class Distributed3DSparseLU(SparseLU):
                       b, x0: fn(pool, linv, uinv, *st, *coo,
                                 prc, pcp, rs, cs, b, x0))
 
+        state = {"epoch": None, "coo": None}
+
         def refine(pool, linv, uinv, _vals, prc, pcp, rs, cs, b, x0):
+            epoch = getattr(self, "_factor_epoch", 0)
+            if state["epoch"] != epoch:
+                state["coo"] = build_coo_shards()
+                state["epoch"] = epoch
             if mh.process_count() > 1:
                 prc, pcp, rs, cs, b, x0 = (
                     mh.replicate(grid.mesh, np.asarray(a))
                     for a in (prc, pcp, rs, cs, b, x0))
-            return jfn(pool, linv, uinv, stapes, coo_shards,
+            return jfn(pool, linv, uinv, self.stapes, state["coo"],
                        prc, pcp, rs, cs, b, x0)
 
         self._solve_fns[key] = refine
         return refine
 
-    def solve_transposed(self, b, conj: bool = False) -> np.ndarray:
-        raise NotImplementedError(
-            "transpose solve is not supported by the distributed drivers "
-            "yet; use the single-chip SparseLU for Trans.TRANS/CONJ")
+    def _trans_solve_fn(self, nrhs: int):
+        """3D distributed Aᵀ solve executor slotted into the inherited
+        ``solve_transposed`` pipeline (see dist_driver._trans_solve_fn)."""
+        key = ("T", nrhs)
+        if key not in self._solve_fns:
+            if not hasattr(self, "_ttapes"):
+                self.tplan = dist3d.trans_partition_plan3d(self.plan,
+                                                           self.dplan)
+                self._ttapes = dist3d.make_dist3d_trans_tapes(self.tplan)
+                self.ttape_u = self.ttape_l = None
+            core = dist3d.build_dist3d_trans_solve_fn(
+                self.plan, self.dplan, self.tplan, self.grid, nrhs,
+                chunk=self.options.gemm_chunk)
 
-    def rcond_1(self) -> float:
-        raise NotImplementedError(
-            "rcond_1 needs transpose solves, which the distributed drivers "
-            "do not support yet")
+            def wrapper(pool, uinv, linv, _tu, _tl, bp):
+                return core(pool, linv, uinv, self._ttapes,
+                            jnp.asarray(np.asarray(bp)))
+
+            self._solve_fns[key] = wrapper
+        return self._solve_fns[key]
 
     def diag_u(self) -> np.ndarray:
         pool = np.asarray(self.pool)   # (pz, pr, pc, n_local, B, B)
         plan, dplan = self.plan, self.dplan
         bs, nb = plan.bs, plan.nb
+        emb = getattr(self, "_embed", False)
         out = np.empty(nb * bs, dtype=pool.dtype)
+        sub = np.empty(nb * (bs // 2), dtype=pool.dtype) if emb else None
         for k in range(nb):
             s = plan.diag_slot[k]
             z = 0 if dplan.slot_is_anc[s] else int(dplan.step_layer[k])
             r, c = divmod(int(dplan.slot_rc[s]), dplan.pc)
-            out[k * bs:(k + 1) * bs] = np.diag(
-                pool[z, r, c, dplan.slot_local[s]])
+            blk = pool[z, r, c, dplan.slot_local[s]]
+            out[k * bs:(k + 1) * bs] = np.diag(blk)
+            if emb:   # Im(U_kk) lives at (2j+1, 2j) of the embedded block
+                sub[k * (bs // 2):(k + 1) * (bs // 2)] = \
+                    blk[np.arange(1, bs, 2), np.arange(0, bs, 2)]
+        if emb:
+            out = out[0::2] + 1j * sub
         return out[self._diag_sel()]
 
 

@@ -16,12 +16,33 @@ import numpy as np
 import scipy.sparse as sp
 
 
+def _coo_bucket(nnz: int) -> int:
+    """Bucket-pad the COO stream length (2^k·{1,1.25,1.5,1.75}) so spmv /
+    fused-refine programs are shape-canonical across matrices and hit the
+    persistent compile cache (padding rows target the dropped segment n
+    with value 0)."""
+    x = max(int(nnz), 8)
+    k = max(0, int(np.floor(np.log2(x))))
+    for base in (1.0, 1.25, 1.5, 1.75, 2.0):
+        cand = int(np.ceil((2 ** k) * base))
+        if cand >= x:
+            return cand
+    return 2 ** (k + 1)
+
+
 def coo_arrays(A: sp.spmatrix, dtype):
-    """Host → device COO triple for :func:`spmv`."""
+    """Host → device COO triple for :func:`spmv` (bucket-padded; padding
+    entries use row index n, which ``segment_sum(num_segments=n)`` drops,
+    and value 0)."""
     C = sp.coo_matrix(A)
-    return (jnp.asarray(C.row, dtype=jnp.int32),
-            jnp.asarray(C.col, dtype=jnp.int32),
-            jnp.asarray(C.data, dtype=dtype))
+    pad = _coo_bucket(C.nnz) - C.nnz
+    n = A.shape[0]
+    return (jnp.asarray(np.concatenate(
+                [C.row, np.full(pad, n)]), dtype=jnp.int32),
+            jnp.asarray(np.concatenate(
+                [C.col, np.zeros(pad)]), dtype=jnp.int32),
+            jnp.asarray(np.concatenate(
+                [C.data, np.zeros(pad, C.data.dtype)]), dtype=dtype))
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
@@ -59,12 +80,19 @@ def abs_spmv(rows, cols, vals, x, n_rows: int):
 
 
 def coo_arrays_planar(A: sp.spmatrix, real_dtype):
-    """Host → device COO with planar complex values: (rows, cols, (vr, vi))."""
+    """Host → device COO with planar complex values: (rows, cols, (vr, vi))
+    (bucket-padded like :func:`coo_arrays`)."""
     C = sp.coo_matrix(A)
-    return (jnp.asarray(C.row, dtype=jnp.int32),
-            jnp.asarray(C.col, dtype=jnp.int32),
-            (jnp.asarray(C.data.real, dtype=real_dtype),
-             jnp.asarray(C.data.imag, dtype=real_dtype)))
+    pad = _coo_bucket(C.nnz) - C.nnz
+    n = A.shape[0]
+    z = np.zeros(pad)
+    return (jnp.asarray(np.concatenate(
+                [C.row, np.full(pad, n)]), dtype=jnp.int32),
+            jnp.asarray(np.concatenate([C.col, z]), dtype=jnp.int32),
+            (jnp.asarray(np.concatenate([C.data.real, z]),
+                         dtype=real_dtype),
+             jnp.asarray(np.concatenate([C.data.imag, z]),
+                         dtype=real_dtype)))
 
 
 @functools.partial(jax.jit, static_argnums=(5,))

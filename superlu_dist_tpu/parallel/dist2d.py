@@ -127,6 +127,95 @@ class DistPlan2D:
         return {"factor_psum_bytes": int(fac), "solve_psum_bytes": int(sol)}
 
 
+def _solve_pack(plan, owner_dev, local_slot, pr, pc,
+                gptr_g, gslot_g, gsrc_g, gdst_g, snlvl):
+    """Group one sweep's gemms by (device, level); destinations remapped
+    to compact per-level buffer positions (comm volume per level ∝ active
+    rows — the fmod/fsendx participant-list analog, pdgstrs.c:344-827)."""
+    nb = plan.nb
+    ndev = pr * pc
+    # compact position of each active destination row per level
+    rows_per_lvl = []
+    pos_of = [dict() for _ in range(snlvl)]
+    for l in range(snlvl):
+        dsts = np.unique(np.asarray(
+            gdst_g[gptr_g[l]:gptr_g[l + 1]], dtype=np.int64))
+        pos_of[l] = {int(r): i for i, r in enumerate(dsts)}
+        rows_per_lvl.append(dsts)
+    max_act = max(1, max((len(r) for r in rows_per_lvl), default=1))
+    lvl_rows = np.full((max(snlvl, 1), max_act), nb, dtype=np.int32)
+    for l, r in enumerate(rows_per_lvl):
+        lvl_rows[l, : len(r)] = r
+
+    lists = [[[] for _ in range(snlvl)] for _ in range(ndev)]
+    for l in range(snlvl):
+        for t in range(gptr_g[l], gptr_g[l + 1]):
+            s = gslot_g[t]
+            lists[owner_dev[s]][l].append(
+                (int(local_slot[s]), int(gsrc_g[t]),
+                 pos_of[l][int(gdst_g[t])]))
+    ptr = np.zeros((ndev, snlvl + 1), dtype=np.int64)
+    for d in range(ndev):
+        for l in range(snlvl):
+            ptr[d, l + 1] = ptr[d, l] + len(lists[d][l])
+    maxlen = max(1, int(ptr[:, -1].max()))
+    loc = np.full((ndev, maxlen), _ZERO, dtype=np.int32)
+    src = np.zeros((ndev, maxlen), dtype=np.int32)
+    dst = np.full((ndev, maxlen), max_act, dtype=np.int32)
+    for d in range(ndev):
+        pos = 0
+        for l in range(snlvl):
+            for (a, b, c) in lists[d][l]:
+                loc[d, pos] = a
+                src[d, pos] = b
+                dst[d, pos] = c
+                pos += 1
+    return (ptr.reshape(pr, pc, snlvl + 1).astype(np.int32),
+            loc.reshape(pr, pc, maxlen), src.reshape(pr, pc, maxlen),
+            dst.reshape(pr, pc, maxlen), lvl_rows)
+
+
+def _diag_pack(plan, owner_dev, local_slot, dinv_idx, pr, pc,
+               dptr_g, diag_g, snlvl):
+    """Owner-only diagonal applies per solve level (see _solve_pack)."""
+    nb = plan.nb
+    ndev = pr * pc
+    lists = [[[] for _ in range(snlvl)] for _ in range(ndev)]
+    max_dact = 1
+    drows = np.full((max(snlvl, 1),
+                     max(1, int(np.max(np.diff(dptr_g))
+                                if len(dptr_g) > 1 else 1))),
+                    nb, dtype=np.int32)
+    for l in range(snlvl):
+        rows = np.asarray(diag_g[dptr_g[l]:dptr_g[l + 1]], np.int64)
+        max_dact = max(max_dact, len(rows))
+        drows[l, : len(rows)] = rows
+        for p, I in enumerate(rows):
+            s = plan.diag_slot[I]
+            lists[owner_dev[s]][l].append(
+                (int(I), p, int(dinv_idx[I])))
+    drows = drows[:, :max_dact]
+    ptr = np.zeros((ndev, snlvl + 1), dtype=np.int64)
+    for d in range(ndev):
+        for l in range(snlvl):
+            ptr[d, l + 1] = ptr[d, l] + len(lists[d][l])
+    maxlen = max(1, int(ptr[:, -1].max()))
+    row = np.full((ndev, maxlen), nb, dtype=np.int32)
+    pos = np.full((ndev, maxlen), max_dact, dtype=np.int32)
+    inv = np.zeros((ndev, maxlen), dtype=np.int32)
+    for d in range(ndev):
+        p0 = 0
+        for l in range(snlvl):
+            for (a, b, c) in lists[d][l]:
+                row[d, p0] = a
+                pos[d, p0] = b
+                inv[d, p0] = c
+                p0 += 1
+    return (ptr.reshape(pr, pc, snlvl + 1).astype(np.int32),
+            row.reshape(pr, pc, maxlen), pos.reshape(pr, pc, maxlen),
+            inv.reshape(pr, pc, maxlen), drows)
+
+
 def partition_plan(plan: SymbolicPlan, pr: int, pc: int) -> DistPlan2D:
     """Distribute the symbolic plan block-cyclically over a Pr×Pc grid
     (the pddistribute analog: builds every device's local work lists)."""
@@ -232,95 +321,17 @@ def partition_plan(plan: SymbolicPlan, pr: int, pc: int) -> DistPlan2D:
             if k < nb:
                 dinv_idx[k] = i
 
-    # ---------- solve tapes: group each sweep's gemms by (device, level),
-    # destinations remapped to compact per-level buffer positions (comm
-    # volume per level ∝ active rows — the fmod/fsendx participant-list
-    # analog, pdgstrs.c:344-827) ----
-    def solve_pack(gptr_g, gslot_g, gsrc_g, gdst_g, snlvl):
-        # compact position of each active destination row per level
-        rows_per_lvl = []
-        pos_of = [dict() for _ in range(snlvl)]
-        for l in range(snlvl):
-            dsts = np.unique(np.asarray(
-                gdst_g[gptr_g[l]:gptr_g[l + 1]], dtype=np.int64))
-            pos_of[l] = {int(r): i for i, r in enumerate(dsts)}
-            rows_per_lvl.append(dsts)
-        max_act = max(1, max((len(r) for r in rows_per_lvl), default=1))
-        lvl_rows = np.full((max(snlvl, 1), max_act), nb, dtype=np.int32)
-        for l, r in enumerate(rows_per_lvl):
-            lvl_rows[l, : len(r)] = r
+    lsg = _solve_pack(plan, owner_dev, local_slot, pr, pc,
+                      plan.lsol_gptr, plan.lsol_gslot, plan.lsol_gsrc,
+                      plan.lsol_gdst, plan.lsol_nlvl)
+    usg = _solve_pack(plan, owner_dev, local_slot, pr, pc,
+                      plan.usol_gptr, plan.usol_gslot, plan.usol_gsrc,
+                      plan.usol_gdst, plan.usol_nlvl)
 
-        lists = [[[] for _ in range(snlvl)] for _ in range(ndev)]
-        for l in range(snlvl):
-            for t in range(gptr_g[l], gptr_g[l + 1]):
-                s = gslot_g[t]
-                lists[owner_dev[s]][l].append(
-                    (int(local_slot[s]), int(gsrc_g[t]),
-                     pos_of[l][int(gdst_g[t])]))
-        ptr = np.zeros((ndev, snlvl + 1), dtype=np.int64)
-        for d in range(ndev):
-            for l in range(snlvl):
-                ptr[d, l + 1] = ptr[d, l] + len(lists[d][l])
-        maxlen = max(1, int(ptr[:, -1].max()))
-        loc = np.full((ndev, maxlen), _ZERO, dtype=np.int32)
-        src = np.zeros((ndev, maxlen), dtype=np.int32)
-        dst = np.full((ndev, maxlen), max_act, dtype=np.int32)
-        for d in range(ndev):
-            pos = 0
-            for l in range(snlvl):
-                for (a, b, c) in lists[d][l]:
-                    loc[d, pos] = a
-                    src[d, pos] = b
-                    dst[d, pos] = c
-                    pos += 1
-        return (ptr.reshape(pr, pc, snlvl + 1).astype(np.int32),
-                loc.reshape(pr, pc, maxlen), src.reshape(pr, pc, maxlen),
-                dst.reshape(pr, pc, maxlen), lvl_rows)
-
-    lsg = solve_pack(plan.lsol_gptr, plan.lsol_gslot, plan.lsol_gsrc,
-                     plan.lsol_gdst, plan.lsol_nlvl)
-    usg = solve_pack(plan.usol_gptr, plan.usol_gslot, plan.usol_gsrc,
-                     plan.usol_gdst, plan.usol_nlvl)
-
-    # ---------- owner-only diagonal applies per solve level ----------
-    def diag_pack(dptr_g, diag_g, snlvl):
-        lists = [[[] for _ in range(snlvl)] for _ in range(ndev)]
-        max_dact = 1
-        drows = np.full((max(snlvl, 1),
-                         max(1, int(np.max(np.diff(dptr_g))
-                                    if len(dptr_g) > 1 else 1))),
-                        nb, dtype=np.int32)
-        for l in range(snlvl):
-            rows = np.asarray(diag_g[dptr_g[l]:dptr_g[l + 1]], np.int64)
-            max_dact = max(max_dact, len(rows))
-            drows[l, : len(rows)] = rows
-            for p, I in enumerate(rows):
-                s = plan.diag_slot[I]
-                lists[owner_dev[s]][l].append(
-                    (int(I), p, int(dinv_idx[I])))
-        drows = drows[:, :max_dact]
-        ptr = np.zeros((ndev, snlvl + 1), dtype=np.int64)
-        for d in range(ndev):
-            for l in range(snlvl):
-                ptr[d, l + 1] = ptr[d, l] + len(lists[d][l])
-        maxlen = max(1, int(ptr[:, -1].max()))
-        row = np.full((ndev, maxlen), nb, dtype=np.int32)
-        pos = np.full((ndev, maxlen), max_dact, dtype=np.int32)
-        inv = np.zeros((ndev, maxlen), dtype=np.int32)
-        for d in range(ndev):
-            p0 = 0
-            for l in range(snlvl):
-                for (a, b, c) in lists[d][l]:
-                    row[d, p0] = a
-                    pos[d, p0] = b
-                    inv[d, p0] = c
-                    p0 += 1
-        return (ptr.reshape(pr, pc, snlvl + 1).astype(np.int32),
-                row.reshape(pr, pc, maxlen), pos.reshape(pr, pc, maxlen),
-                inv.reshape(pr, pc, maxlen), drows)
-
-    ldg = diag_pack(plan.lsol_dptr, plan.lsol_diag, plan.lsol_nlvl)
-    udg = diag_pack(plan.usol_dptr, plan.usol_diag, plan.usol_nlvl)
+    ldg = _diag_pack(plan, owner_dev, local_slot, dinv_idx, pr, pc,
+                     plan.lsol_dptr, plan.lsol_diag, plan.lsol_nlvl)
+    udg = _diag_pack(plan, owner_dev, local_slot, dinv_idx, pr, pc,
+                     plan.usol_dptr, plan.usol_diag, plan.usol_nlvl)
 
     return DistPlan2D(
         pr=pr, pc=pc, nb=nb, bs=plan.bs, nlvl=nlvl, n_local=n_local,
@@ -566,6 +577,64 @@ def make_dist_factor_tapes(dplan: DistPlan2D):
                  for n in names)
 
 
+def _make_sweep(nb, bs, nrhs, chunk, *, transpose: bool):
+    """One level-set triangular sweep body (shared by the forward and the
+    transposed solves). ``transpose`` applies the pool blocks and diagonal
+    inverses transposed — the trans branches of pdgstrs (the reference's
+    options->Trans contract, superlu_defs.h:684-728)."""
+    eq = "cji,cjk->cik" if transpose else "cij,cjk->cik"
+
+    def sweep(pool, dinvL, gp, gl, gs, gd, dp, drow, dpos, dinv_i,
+              X, nlvl, glen, max_act, lvl_rows, dlen, max_dact, lvl_drows):
+        dtype = X.dtype
+        dloc_n = dinvL.shape[0] - 1
+
+        def level(l, X):
+            lo, hi = gp[l], gp[l + 1]
+            # compact partial sums over the level's active rows
+            delta = jnp.zeros((max_act + 1, bs, nrhs), dtype)
+
+            def gemm(c, delta):
+                offs = lo + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+                valid = offs < hi
+                offs = jnp.minimum(offs, glen - 1)
+                si = jnp.where(valid, gl[offs], _ZERO)
+                src = jnp.where(valid, gs[offs], 0)
+                dst = jnp.where(valid, gd[offs], max_act)
+                Pm = jnp.einsum(eq, pool[si], X[src],
+                                preferred_element_type=dtype,
+                                precision=MATMUL_PRECISION)
+                return delta.at[dst].add(-Pm)
+
+            delta = _chunked(lo, hi, chunk, gemm, delta)
+            delta = lax.psum(lax.psum(delta, R_AXIS), C_AXIS)
+            X = X.at[lvl_rows[l]].add(delta[:max_act])
+
+            # owner-only diagonal applies, broadcast as a compact buffer
+            dlo, dhi = dp[l], dp[l + 1]
+            dbuf = jnp.zeros((max_dact + 1, bs, nrhs), dtype)
+
+            def dapply(c, dbuf):
+                offs = dlo + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+                valid = offs < dhi
+                offs = jnp.minimum(offs, dlen - 1)
+                I = jnp.where(valid, drow[offs], nb)
+                p = jnp.where(valid, dpos[offs], max_dact)
+                ii = jnp.where(valid, dinv_i[offs], dloc_n)
+                Y = jnp.einsum(eq, dinvL[ii], X[I],
+                               preferred_element_type=dtype,
+                               precision=MATMUL_PRECISION)
+                return dbuf.at[p].add(Y - X[I])
+
+            dbuf = _chunked(dlo, dhi, chunk, dapply, dbuf)
+            dbuf = lax.psum(lax.psum(dbuf, R_AXIS), C_AXIS)
+            return X.at[lvl_drows[l]].add(dbuf[:max_dact])
+
+        return lax.fori_loop(0, nlvl, level, X)
+
+    return sweep
+
+
 def solve_sweeps_core(plan: SymbolicPlan, dplan: DistPlan2D, nrhs: int, *,
                       chunk: int = 16):
     """Per-device L+U sweep body, callable INSIDE a shard_map region.
@@ -597,53 +666,7 @@ def solve_sweeps_core(plan: SymbolicPlan, dplan: DistPlan2D, nrhs: int, *,
     lsol_drows = jnp.asarray(dplan.lsol_drows, jnp.int32)
     usol_drows = jnp.asarray(dplan.usol_drows, jnp.int32)
 
-    def sweep(pool, dinvL, gp, gl, gs, gd, dp, drow, dpos, dinv_i,
-              X, nlvl, glen, max_act, lvl_rows, dlen, max_dact, lvl_drows):
-        dtype = X.dtype
-        dloc_n = dinvL.shape[0] - 1
-
-        def level(l, X):
-            lo, hi = gp[l], gp[l + 1]
-            # compact partial sums over the level's active rows
-            delta = jnp.zeros((max_act + 1, bs, nrhs), dtype)
-
-            def gemm(c, delta):
-                offs = lo + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
-                valid = offs < hi
-                offs = jnp.minimum(offs, glen - 1)
-                si = jnp.where(valid, gl[offs], _ZERO)
-                src = jnp.where(valid, gs[offs], 0)
-                dst = jnp.where(valid, gd[offs], max_act)
-                Pm = jnp.einsum("cij,cjk->cik", pool[si], X[src],
-                                preferred_element_type=dtype,
-                                precision=MATMUL_PRECISION)
-                return delta.at[dst].add(-Pm)
-
-            delta = _chunked(lo, hi, chunk, gemm, delta)
-            delta = lax.psum(lax.psum(delta, R_AXIS), C_AXIS)
-            X = X.at[lvl_rows[l]].add(delta[:max_act])
-
-            # owner-only diagonal applies, broadcast as a compact buffer
-            dlo, dhi = dp[l], dp[l + 1]
-            dbuf = jnp.zeros((max_dact + 1, bs, nrhs), dtype)
-
-            def dapply(c, dbuf):
-                offs = dlo + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
-                valid = offs < dhi
-                offs = jnp.minimum(offs, dlen - 1)
-                I = jnp.where(valid, drow[offs], nb)
-                p = jnp.where(valid, dpos[offs], max_dact)
-                ii = jnp.where(valid, dinv_i[offs], dloc_n)
-                Y = jnp.einsum("cij,cjk->cik", dinvL[ii], X[I],
-                               preferred_element_type=dtype,
-                               precision=MATMUL_PRECISION)
-                return dbuf.at[p].add(Y - X[I])
-
-            dbuf = _chunked(dlo, dhi, chunk, dapply, dbuf)
-            dbuf = lax.psum(lax.psum(dbuf, R_AXIS), C_AXIS)
-            return X.at[lvl_drows[l]].add(dbuf[:max_dact])
-
-        return lax.fori_loop(0, nlvl, level, X)
+    sweep = _make_sweep(nb, bs, nrhs, chunk, transpose=False)
 
     def run(pool, linvL, uinvL, tapes, b):
         (lgp, lgl, lgs, lgd, ugp, ugl, ugs, ugd,
@@ -696,6 +719,371 @@ def make_dist_solve_tapes(dplan: DistPlan2D):
 
 
 # ---------------------------------------------------------------------------
+# sharded NRLoc input (the dReDistribute_A analog, pddistribute.c:66-433)
+# ---------------------------------------------------------------------------
+#
+# Multi-process input pipeline that never forms global A values on
+# non-zero processes: each process maps ITS local row-chunk entries
+# directly to (owner device, pool offset, scaled value) using the
+# broadcast transforms + the (pattern-only) symbolic plan, and one
+# device-side exchange scatters them into the sharded pool. The reference
+# does the same owner-computed redistribution with an MPI alltoall;
+# here the exchange is an all-gather + masked scatter over the mesh.
+
+
+def _proc_device_slots(grid: Grid2D):
+    """(r, c) mesh positions owned by THIS process, in device order."""
+    import jax
+    devs = np.asarray(grid.mesh.devices)
+    pos = [(r, c) for r in range(devs.shape[0])
+           for c in range(devs.shape[1])
+           if devs[r, c].process_index == jax.process_index()]
+    return pos
+
+
+def _split_to_device_slots(grid: Grid2D, arrays, fills, m):
+    """Split this process's entry streams round-robin across its own
+    device slots of a (pr, pc, m) host array (other slots hold fill —
+    they are never read: each device's shard comes from its own
+    process's callback)."""
+    pr, pc = grid.nprow, grid.npcol
+    pos = _proc_device_slots(grid)
+    nloc = max(1, len(pos))
+    outs = [np.full((pr, pc, m), f, dtype=a.dtype)
+            for a, f in zip(arrays, fills)]
+    L = len(arrays[0])
+    per = -(-L // nloc) if L else 0
+    for i, (r, c) in enumerate(pos):
+        lo, hi = i * per, min((i + 1) * per, L)
+        if lo >= hi:
+            continue
+        for o, a in zip(outs, arrays):
+            o[r, c, : hi - lo] = a[lo:hi]
+    return outs
+
+
+def _agree_stream_len(grid: Grid2D, local_len: int) -> int:
+    """Global max of ceil(local_len / local_device_count), bucket-padded
+    (one tiny replicated-int exchange; every process must call)."""
+    import jax
+    from ..ops.kernels.spmv import _coo_bucket
+    nloc = max(1, len(_proc_device_slots(grid)))
+    need = -(-local_len // nloc)
+    if jax.process_count() == 1:
+        return _coo_bucket(max(need, 1))
+    from jax.experimental import multihost_utils as mhu
+    allv = np.asarray(mhu.process_allgather(np.array(need, np.int64)))
+    return _coo_bucket(max(int(allv.max()), 1))
+
+
+def gather_values_to0(grid: Grid2D, rows, cols, vals, n, dtype):
+    """Device-side gather of every process's COO stream, host-materialized
+    ONLY on process 0 (the preprocessing host — the pdgssvx.c:768-794
+    global-gather role). Non-zero processes contribute their shard and
+    never call back to host. Returns the global csc on process 0, None
+    elsewhere. Padding entries carry row index n and are dropped."""
+    import jax
+    import scipy.sparse as sp
+    m = _agree_stream_len(grid, len(rows))
+    sh = _split_to_device_slots(
+        grid, (np.asarray(rows, np.int64), np.asarray(cols, np.int64),
+               np.asarray(vals, dtype)), (n, 0, 0), m)
+    mesh = grid.mesh
+    shard = NamedSharding(mesh, P(R_AXIS, C_AXIS))
+    rep = NamedSharding(mesh, P())
+    gl = [jax.make_array_from_callback(a.shape, shard,
+                                       lambda idx, a=a: a[idx])
+          for a in sh]
+    out = jax.jit(lambda r, c, v: (r, c, v),
+                  out_shardings=(rep, rep, rep))(*gl)
+    if jax.process_index() != 0:
+        return None
+    r, c, v = (np.asarray(o).reshape(-1) for o in out)
+    keep = r < n
+    return sp.csc_matrix((v[keep], (r[keep], c[keep])), shape=(n, n))
+
+
+def nrloc_entry_offsets(plan: SymbolicPlan, dplan: DistPlan2D, chunks,
+                        row_scale, col_scale, rowperm, colperm,
+                        expand, n_e, n, *, embed=False,
+                        with_identity=False):
+    """Map local NRLoc entries (global row coords) to
+    (owner_device, flat pool offset, scaled value) — the per-process
+    half of dReDistribute_A. ``with_identity`` adds the unit-diagonal
+    entries of expansion/block padding (contributed by ONE process).
+
+    A3[r, c] = (Dr·A·Dc)[rowperm[colperm[r]], colperm[c]], then the
+    alignment expansion re = expand[r], then (for complex64 on TPU) the
+    ring embedding doubling."""
+    bs = plan.bs
+    bb = bs * bs
+    inv_rp = np.empty_like(rowperm)
+    inv_rp[rowperm] = np.arange(len(rowperm))
+    inv_cp = np.empty_like(colperm)
+    inv_cp[colperm] = np.arange(len(colperm))
+
+    ii, jj, vv = [], [], []
+    for fst, M in chunks:
+        C = M.tocoo()
+        ii.append(C.row.astype(np.int64) + fst)
+        jj.append(C.col.astype(np.int64))
+        vv.append(C.data)
+    i = np.concatenate(ii) if ii else np.empty(0, np.int64)
+    j = np.concatenate(jj) if jj else np.empty(0, np.int64)
+    v = np.concatenate(vv) if vv else np.empty(0)
+    v = row_scale[i] * v * col_scale[j]
+    r = inv_cp[inv_rp[i]]
+    c = inv_cp[j]
+    if expand is not None:
+        r = np.asarray(expand)[r]
+        c = np.asarray(expand)[c]
+    dim = n_e if expand is not None else n
+
+    if embed:
+        # a+bi -> [[a,-b],[b,a]] at (2r, 2c)
+        re, im = np.real(v), np.imag(v)
+        r = np.concatenate([2 * r, 2 * r + 1, 2 * r, 2 * r + 1])
+        c0 = c
+        c = np.concatenate([2 * c0, 2 * c0 + 1, 2 * c0 + 1, 2 * c0])
+        v = np.concatenate([re, re, -im, im])
+        dim *= 2
+
+    if with_identity:
+        # expansion pads + block pads hold a decoupled unit diagonal
+        n_pad = plan.nb * bs
+        ident = []
+        if expand is not None:
+            present = np.zeros(dim, dtype=bool)
+            base = np.asarray(expand)
+            if embed:
+                present[2 * base] = True
+                present[2 * base + 1] = True
+            else:
+                present[base] = True
+            ident.append(np.flatnonzero(~present))
+        if n_pad > dim:
+            ident.append(np.arange(dim, n_pad, dtype=np.int64))
+        if ident:
+            p = np.concatenate(ident)
+            r = np.concatenate([r, p])
+            c = np.concatenate([c, p])
+            v = np.concatenate([v, np.ones(len(p), v.dtype)])
+
+    # block coords -> slot: one vectorized binary search over the
+    # lexicographic (col, row) slot order (slots are column-major)
+    bi, bj = r // bs, c // bs
+    scol = np.asarray(plan.slot_col)
+    srow = np.asarray(plan.slot_row)
+    keys = bj * (plan.nb + 1) + bi
+    skeys = scol.astype(np.int64) * (plan.nb + 1) + srow.astype(np.int64)
+    slot = np.searchsorted(skeys, keys)
+    ok = (slot < len(skeys)) & (skeys[np.minimum(slot, len(skeys) - 1)]
+                                == keys)
+    if not np.all(ok):
+        raise ValueError("NRLoc entry outside the symbolic pattern")
+    dev = np.asarray(dplan.owner_dev)[slot]
+    off = (np.asarray(dplan.local_slot)[slot] * bb
+           + (r % bs) * bs + (c % bs))
+    return dev.astype(np.int32), off.astype(np.int64), v
+
+
+def init_local_pools_nrloc(plan: SymbolicPlan, dplan: DistPlan2D,
+                           grid: Grid2D, dev, off, vals, dtype):
+    """Build the sharded pool from per-process entry streams: one
+    device-side all-gather + masked scatter-add (the alltoall of
+    dReDistribute_A recast as a mesh collective). No process ever holds
+    global values on host."""
+    import jax
+    bs = plan.bs
+    pr, pc = dplan.pr, dplan.pc
+    n_local = dplan.n_local
+    m = _agree_stream_len(grid, len(dev))
+    sh = _split_to_device_slots(
+        grid, (np.asarray(dev, np.int32), np.asarray(off, np.int64),
+               np.asarray(vals, dtype)), (-1, 0, 0), m)
+    mesh = grid.mesh
+    shard = NamedSharding(mesh, P(R_AXIS, C_AXIS))
+    gl = [jax.make_array_from_callback(a.shape, shard,
+                                       lambda idx, a=a: a[idx])
+          for a in sh]
+
+    def spmd(d, o, v):
+        d = lax.all_gather(lax.all_gather(d[0, 0], C_AXIS), R_AXIS)
+        o = lax.all_gather(lax.all_gather(o[0, 0], C_AXIS), R_AXIS)
+        v = lax.all_gather(lax.all_gather(v[0, 0], C_AXIS), R_AXIS)
+        d, o, v = d.reshape(-1), o.reshape(-1), v.reshape(-1)
+        my = (lax.axis_index(R_AXIS).astype(jnp.int32) * pc
+              + lax.axis_index(C_AXIS).astype(jnp.int32))
+        flat = jnp.zeros(n_local * bs * bs, v.dtype)
+        flat = flat.at[o].add(jnp.where(d == my, v, 0))
+        return flat.reshape(1, 1, n_local, bs, bs)
+
+    fn = shard_map(spmd, mesh=mesh,
+                   in_specs=(P(R_AXIS, C_AXIS),) * 3,
+                   out_specs=P(R_AXIS, C_AXIS), check_vma=False)
+    return jax.jit(fn)(*gl)
+
+
+def make_coo_shards_nrloc(chunks, n, grid: Grid2D, dtype):
+    """Per-process COO shards for the in-mesh refinement: each process's
+    devices carry its local rows' entries (pdgsmv_init from local data —
+    no global COO anywhere). Returns (pr, pc, m) host arrays valid at
+    this process's device slots."""
+    ii, jj, vv = [], [], []
+    for fst, M in chunks:
+        C = M.tocoo()
+        ii.append(C.row.astype(np.int64) + fst)
+        jj.append(C.col.astype(np.int64))
+        vv.append(C.data)
+    rows = np.concatenate(ii) if ii else np.empty(0, np.int64)
+    cols = np.concatenate(jj) if jj else np.empty(0, np.int64)
+    vals = (np.concatenate(vv) if vv else np.empty(0)).astype(dtype)
+    m = _agree_stream_len(grid, len(rows))
+    sh = _split_to_device_slots(
+        grid, (rows.astype(np.int32), cols.astype(np.int32), vals),
+        (n, 0, 0), m)
+    return tuple(sh)
+
+
+# ---------------------------------------------------------------------------
+# distributed transposed solves (the trans branches of pdgstrs)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DistTransPlan2D:
+    """Per-device tapes for the Aᵀ solve: a forward Uᵀ level sweep then a
+    backward Lᵀ sweep, both in the same compact-psum scheme as the
+    forward solve (reference: the trans code paths of pdgstrs /
+    pdgstrs_lsum for every precision)."""
+
+    nlvl_u: int
+    nlvl_l: int
+    # Uᵀ sweep (runs first)
+    ut_gptr: np.ndarray
+    ut_gloc: np.ndarray
+    ut_gsrc: np.ndarray
+    ut_gdst: np.ndarray
+    ut_rows: np.ndarray
+    utd_ptr: np.ndarray
+    utd_row: np.ndarray
+    utd_pos: np.ndarray
+    utd_inv: np.ndarray
+    ut_drows: np.ndarray
+    # Lᵀ sweep
+    lt_gptr: np.ndarray
+    lt_gloc: np.ndarray
+    lt_gsrc: np.ndarray
+    lt_gdst: np.ndarray
+    lt_rows: np.ndarray
+    ltd_ptr: np.ndarray
+    ltd_row: np.ndarray
+    ltd_pos: np.ndarray
+    ltd_inv: np.ndarray
+    lt_drows: np.ndarray
+
+
+def trans_partition_plan(plan: SymbolicPlan,
+                         dplan: DistPlan2D) -> DistTransPlan2D:
+    """Distribute the transposed level schedules over the same grid
+    (reuses the single-chip transpose schedule; the blocks' owners are
+    unchanged, only the dependency direction flips)."""
+    from ..ops.kernels.blocklu import _trans_schedule
+    pr, pc = dplan.pr, dplan.pc
+    od, ls, di = dplan.owner_dev, dplan.local_slot, dplan.dinv_idx
+    gpu, gsu, gru, gdu, dpu, dgu, nlu = _trans_schedule(plan, "U")
+    gpl, gsl, grl, gdl, dpl, dgl, nll = _trans_schedule(plan, "L")
+    usg = _solve_pack(plan, od, ls, pr, pc, gpu, gsu, gru, gdu, nlu)
+    lsg = _solve_pack(plan, od, ls, pr, pc, gpl, gsl, grl, gdl, nll)
+    udg = _diag_pack(plan, od, ls, di, pr, pc, dpu, dgu, nlu)
+    ldg = _diag_pack(plan, od, ls, di, pr, pc, dpl, dgl, nll)
+    return DistTransPlan2D(
+        nlvl_u=nlu, nlvl_l=nll,
+        ut_gptr=usg[0], ut_gloc=usg[1], ut_gsrc=usg[2], ut_gdst=usg[3],
+        ut_rows=usg[4],
+        utd_ptr=udg[0], utd_row=udg[1], utd_pos=udg[2], utd_inv=udg[3],
+        ut_drows=udg[4],
+        lt_gptr=lsg[0], lt_gloc=lsg[1], lt_gsrc=lsg[2], lt_gdst=lsg[3],
+        lt_rows=lsg[4],
+        ltd_ptr=ldg[0], ltd_row=ldg[1], ltd_pos=ldg[2], ltd_inv=ldg[3],
+        lt_drows=ldg[4],
+    )
+
+
+def make_dist_trans_tapes(tplan: DistTransPlan2D):
+    names = ["ut_gptr", "ut_gloc", "ut_gsrc", "ut_gdst",
+             "lt_gptr", "lt_gloc", "lt_gsrc", "lt_gdst",
+             "utd_ptr", "utd_row", "utd_pos", "utd_inv",
+             "ltd_ptr", "ltd_row", "ltd_pos", "ltd_inv"]
+    return tuple(jnp.asarray(getattr(tplan, n), dtype=jnp.int32)
+                 for n in names)
+
+
+def trans_solve_sweeps_core(plan: SymbolicPlan, dplan: DistPlan2D,
+                            tplan: DistTransPlan2D, nrhs: int, *,
+                            chunk: int = 16):
+    """Per-device Aᵀ sweep body, callable inside a shard_map region:
+    ``run(pool, linvL, uinvL, local_trans_tapes, b)``. Uᵀ forward sweep
+    with transposed upper inverses first, then the Lᵀ backward sweep."""
+    nb, bs = dplan.nb, dplan.bs
+    ug_len = tplan.ut_gloc.shape[-1]
+    lg_len = tplan.lt_gloc.shape[-1]
+    ud_len = tplan.utd_row.shape[-1]
+    ld_len = tplan.ltd_row.shape[-1]
+    u_act = tplan.ut_rows.shape[-1]
+    l_act = tplan.lt_rows.shape[-1]
+    u_dact = tplan.ut_drows.shape[-1]
+    l_dact = tplan.lt_drows.shape[-1]
+    ut_rows = jnp.asarray(tplan.ut_rows, jnp.int32)
+    lt_rows = jnp.asarray(tplan.lt_rows, jnp.int32)
+    ut_drows = jnp.asarray(tplan.ut_drows, jnp.int32)
+    lt_drows = jnp.asarray(tplan.lt_drows, jnp.int32)
+
+    sweep = _make_sweep(nb, bs, nrhs, chunk, transpose=True)
+
+    def run(pool, linvL, uinvL, tapes, b):
+        (ugp, ugl, ugs, ugd, lgp, lgl, lgs, lgd,
+         udp, udr, udq, udi, ldp, ldr, ldq, ldi) = tapes
+        X = b.reshape(nb, bs, nrhs)
+        X = jnp.concatenate([X, jnp.zeros((1, bs, nrhs), X.dtype)], axis=0)
+        X = sweep(pool, uinvL, ugp, ugl, ugs, ugd, udp, udr, udq, udi,
+                  X, tplan.nlvl_u, ug_len, u_act, ut_rows, ud_len, u_dact,
+                  ut_drows)
+        X = sweep(pool, linvL, lgp, lgl, lgs, lgd, ldp, ldr, ldq, ldi,
+                  X, tplan.nlvl_l, lg_len, l_act, lt_rows, ld_len, l_dact,
+                  lt_drows)
+        return X[:nb].reshape(nb * bs, nrhs)
+
+    return run
+
+
+def build_dist_trans_solve_fn(plan: SymbolicPlan, dplan: DistPlan2D,
+                              tplan: DistTransPlan2D, grid: Grid2D,
+                              nrhs: int, *, chunk: int = 16):
+    """Compile the SPMD distributed Aᵀ solve (same collective scheme as
+    :func:`build_dist_solve_fn`)."""
+    run = trans_solve_sweeps_core(plan, dplan, tplan, nrhs, chunk=chunk)
+
+    def spmd(pools, linvL, uinvL, *args):
+        tapes, b = args[:-1], args[-1]
+        local = tuple(t[0, 0] for t in tapes)
+        return run(pools[0, 0], linvL[0, 0], uinvL[0, 0], local, b)
+
+    sharded = P(R_AXIS, C_AXIS)
+    rep = P()
+    fn = shard_map(
+        spmd, mesh=grid.mesh,
+        in_specs=(sharded, sharded, sharded) + (sharded,) * 16 + (rep,),
+        out_specs=rep, check_vma=False)
+
+    @jax.jit
+    def solve(pools, linvL, uinvL, ttapes, b):
+        return fn(pools, linvL, uinvL, *ttapes, b)
+
+    return solve
+
+
+# ---------------------------------------------------------------------------
 # distributed SpMV + in-mesh iterative refinement
 # ---------------------------------------------------------------------------
 #
@@ -714,10 +1102,13 @@ def make_coo_shards(A, ndev: int, dtype):
     (pdgsmv_init analog). Returns (rows, cols, vals) of shape (ndev, m);
     padding entries target the trash row ``n`` with value 0."""
     import scipy.sparse as sp
+    from ..ops.kernels.spmv import _coo_bucket
     coo = sp.coo_matrix(A)
     n = A.shape[0]
     nnz = coo.nnz
-    m = -(-max(nnz, 1) // ndev)
+    # bucket the per-device stream so the dist refine program is
+    # shape-canonical across matrices (persistent-cache friendly)
+    m = _coo_bucket(-(-max(nnz, 1) // ndev))
     rows = np.full(ndev * m, n, dtype=np.int32)
     cols = np.full(ndev * m, 0, dtype=np.int32)
     vals = np.zeros(ndev * m, dtype=dtype)

@@ -212,6 +212,45 @@ def _compact_levels(steps, global_level):
     return out
 
 
+def _solve_pack3d(nb, pz, pr, pc, slot_is_anc, slot_layer, slot_rc,
+                  slot_local, gptr_g, gslot_g, gsrc_g, gdst_g, snlvl):
+    """Group one sweep's gemms by (layer, 2D device, level). Ancestor
+    slots are worked on layer 0 only (their replicas are identical after
+    the z reduction — counting them once keeps the psum exact)."""
+    ndev2 = pr * pc
+    lists = [[[[] for _ in range(snlvl)] for _ in range(ndev2)]
+             for _ in range(pz)]
+    for l in range(snlvl):
+        for t in range(gptr_g[l], gptr_g[l + 1]):
+            s = gslot_g[t]
+            z = 0 if slot_is_anc[s] else int(slot_layer[s])
+            lists[z][slot_rc[s]][l].append(
+                (int(slot_local[s]), int(gsrc_g[t]), int(gdst_g[t])))
+    ptrs = np.zeros((pz, ndev2, snlvl + 1), dtype=np.int64)
+    maxlen = 1
+    for z in range(pz):
+        for d in range(ndev2):
+            for l in range(snlvl):
+                ptrs[z, d, l + 1] = ptrs[z, d, l] + len(lists[z][d][l])
+        maxlen = max(maxlen, int(ptrs[z, :, -1].max()))
+    loc = np.full((pz, ndev2, maxlen), _ZERO, dtype=np.int32)
+    src = np.zeros((pz, ndev2, maxlen), dtype=np.int32)
+    dst = np.full((pz, ndev2, maxlen), nb, dtype=np.int32)
+    for z in range(pz):
+        for d in range(ndev2):
+            pos = 0
+            for l in range(snlvl):
+                for (a, b, c) in lists[z][d][l]:
+                    loc[z, d, pos] = a
+                    src[z, d, pos] = b
+                    dst[z, d, pos] = c
+                    pos += 1
+    return (ptrs.reshape(pz, pr, pc, snlvl + 1).astype(np.int32),
+            loc.reshape(pz, pr, pc, maxlen),
+            src.reshape(pz, pr, pc, maxlen),
+            dst.reshape(pz, pr, pc, maxlen))
+
+
 def partition_plan3d(plan: SymbolicPlan, pz: int, pr: int, pc: int
                      ) -> DistPlan3D:
     nb = plan.nb
@@ -335,43 +374,12 @@ def partition_plan3d(plan: SymbolicPlan, pz: int, pr: int, pc: int
     gptr, (glpos, gupos, gtloc) = pack(tape_lists, 3, 3, [0, 0, _TRASH])
 
     # ---- solve tapes: layer-slot work on its layer, ancestor work on z=0 --
-    def solve_pack(gptr_g, gslot_g, gsrc_g, gdst_g, snlvl):
-        lists = [[[[] for _ in range(snlvl)] for _ in range(ndev2)]
-                 for _ in range(pz)]
-        for l in range(snlvl):
-            for t in range(gptr_g[l], gptr_g[l + 1]):
-                s = gslot_g[t]
-                z = 0 if slot_is_anc[s] else int(slot_layer[s])
-                lists[z][slot_rc[s]][l].append(
-                    (int(slot_local[s]), int(gsrc_g[t]), int(gdst_g[t])))
-        ptrs = np.zeros((pz, ndev2, snlvl + 1), dtype=np.int64)
-        maxlen = 1
-        for z in range(pz):
-            for d in range(ndev2):
-                for l in range(snlvl):
-                    ptrs[z, d, l + 1] = ptrs[z, d, l] + len(lists[z][d][l])
-            maxlen = max(maxlen, int(ptrs[z, :, -1].max()))
-        loc = np.full((pz, ndev2, maxlen), _ZERO, dtype=np.int32)
-        src = np.zeros((pz, ndev2, maxlen), dtype=np.int32)
-        dst = np.full((pz, ndev2, maxlen), nb, dtype=np.int32)
-        for z in range(pz):
-            for d in range(ndev2):
-                pos = 0
-                for l in range(snlvl):
-                    for (a, b, c) in lists[z][d][l]:
-                        loc[z, d, pos] = a
-                        src[z, d, pos] = b
-                        dst[z, d, pos] = c
-                        pos += 1
-        return (ptrs.reshape(pz, pr, pc, snlvl + 1).astype(np.int32),
-                loc.reshape(pz, pr, pc, maxlen),
-                src.reshape(pz, pr, pc, maxlen),
-                dst.reshape(pz, pr, pc, maxlen))
-
-    lsg = solve_pack(plan.lsol_gptr, plan.lsol_gslot, plan.lsol_gsrc,
-                     plan.lsol_gdst, plan.lsol_nlvl)
-    usg = solve_pack(plan.usol_gptr, plan.usol_gslot, plan.usol_gsrc,
-                     plan.usol_gdst, plan.usol_nlvl)
+    lsg = _solve_pack3d(nb, pz, pr, pc, slot_is_anc, slot_layer, slot_rc,
+                        slot_local, plan.lsol_gptr, plan.lsol_gslot,
+                        plan.lsol_gsrc, plan.lsol_gdst, plan.lsol_nlvl)
+    usg = _solve_pack3d(nb, pz, pr, pc, slot_is_anc, slot_layer, slot_rc,
+                        slot_local, plan.usol_gptr, plan.usol_gslot,
+                        plan.usol_gsrc, plan.usol_gdst, plan.usol_nlvl)
 
     return DistPlan3D(
         pz=pz, pr=pr, pc=pc, nb=nb, bs=plan.bs, n_local=n_local,
@@ -707,3 +715,143 @@ def make_dist3d_solve_tapes(dplan: DistPlan3D):
              "usol_gptr", "usol_gloc", "usol_gsrc", "usol_gdst"]
     return tuple(jnp.asarray(getattr(dplan, n), dtype=jnp.int32)
                  for n in names)
+
+
+# ---------------------------------------------------------------------------
+# 3D transposed solves (the trans branches of pdgstrs on the 3D grid)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DistTransPlan3D:
+    """Tapes for the Aᵀ solve on the 3D grid: Uᵀ forward then Lᵀ backward
+    level sweeps, work split like the forward solve (ancestor slots on
+    layer 0)."""
+
+    nlvl_u: int
+    nlvl_l: int
+    ut_gptr: np.ndarray
+    ut_gloc: np.ndarray
+    ut_gsrc: np.ndarray
+    ut_gdst: np.ndarray
+    lt_gptr: np.ndarray
+    lt_gloc: np.ndarray
+    lt_gsrc: np.ndarray
+    lt_gdst: np.ndarray
+    # replicated diag apply schedules
+    ut_dptr: np.ndarray
+    ut_diag: np.ndarray
+    lt_dptr: np.ndarray
+    lt_diag: np.ndarray
+
+
+def trans_partition_plan3d(plan: SymbolicPlan,
+                           dplan: DistPlan3D) -> DistTransPlan3D:
+    from ..ops.kernels.blocklu import _trans_schedule
+    pz, pr, pc = dplan.pz, dplan.pr, dplan.pc
+    slot_layer = dplan.step_layer[plan.slot_step]
+    gpu, gsu, gru, gdu, dpu, dgu, nlu = _trans_schedule(plan, "U")
+    gpl, gsl, grl, gdl, dpl, dgl, nll = _trans_schedule(plan, "L")
+    usg = _solve_pack3d(plan.nb, pz, pr, pc, dplan.slot_is_anc, slot_layer,
+                        dplan.slot_rc, dplan.slot_local,
+                        gpu, gsu, gru, gdu, nlu)
+    lsg = _solve_pack3d(plan.nb, pz, pr, pc, dplan.slot_is_anc, slot_layer,
+                        dplan.slot_rc, dplan.slot_local,
+                        gpl, gsl, grl, gdl, nll)
+    return DistTransPlan3D(
+        nlvl_u=nlu, nlvl_l=nll,
+        ut_gptr=usg[0], ut_gloc=usg[1], ut_gsrc=usg[2], ut_gdst=usg[3],
+        lt_gptr=lsg[0], lt_gloc=lsg[1], lt_gsrc=lsg[2], lt_gdst=lsg[3],
+        ut_dptr=dpu, ut_diag=dgu, lt_dptr=dpl, lt_diag=dgl,
+    )
+
+
+def make_dist3d_trans_tapes(tplan: DistTransPlan3D):
+    names = ["ut_gptr", "ut_gloc", "ut_gsrc", "ut_gdst",
+             "lt_gptr", "lt_gloc", "lt_gsrc", "lt_gdst"]
+    return tuple(jnp.asarray(getattr(tplan, n), dtype=jnp.int32)
+                 for n in names)
+
+
+def build_dist3d_trans_solve_fn(plan: SymbolicPlan, dplan: DistPlan3D,
+                                tplan: DistTransPlan3D, grid: Grid3D,
+                                nrhs: int, *, chunk: int = 16):
+    """Compile the SPMD 3D Aᵀ solve: transposed pool blocks and diagonal
+    inverses, Uᵀ sweep first (reference: pdgstrs trans branches run over
+    the same 3D structures)."""
+    nb, bs = dplan.nb, dplan.bs
+    ug_len = tplan.ut_gloc.shape[-1]
+    lg_len = tplan.lt_gloc.shape[-1]
+    udptr = jnp.asarray(tplan.ut_dptr, jnp.int32)
+    udiag = jnp.asarray(np.concatenate([tplan.ut_diag, [nb]]), jnp.int32)
+    ldptr = jnp.asarray(tplan.lt_dptr, jnp.int32)
+    ldiag = jnp.asarray(np.concatenate([tplan.lt_diag, [nb]]), jnp.int32)
+    udlen = len(tplan.ut_diag) + 1
+    ldlen = len(tplan.lt_diag) + 1
+
+    def sweep(pool, dinv, gp, gl, gs, gd, X, nlvl, glen, dptr, diag, dlen):
+        dtype = X.dtype
+
+        def level(l, X):
+            lo, hi = gp[l], gp[l + 1]
+            delta = jnp.zeros_like(X)
+
+            def gemm(c, delta):
+                offs = lo + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+                valid = offs < hi
+                offs = jnp.minimum(offs, glen - 1)
+                si = jnp.where(valid, gl[offs], _ZERO)
+                src = jnp.where(valid, gs[offs], 0)
+                dst = jnp.where(valid, gd[offs], nb)
+                Pm = jnp.einsum("cji,cjk->cik", pool[si], X[src],
+                                preferred_element_type=dtype,
+                                precision=MATMUL_PRECISION)
+                return delta.at[dst].add(-Pm)
+
+            delta = _chunked(lo, hi, chunk, gemm, delta)
+            delta = lax.psum(lax.psum(lax.psum(delta, Z_AXIS), R_AXIS),
+                             C_AXIS)
+            X = X + delta
+
+            dlo, dhi = dptr[l], dptr[l + 1]
+
+            def dapply(c, X):
+                offs = dlo + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+                valid = offs < dhi
+                offs = jnp.minimum(offs, dlen - 1)
+                I = jnp.where(valid, diag[offs], nb)
+                Ic = jnp.minimum(I, nb - 1)
+                Y = jnp.einsum("cji,cjk->cik", dinv[Ic], X[I],
+                               preferred_element_type=dtype,
+                               precision=MATMUL_PRECISION)
+                return X.at[I].set(Y)
+
+            return _chunked(dlo, dhi, chunk, dapply, X)
+
+        return lax.fori_loop(0, nlvl, level, X)
+
+    def spmd(pools, linv, uinv, *args):
+        tapes, b = args[:-1], args[-1]
+        (ugp, ugl, ugs, ugd, lgp, lgl, lgs, lgd) = tuple(
+            t[0, 0, 0] for t in tapes)
+        pool = pools[0, 0, 0]
+        X = b.reshape(nb, bs, -1)
+        X = jnp.concatenate([X, jnp.zeros((1,) + X.shape[1:], X.dtype)],
+                            axis=0)
+        X = sweep(pool, uinv, ugp, ugl, ugs, ugd, X, tplan.nlvl_u, ug_len,
+                  udptr, udiag, udlen)
+        X = sweep(pool, linv, lgp, lgl, lgs, lgd, X, tplan.nlvl_l, lg_len,
+                  ldptr, ldiag, ldlen)
+        return X[:nb].reshape(nb * bs, -1)
+
+    sharded = P(Z_AXIS, R_AXIS, C_AXIS)
+    rep = P()
+    fn = shard_map(spmd, mesh=grid.mesh,
+                   in_specs=(sharded, rep, rep) + (sharded,) * 8 + (rep,),
+                   out_specs=rep, check_vma=False)
+
+    @jax.jit
+    def solve(pools, linv, uinv, ttapes, b):
+        return fn(pools, linv, uinv, *ttapes, b)
+
+    return solve

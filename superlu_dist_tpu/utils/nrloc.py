@@ -20,23 +20,35 @@ __all__ = ["NRLocMatrix"]
 
 
 class NRLocMatrix:
-    """A square matrix stored as consecutive row chunks (one per "rank")."""
+    """A square matrix stored as consecutive row chunks (one per "rank").
 
-    def __init__(self, chunks: Sequence[Tuple[int, sp.spmatrix]], n: int):
-        """``chunks``: list of (fst_row, csr_rows) with consecutive,
-        non-overlapping coverage of rows [0, n)."""
+    ``local=True`` marks a PARTIAL view: this process's chunk(s) only,
+    with the other rows owned by other processes (the true NRformat_loc
+    convention). The distributed drivers then keep the input sharded —
+    values are redistributed device-side (dReDistribute_A analog,
+    reference: pddistribute.c:66-433) and only process 0 ever assembles
+    global values (for row-pivoting/symbolic, the pdgssvx.c:768-794
+    gather role)."""
+
+    def __init__(self, chunks: Sequence[Tuple[int, sp.spmatrix]], n: int,
+                 *, local: bool = False):
+        """``chunks``: list of (fst_row, csr_rows); without ``local``,
+        consecutive non-overlapping coverage of rows [0, n) is required."""
         self.n = n
+        self.local = bool(local)
         self.chunks = sorted(((int(f), sp.csr_matrix(M)) for f, M in chunks),
                              key=lambda t: t[0])
-        cover = 0
         for fst, M in self.chunks:
-            if fst != cover:
-                raise ValueError(f"row coverage gap/overlap at {fst}")
             if M.shape[1] != n:
                 raise ValueError("chunk column count != n")
-            cover += M.shape[0]
-        if cover != n:
-            raise ValueError(f"chunks cover {cover} rows, expected {n}")
+        if not self.local:
+            cover = 0
+            for fst, M in self.chunks:
+                if fst != cover:
+                    raise ValueError(f"row coverage gap/overlap at {fst}")
+                cover += M.shape[0]
+            if cover != n:
+                raise ValueError(f"chunks cover {cover} rows, expected {n}")
 
     @classmethod
     def from_global(cls, A: sp.spmatrix, nparts: int) -> "NRLocMatrix":
@@ -55,7 +67,26 @@ class NRLocMatrix:
 
     def to_global(self) -> sp.csc_matrix:
         """Gather to one matrix (dGatherNRformat_loc3d analog)."""
+        if self.local:
+            raise ValueError(
+                "partial (local=True) NRLocMatrix cannot be gathered "
+                "host-side — the distributed drivers redistribute it "
+                "device-side instead")
         return sp.csc_matrix(sp.vstack([M for _, M in self.chunks]))
+
+    def to_partial_csc(self) -> sp.csc_matrix:
+        """This process's rows scattered into an (n, n) shell (other rows
+        empty) — host memory stays O(local nnz)."""
+        parts = []
+        for fst, M in self.chunks:
+            C = M.tocoo()
+            parts.append((C.row + fst, C.col, C.data))
+        if not parts:
+            return sp.csc_matrix((self.n, self.n))
+        rows = np.concatenate([p[0] for p in parts])
+        cols = np.concatenate([p[1] for p in parts])
+        data = np.concatenate([p[2] for p in parts])
+        return sp.csc_matrix((data, (rows, cols)), shape=(self.n, self.n))
 
     def gather_rhs(self, b_chunks: Sequence[np.ndarray]) -> np.ndarray:
         """Stack per-chunk right-hand sides into the global b."""

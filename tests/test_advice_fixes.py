@@ -59,18 +59,21 @@ def test_gssvx_trans_berr_without_refine():
 
 
 @needs_8
-def test_distributed_transpose_raises():
+def test_distributed_transpose_supported():
+    """Round-4 capability: the distributed drivers solve Aᵀ (the former
+    NotImplementedError guard; full coverage in test_trans_cond.py)."""
+    import scipy.sparse.linalg as spla
     from superlu_dist_tpu.models.dist_driver import DistributedSparseLU
     from superlu_dist_tpu.parallel.grid import Grid2D
     A = laplacian_2d(8)
+    n = A.shape[0]
     lu = DistributedSparseLU(A, Grid2D(2, 2),
                              Options(dtype="float32", block_size=16))
-    with pytest.raises(NotImplementedError):
-        lu.solve_transposed(np.ones(A.shape[0]))
-    with pytest.raises(NotImplementedError):
-        lu.solve(np.ones(A.shape[0]), trans=Trans.TRANS)
-    with pytest.raises(NotImplementedError):
-        lu.rcond_1()
+    b = np.ones(n)
+    x = lu.solve(b, trans=Trans.TRANS)
+    xr = spla.spsolve(A.T.tocsc(), b)
+    assert np.abs(x - xr).max() / np.abs(xr).max() < 1e-5
+    assert 0 < lu.rcond_1() < 1
 
 
 def test_read_triple_two_token_header(tmp_path):

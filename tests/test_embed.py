@@ -120,3 +120,77 @@ def test_embed_save_load_roundtrip(embed_env, tmp_path):
     assert np.abs(A @ x - b).max() / np.abs(b).max() < 1e-4
     xr, berr = lu2.refine(b, x)
     assert float(np.max(berr)) < 1e-13
+
+
+# ---------------------------------------------------------------------------
+# distributed embed: complex64 on the mesh via the f32 collective executors
+# (reference: SRC/complex16/pzgstrf.c / pzgstrs.c on the same 2D/3D grids)
+# ---------------------------------------------------------------------------
+
+import jax
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+@needs_8
+@pytest.mark.parametrize("kind", ["dist2d", "dist3d"])
+def test_embed_distributed_matches_single(embed_env, kind):
+    """gssvx_dist/gssvx3d on cg20.cua through the ring embedding must
+    match the single-chip embed result (the f32 mesh machinery reused
+    unchanged — the VERDICT r3 item 4 contract)."""
+    from superlu_dist_tpu.utils.testing import reference_matrix
+    A = reference_matrix("cg20.cua")
+    if A is None:
+        pytest.skip("reference fixture not available")
+    A = A.astype(np.complex64)
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+    xt = (rng.standard_normal(n)
+          + 1j * rng.standard_normal(n)).astype(np.complex64)
+    b = np.asarray(A @ xt)
+    opts = Options(dtype="complex64", block_size=16)
+
+    lu1 = SparseLU(A, opts)
+    assert lu1._embed
+    x1 = lu1.solve(b)
+
+    if kind == "dist2d":
+        from superlu_dist_tpu.models.dist_driver import DistributedSparseLU
+        from superlu_dist_tpu.parallel.grid import Grid2D
+        lu2 = DistributedSparseLU(A, Grid2D(2, 4), opts)
+    else:
+        from superlu_dist_tpu.models.driver3d import Distributed3DSparseLU
+        from superlu_dist_tpu.parallel.grid import Grid3D
+        lu2 = Distributed3DSparseLU(A, Grid3D(2, 2, 2), opts)
+    assert lu2._embed, "distributed drivers must embed complex64"
+    x2 = lu2.solve(b)
+    assert np.abs(x2 - x1).max() < 1e-5
+    assert np.abs(x2 - xt).max() / np.abs(xt).max() < 1e-4
+    # refinement through the (planar-residual) host loop
+    xr, berr = lu2.refine(b, x2)
+    assert float(np.max(berr)) < 1e-13
+    # diag_u re/im extraction from the embedded mesh pool
+    assert np.abs(lu2.diag_u() - lu1.diag_u()).max() < 1e-4
+    # Aᵀ and Aᴴ through the embedded mesh pool
+    from superlu_dist_tpu import Trans
+    xc = lu2.solve(np.asarray(A.conj().T @ xt), trans=Trans.CONJ)
+    assert np.abs(xc - xt).max() / np.abs(xt).max() < 1e-4
+    xT = lu2.solve(np.asarray(A.T @ xt), trans=Trans.TRANS)
+    assert np.abs(xT - xt).max() / np.abs(xt).max() < 1e-4
+
+
+def test_solve_rejects_bad_trans():
+    """An unrecognized trans value must raise, not silently run NOTRANS
+    (int codes 0/1/2 and letters 'N'/'T'/'C' are accepted)."""
+    A = laplacian_2d(8)
+    lu = SparseLU(A, Options(dtype="float64", block_size=16))
+    b = np.ones(A.shape[0])
+    x_t = lu.solve(b, trans=1)
+    assert np.allclose(x_t, lu.solve_transposed(b), atol=1e-12)
+    x_s = lu.solve(b, trans="N")
+    assert np.allclose(x_s, lu.solve(b), atol=1e-12)
+    with pytest.raises(ValueError):
+        lu.solve(b, trans="bogus")
+    with pytest.raises(ValueError):
+        lu.solve(b, trans=7)

@@ -81,3 +81,84 @@ def test_two_process_cpu_mesh(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert f"MULTIHOST_OK pid={pid}" in out, out
+
+
+_WORKER_NRLOC = textwrap.dedent("""
+    import os, sys
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from superlu_dist_tpu.parallel import multihost as mh
+    mh.initialize(coordinator_address=f"127.0.0.1:{port}",
+                  num_processes=2, process_id=pid)
+    import numpy as np, scipy.sparse as sp
+    from superlu_dist_tpu import Options
+    from superlu_dist_tpu.models.dist_driver import gssvx_dist
+    from superlu_dist_tpu.parallel.grid import Grid2D
+    from superlu_dist_tpu.utils.nrloc import NRLocMatrix
+    from superlu_dist_tpu.utils.testing import laplacian_2d
+
+    A = laplacian_2d(12)
+    n = A.shape[0]
+    rng = np.random.default_rng(7)
+    xt = rng.standard_normal(n)
+    b = np.asarray(A @ xt)
+
+    # THIS process's block-row chunk ONLY (true NRformat_loc input);
+    # global A values must never materialize on process 1
+    Ar = sp.csr_matrix(A)
+    half = n // 2
+    lo, hi = (0, half) if pid == 0 else (half, n)
+    Aloc = NRLocMatrix([(lo, Ar[lo:hi])], n, local=True)
+    import superlu_dist_tpu.utils.nrloc as nrloc_mod
+    calls = []
+    orig = nrloc_mod.NRLocMatrix.to_global
+    def guard(self):
+        calls.append(1)
+        return orig(self)
+    nrloc_mod.NRLocMatrix.to_global = guard
+
+    res, lu = gssvx_dist(Aloc, b, Grid2D(2, 4),
+                         Options(dtype="float32", block_size=16))
+    rel = float(np.abs(res.x - xt).max() / np.abs(xt).max())
+    assert rel < 1e-5, f"solution err {rel}"
+    assert float(res.berr.max()) < 1e-13, f"berr {res.berr}"
+    assert not calls, "to_global must never run in sharded mode"
+    if pid != 0:
+        # host memory holds only the local rows
+        assert lu._A_orig.nnz == Ar[half:].nnz, lu._A_orig.nnz
+    print(f"MULTIHOST_NRLOC_OK pid={pid} rel={rel:.2e}", flush=True)
+""")
+
+
+def test_two_process_nrloc_sharded(tmp_path):
+    """Sharded NRLoc input: gssvx_dist on per-process row chunks, global
+    A values never gathered host-side anywhere but process 0 (the
+    dReDistribute_A contract, reference: pddistribute.c:66-433)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    script = tmp_path / "worker_nrloc.py"
+    script.write_text(_WORKER_NRLOC)
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), str(port)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert f"MULTIHOST_NRLOC_OK pid={pid}" in out, out

@@ -84,3 +84,72 @@ def test_condition_number_option():
                                  condition_number=True))
     assert res.rcond is not None and 0 < res.rcond < 1
     assert "RCOND" in res.stat.utime
+
+
+# ---------------------------------------------------------------------------
+# distributed drivers: transpose/conj solves, rcond, diag_u on the mesh
+# (reference: the trans branches of pdgstrs + the options->Trans contract,
+#  superlu_defs.h:684-728, exercised for every precision)
+# ---------------------------------------------------------------------------
+
+import jax  # noqa: E402
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+def _make_driver(kind, A, opts):
+    if kind == "single":
+        return SparseLU(A, opts)
+    if kind == "dist2d":
+        from superlu_dist_tpu.models.dist_driver import DistributedSparseLU
+        from superlu_dist_tpu.parallel.grid import Grid2D
+        return DistributedSparseLU(A, Grid2D(2, 4), opts)
+    from superlu_dist_tpu.models.driver3d import Distributed3DSparseLU
+    from superlu_dist_tpu.parallel.grid import Grid3D
+    return Distributed3DSparseLU(A, Grid3D(2, 2, 2), opts)
+
+
+@needs_8
+@pytest.mark.parametrize("kind", ["single", "dist2d", "dist3d"])
+def test_trans_cond_all_drivers(kind):
+    """The VERDICT r3 contract: Trans solves + rcond + diag_u parametrized
+    over SparseLU / DistributedSparseLU / 3D, all agreeing."""
+    import scipy.sparse.linalg as spla
+    rng = np.random.default_rng(17)
+    A = random_sparse(128, density=0.06, seed=21, diag_dominant=False)
+    n = A.shape[0]
+    opts = Options(dtype="float32", block_size=16)
+    lu = _make_driver(kind, A, opts)
+    b = rng.standard_normal(n)
+    xt_ref = spla.spsolve(sp.csc_matrix(A.T).astype(np.float64), b)
+    x = lu.solve(b, trans=Trans.TRANS)
+    assert np.abs(x - xt_ref).max() / np.abs(xt_ref).max() < 1e-4
+    # multi-RHS (f32 backward-substitution residual on a non-diagonally-
+    # dominant random matrix: ~1e-4 relative is expected accuracy)
+    B = rng.standard_normal((n, 3))
+    X = lu.solve_transposed(B)
+    R = np.asarray(A.T @ X) - B
+    assert np.abs(R).max() / np.abs(B).max() < 5e-3
+    # rcond agrees across drivers (identical algorithm + factor values)
+    ref = SparseLU(A, opts) if kind != "single" else lu
+    assert np.isclose(lu.rcond_1(), ref.rcond_1(), rtol=1e-3)
+    # diag_u agrees (f32 executors differ by summation order only)
+    assert np.allclose(lu.diag_u(), ref.diag_u(), rtol=1e-3, atol=1e-5)
+
+
+@needs_8
+@pytest.mark.parametrize("kind", ["dist2d", "dist3d"])
+def test_trans_conj_complex_dist(kind):
+    """Aᴴ solves through the distributed drivers (native complex on the
+    CPU mesh; reference: pzgstrs CONJ branches)."""
+    rng = np.random.default_rng(4)
+    A = random_sparse(96, density=0.08, seed=6).astype(np.complex128)
+    A = sp.csc_matrix(A)
+    A.data = A.data + 0.5j * rng.standard_normal(A.nnz)
+    lu = _make_driver(kind, A, Options(dtype="complex128", block_size=16))
+    xt = rng.standard_normal(96) + 1j * rng.standard_normal(96)
+    x = lu.solve(np.asarray(A.conj().T @ xt), trans=Trans.CONJ)
+    assert np.abs(x - xt).max() < 1e-8
+    x2 = lu.solve(np.asarray(A.T @ xt), trans=Trans.TRANS)
+    assert np.abs(x2 - xt).max() < 1e-8
