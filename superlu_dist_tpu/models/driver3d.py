@@ -50,8 +50,16 @@ class Distributed3DSparseLU(SparseLU):
         g = self.grid
         with stat.phase("DIST"):
             self.dplan = dist3d.partition_plan3d(plan, g.npdep, g.nprow,
-                                                 g.npcol)
+                                                 g.npcol,
+                                                 anc25d=opts.anc25d)
             self.tapes = dist3d.make_dist3d_factor_tapes(self.dplan)
+            if self.dplan.anc25d == "zsplit":
+                # comm-volume counter for the zsplit tradeoff: one z-psum
+                # of (max_tact+1) blocks per top level
+                stat.counters["anc25d_zsplit_psum_bytes"] = int(
+                    self.dplan.ntop * (self.dplan.max_tact + 1)
+                    * plan.bs * plan.bs
+                    * np.dtype(self._fdtype).itemsize)
             self.stapes = dist3d.make_dist3d_solve_tapes(self.dplan)
             pools = dist3d.init_local_pools3d(plan, self.dplan, A3,
                                               self._fdtype, g)

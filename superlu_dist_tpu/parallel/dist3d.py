@@ -199,6 +199,16 @@ class DistPlan3D:
     usol_gsrc: np.ndarray
     usol_gdst: np.ndarray
 
+    # anc25d analog (reference: CplusplusFactor/anc25d.hpp, env ANC25D):
+    # "zsplit" divides the top (ancestor) levels' Schur gemms across the
+    # z layers instead of computing them redundantly on every layer —
+    # gemm flops/layer drop ~pz-fold at the cost of one z-psum of the
+    # level's touched ancestor blocks. Tapes present only in that mode.
+    anc25d: str = "replicated"
+    t2ptr: np.ndarray = None      # (pz, pr, pc, nlvl+1) scatter ranges
+    t2loc: np.ndarray = None      # local slots in compact-position order
+    max_tact: int = 0             # max touched ancestor blocks per level
+
 
 def _compact_levels(steps, global_level):
     """Group ``steps`` by their global level, compacted to consecutive."""
@@ -251,9 +261,10 @@ def _solve_pack3d(nb, pz, pr, pc, slot_is_anc, slot_layer, slot_rc,
             dst.reshape(pz, pr, pc, maxlen))
 
 
-def partition_plan3d(plan: SymbolicPlan, pz: int, pr: int, pc: int
-                     ) -> DistPlan3D:
+def partition_plan3d(plan: SymbolicPlan, pz: int, pr: int, pc: int,
+                     anc25d: str = "replicated") -> DistPlan3D:
     nb = plan.nb
+    zsplit = anc25d == "zsplit"
     srow, scol = plan.slot_row, plan.slot_col
     step_layer = partition_forest(plan, pz)
     slot_step = plan.slot_step
@@ -292,6 +303,11 @@ def partition_plan3d(plan: SymbolicPlan, pz: int, pr: int, pc: int
     tape_lists = []   # per z: dict of lists
     max_lbuf = 1
     max_ubuf = 1
+    # zsplit bookkeeping: compact positions of touched ancestor targets
+    # per (device, top level) — rebuilt identically on every z pass
+    # (same deterministic iteration), kept from the last pass for the
+    # scatter tapes
+    tpos_of: dict = {}
     for z in range(pz):
         sched = (layer_scheds[z] + [[] for _ in
                                     range(max_p1 - len(layer_scheds[z]))]
@@ -328,13 +344,33 @@ def partition_plan3d(plan: SymbolicPlan, pz: int, pr: int, pc: int
                          pil_of[int(k)]))
             max_lbuf = max(max_lbuf, int(lrow_count.max(initial=0)))
             max_ubuf = max(max_ubuf, int(ucol_count.max(initial=0)))
-            for k in steps:
-                for t in range(plan.g_ptr[k], plan.g_ptr[k + 1]):
-                    tgt = plan.g_t[t]
-                    g_l[slot_rc[tgt]][l].append(
-                        (lpos_of[int(plan.g_l[t])],
-                         upos_of[int(plan.g_u[t])],
-                         int(slot_local[tgt])))
+            if zsplit and l >= max_p1:
+                # anc25d zsplit: round-robin the level's gemms over z,
+                # destinations remapped to compact per-level positions
+                # (the delta buffer the z-psum reduces)
+                if z == 0:
+                    for d in range(ndev2):
+                        tpos_of[(d, l)] = {}
+                zcnt = np.zeros(ndev2, dtype=np.int64)
+                for k in steps:
+                    for t in range(plan.g_ptr[k], plan.g_ptr[k + 1]):
+                        tgt = int(plan.g_t[t])
+                        d = int(slot_rc[tgt])
+                        pos_map = tpos_of[(d, l)]
+                        p = pos_map.setdefault(tgt, len(pos_map))
+                        if zcnt[d] % pz == z:
+                            g_l[d][l].append(
+                                (lpos_of[int(plan.g_l[t])],
+                                 upos_of[int(plan.g_u[t])], p))
+                        zcnt[d] += 1
+            else:
+                for k in steps:
+                    for t in range(plan.g_ptr[k], plan.g_ptr[k + 1]):
+                        tgt = plan.g_t[t]
+                        g_l[slot_rc[tgt]][l].append(
+                            (lpos_of[int(plan.g_l[t])],
+                             upos_of[int(plan.g_u[t])],
+                             int(slot_local[tgt])))
         tape_lists.append((d_l, l_l, u_l, g_l))
 
     def pack(z_lists, idx, nfields, fills):
@@ -365,13 +401,41 @@ def partition_plan3d(plan: SymbolicPlan, pz: int, pr: int, pc: int
     max_dlvl = max(1, max((len(steps) for z in range(pz)
                            for steps in (layer_scheds[z] + top_sched)),
                           default=1))
+    max_tact = max((len(v) for v in tpos_of.values()), default=0) \
+        if zsplit else 0
     dptr, (dstep, dloc, dpil) = pack(tape_lists, 0, 3,
                                      [nb, _TRASH, max_dlvl])
     lptr, (lloc, lpos, lstep, lpil) = pack(tape_lists, 1, 4,
                                            [_TRASH, 0, nb, max_dlvl])
     uptr, (uloc, upos, ustep, upil) = pack(tape_lists, 2, 4,
                                            [_TRASH, 0, nb, max_dlvl])
-    gptr, (glpos, gupos, gtloc) = pack(tape_lists, 3, 3, [0, 0, _TRASH])
+    gptr, (glpos, gupos, gtloc) = pack(
+        tape_lists, 3, 3, [0, 0, max_tact if zsplit else _TRASH])
+
+    # ---- zsplit scatter tapes: per (device, top level) the touched
+    # ancestor slots in compact-position order (replicated across z —
+    # every layer applies the SAME summed delta, keeping replicas
+    # synchronized for the next level's panels) ----
+    t2ptr = t2loc = None
+    if zsplit:
+        ptr1 = np.zeros((ndev2, nlvl + 1), dtype=np.int64)
+        for d in range(ndev2):
+            for l in range(nlvl):
+                ptr1[d, l + 1] = ptr1[d, l] + len(tpos_of.get((d, l), {}))
+        t2len = max(1, int(ptr1[:, -1].max()))
+        loc1 = np.full((ndev2, t2len), _TRASH, dtype=np.int32)
+        for d in range(ndev2):
+            p0 = 0
+            for l in range(nlvl):
+                for tgt in tpos_of.get((d, l), {}):
+                    loc1[d, p0] = slot_local[tgt]
+                    p0 += 1
+        t2ptr = np.broadcast_to(
+            ptr1.reshape(1, pr, pc, nlvl + 1),
+            (pz, pr, pc, nlvl + 1)).astype(np.int32).copy()
+        t2loc = np.broadcast_to(
+            loc1.reshape(1, pr, pc, t2len),
+            (pz, pr, pc, t2len)).astype(np.int32).copy()
 
     # ---- solve tapes: layer-slot work on its layer, ancestor work on z=0 --
     lsg = _solve_pack3d(nb, pz, pr, pc, slot_is_anc, slot_layer, slot_rc,
@@ -394,6 +458,7 @@ def partition_plan3d(plan: SymbolicPlan, pz: int, pr: int, pc: int
         lsol_gdst=lsg[3],
         usol_gptr=usg[0], usol_gloc=usg[1], usol_gsrc=usg[2],
         usol_gdst=usg[3],
+        anc25d=anc25d, t2ptr=t2ptr, t2loc=t2loc, max_tact=max_tact,
     )
 
 
@@ -461,17 +526,23 @@ def build_dist3d_factor_fn(plan: SymbolicPlan, dplan: DistPlan3D,
 
     DL = dplan.max_dlvl
 
-    def spmd(pools, thresh, dptr, dstep, dloc, dpil, lptr, lloc, lpos,
-             lpil, uptr, uloc, upos, upil, gptr, glpos, gupos, gtloc):
+    zsplit = dplan.anc25d == "zsplit" and ntop > 0
+    TACT = dplan.max_tact
+    t2len = dplan.t2loc.shape[-1] if zsplit else 1
+
+    def spmd(pools, thresh, *T):
         pool = pools[0, 0, 0]
         (dptr, dstep, dloc, dpil, lptr, lloc, lpos, lpil, uptr, uloc,
          upos, upil, gptr, glpos, gupos, gtloc) = (
-            x[0, 0, 0] for x in (dptr, dstep, dloc, dpil, lptr, lloc,
-                                 lpos, lpil, uptr, uloc, upos, upil,
-                                 gptr, glpos, gupos, gtloc))
+            x[0, 0, 0] for x in T[:16])
+        if zsplit:
+            t2ptr, t2loc = (x[0, 0, 0] for x in T[16:18])
         dtype = pool.dtype
 
-        def level(l, carry):
+        def make_level(split):
+            return lambda l, carry: level_body(l, carry, split)
+
+        def level_body(l, carry, split):
             pool, linv, uinv, tiny = carry
             lo, hi = dptr[l], dptr[l + 1]
             # compact per-level inverse broadcast (comm ∝ level steps,
@@ -550,21 +621,56 @@ def build_dist3d_factor_fn(plan: SymbolicPlan, dplan: DistPlan3D,
 
             go, gh = gptr[l], gptr[l + 1]
 
-            def gemm(c, pool):
-                offs = go + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
-                valid = offs < gh
-                offs = jnp.minimum(offs, glen - 1)
-                li = jnp.where(valid, glpos[offs], LBUF + 1)
-                ui = jnp.where(valid, gupos[offs], UBUF + 1)
-                ti = jnp.where(valid, gtloc[offs], _TRASH)
-                Pm = jnp.einsum("cij,cjk->cik", lbuf[li], ubuf[ui],
-                                preferred_element_type=dtype,
-                                precision=MATMUL_PRECISION)
-                return pool.at[ti].add(-Pm)
+            if not split:
+                def gemm(c, pool):
+                    offs = go + c * chunk + jnp.arange(chunk,
+                                                       dtype=jnp.int32)
+                    valid = offs < gh
+                    offs = jnp.minimum(offs, glen - 1)
+                    li = jnp.where(valid, glpos[offs], LBUF + 1)
+                    ui = jnp.where(valid, gupos[offs], UBUF + 1)
+                    ti = jnp.where(valid, gtloc[offs], _TRASH)
+                    Pm = jnp.einsum("cij,cjk->cik", lbuf[li], ubuf[ui],
+                                    preferred_element_type=dtype,
+                                    precision=MATMUL_PRECISION)
+                    return pool.at[ti].add(-Pm)
 
-            pool = _chunked(go, gh, chunk, gemm, pool)
+                pool = _chunked(go, gh, chunk, gemm, pool)
+            else:
+                # anc25d zsplit: this layer's gemm share into a compact
+                # delta, z-psum, every layer applies the summed update
+                # (replicas stay synchronized for the next level)
+                def gemm2(c, delta):
+                    offs = go + c * chunk + jnp.arange(chunk,
+                                                       dtype=jnp.int32)
+                    valid = offs < gh
+                    offs = jnp.minimum(offs, glen - 1)
+                    li = jnp.where(valid, glpos[offs], LBUF + 1)
+                    ui = jnp.where(valid, gupos[offs], UBUF + 1)
+                    ti = jnp.where(valid, gtloc[offs], TACT)
+                    Pm = jnp.einsum("cij,cjk->cik", lbuf[li], ubuf[ui],
+                                    preferred_element_type=dtype,
+                                    precision=MATMUL_PRECISION)
+                    return delta.at[ti].add(-Pm)
+
+                delta = _chunked(go, gh, chunk, gemm2,
+                                 jnp.zeros((TACT + 1, bs, bs), dtype))
+                delta = lax.psum(delta, Z_AXIS)
+                to, th = t2ptr[l], t2ptr[l + 1]
+
+                def tapply(c, pool):
+                    offs = to + c * chunk + jnp.arange(chunk,
+                                                       dtype=jnp.int32)
+                    valid = offs < th
+                    offs = jnp.minimum(offs, t2len - 1)
+                    si = jnp.where(valid, t2loc[offs], _TRASH)
+                    pi = jnp.where(valid, offs - to, TACT)
+                    return pool.at[si].add(delta[pi])
+
+                pool = _chunked(to, th, chunk, tapply, pool)
             return pool, linv, uinv, tiny
 
+        level = make_level(False)
         linv0 = jnp.zeros((nb + 1, bs, bs), dtype)
         uinv0 = jnp.zeros((nb + 1, bs, bs), dtype)
         # phase 1: independent subtrees, within-layer collectives only.
@@ -579,11 +685,11 @@ def build_dist3d_factor_fn(plan: SymbolicPlan, dplan: DistPlan3D,
         # cross-layer reduction (dreduceAllAncestors3d analog)
         anc = lax.psum(pool[_RESERVED:_RESERVED + max_anc], Z_AXIS)
         pool = pool.at[_RESERVED:_RESERVED + max_anc].set(anc)
-        # phase 2: shared top, replicated across layers (every layer
-        # computes the top redundantly — replicate owner entries over
-        # 'r','c' only)
+        # phase 2: shared top — either computed redundantly on every
+        # layer (replicated; r,c collectives only), or with the Schur
+        # gemms z-split + per-level z-psum (the anc25d analog)
         pool, linv2, uinv2, tiny2 = lax.fori_loop(
-            max_p1, max_p1 + ntop, level,
+            max_p1, max_p1 + ntop, make_level(zsplit),
             (pool, jnp.zeros_like(linv0), jnp.zeros_like(uinv0),
              jnp.zeros((), jnp.int32)))
         linv = linv + lax.psum(lax.psum(linv2, R_AXIS), C_AXIS)
@@ -595,8 +701,9 @@ def build_dist3d_factor_fn(plan: SymbolicPlan, dplan: DistPlan3D,
 
     sharded = P(Z_AXIS, R_AXIS, C_AXIS)
     rep = P()
+    ntapes = 18 if zsplit else 16
     fn = shard_map(spmd, mesh=mesh,
-                   in_specs=(sharded, rep) + (sharded,) * 16,
+                   in_specs=(sharded, rep) + (sharded,) * ntapes,
                    out_specs=(sharded, rep, rep, rep), check_vma=False)
 
     @jax.jit
@@ -611,6 +718,8 @@ def make_dist3d_factor_tapes(dplan: DistPlan3D):
              "lpil",
              "uptr", "uloc", "upos", "upil", "gptr", "glpos", "gupos",
              "gtloc"]
+    if dplan.anc25d == "zsplit" and dplan.ntop > 0:
+        names += ["t2ptr", "t2loc"]
     return tuple(jnp.asarray(getattr(dplan, n), dtype=jnp.int32)
                  for n in names)
 

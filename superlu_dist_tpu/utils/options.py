@@ -134,6 +134,11 @@ class Options:
     dist_executor: str = "xla"         # "xla" (per-level collectives) |
                                        # "rdma" (fused kernel + remote DMA
                                        # panel broadcasts; f32 only)
+    anc25d: str = "replicated"         # 3D top-level strategy: ancestors
+                                       # "replicated" (redundant compute,
+                                       # no z-comm) | "zsplit" (gemms
+                                       # split over z + per-level z-psum;
+                                       # the anc25d.hpp analog)
 
     # dtype of the factorization pool: "float32" | "float64" | "complex64"
     # | "complex128" | "bfloat16". The reference's s/d/c/z precisions.
@@ -191,6 +196,7 @@ _SPEC_FIELDS = {
     # executor selection & shape
     "EXECUTOR": ("executor", str),           # clk | flk | pallas | xla
     "DIST_EXECUTOR": ("dist_executor", str),  # xla | rdma
+    "ANC25D": ("anc25d", str),               # replicated | zsplit (3D top)
     "GEMM_CHUNK": ("gemm_chunk", int),       # batching granularity
     "CLK_MC": ("clk_mc", int),               # clk pair-chunk rows
     "FLK_KC": ("flk_kc", int),               # flk window lanes

@@ -1,0 +1,53 @@
+"""anc25d analog: z-split of the 3D top levels' Schur gemms
+(reference: CplusplusFactor/anc25d.hpp, env ANC25D)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from superlu_dist_tpu import Options
+from superlu_dist_tpu.models.driver3d import Distributed3DSparseLU
+from superlu_dist_tpu.parallel.grid import Grid3D
+from superlu_dist_tpu.utils.testing import random_sparse
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+@needs_8
+def test_zsplit_matches_replicated():
+    """Both top strategies must produce the same factors and solution;
+    zsplit reports its z-psum volume and divides the per-layer top gemm
+    tape ~pz-fold."""
+    import scipy.sparse.linalg as spla
+    A = random_sparse(200, density=0.05, seed=3)
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+    b = np.asarray(A @ rng.standard_normal(n))
+    xr = spla.spsolve(A.tocsc().astype(np.float64), b)
+    lu_r = Distributed3DSparseLU(A, Grid3D(2, 2, 2),
+                                 Options(dtype="float32", block_size=16))
+    lu_z = Distributed3DSparseLU(
+        A, Grid3D(2, 2, 2),
+        Options(dtype="float32", block_size=16, anc25d="zsplit"))
+    x_z = lu_z.solve(b)
+    assert np.abs(x_z - xr).max() / np.abs(xr).max() < 1e-4
+    assert np.allclose(np.asarray(lu_r.pool), np.asarray(lu_z.pool),
+                       rtol=1e-3, atol=1e-4)
+    assert lu_z.stat.counters["anc25d_zsplit_psum_bytes"] > 0
+    # the top gemm work per layer shrank: total tape entries across the
+    # top levels are split over pz=2 layers instead of replicated
+    dp_r, dp_z = lu_r.dplan, lu_z.dplan
+    top = slice(dp_r.max_p1, dp_r.max_p1 + dp_r.ntop + 1)
+
+    def top_items(dp):
+        p = dp.gptr[..., top]
+        return int(np.sum(p[..., -1] - p[..., 0]))
+
+    assert top_items(dp_z) <= top_items(dp_r) // 2 + dp_r.ntop * 8
+    # transposed solve + refine still work on the zsplit factors
+    xt = lu_z.solve_transposed(np.asarray(A.T @ xr))
+    assert np.abs(xt - xr).max() / np.abs(xr).max() < 1e-3
+    xrr, berr = lu_z.refine(b, x_z)
+    assert float(np.max(berr)) < 1e-13
