@@ -165,8 +165,8 @@ def bench_matrix(name, A, opts, reps):
     # The host-numpy numbers above additionally pay the host<->device
     # (tunnel) transfer both ways.
     t_dev1 = t_dev32 = None
-    if getattr(lu, "_device_solve_ok", False) and not lu._use_planar() \
-            and not getattr(lu, "_embed", False):
+    cplx = lu._use_planar() or getattr(lu, "_embed", False)
+    if getattr(lu, "_device_solve_ok", False) and not cplx:
         import jax
         bd1 = jax.device_put(b[:, None].astype(lu._fdtype))
         bd32 = jax.device_put(np.asarray(B32, dtype=lu._fdtype))
@@ -184,6 +184,28 @@ def bench_matrix(name, A, opts, reps):
             xd = lu.solve(bd32)
         jax.block_until_ready(xd)
         t_dev32 = (time.perf_counter() - t0) / 10
+    elif getattr(lu, "_device_solve_ok", False) and cplx:
+        # device-resident complex solve: the caller keeps (re, im) planes
+        # on device; one dispatch runs transforms + sweeps + back-
+        # transform (driver._device_solve_fn_cplx)
+        import jax
+        from superlu_dist_tpu.models.driver import _real_base
+        rb = _real_base(lu.dtype)
+        for k, tag in ((1, "dev1"), (32, "dev32")):
+            bk = b[:, None] if k == 1 else np.asarray(B32)
+            b2 = jax.device_put(
+                np.stack([bk.real, bk.imag]).astype(rb))
+            fn = lu._device_solve_fn_cplx(k)
+            xd = fn(lu.pool, lu.linv, lu.uinv, b2)
+            jax.block_until_ready(xd)
+            t0 = time.perf_counter()
+            for _ in range(10):
+                xd = fn(lu.pool, lu.linv, lu.uinv, b2)
+            jax.block_until_ready(xd)
+            if tag == "dev1":
+                t_dev1 = (time.perf_counter() - t0) / 10
+            else:
+                t_dev32 = (time.perf_counter() - t0) / 10
     log(f"[{name}] solve {t_solve1*1e3:.2f} ms (1 rhs, "
         f"{nnz_lu/t_solve1/1e9:.2f} Gnnz/s)  {t_solve32*1e3:.2f} ms "
         f"(32 rhs)  device sweep {t_dev*1e3:.2f} ms "

@@ -548,9 +548,11 @@ class SparseLU:
                         stat.counters["clk_jobs"] = sum(
                             len(s["j_fin"]) for s in self.tapes)
                         stat.counters["clk_segments"] = len(self.tapes)
-                    elif opts.ilu_level is None:
-                        exc = "tck"
                     else:
+                        # columns taller than clk's VMEM panel: flk.
+                        # (Measured lap3d50 n=125k: flk 406 ms / 451
+                        # GF/s vs tck 542 ms / 338 GF/s — the sliding-
+                        # tile kernel stays opt-in via executor="tck".)
                         exc = "flk"
                 if exc == "tck":
                     # sliding-tile column kernel: clk semantics for

@@ -95,6 +95,7 @@ def test_pallas_factor_matches_f64_truth(bushy):
                                ref_err)
 
 
+@pytest.mark.slow   # ~21 s interpret; clk/flk driver roundtrips cover
 def test_pallas_driver_roundtrip(bushy, monkeypatch):
     monkeypatch.setenv("SLU_TPU_FORCE_PALLAS", "interpret")
     from superlu_dist_tpu import Options, SparseLU

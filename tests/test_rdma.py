@@ -82,6 +82,7 @@ def test_rdma_unsymmetric_pattern():
 
 
 @needs_8
+@pytest.mark.slow
 def test_rdma_unsymmetric_pattern_small():
     """Fast unsymmetric-pattern coverage (refine to double precision)."""
     A = random_sparse(72, density=0.06, seed=7)

@@ -74,7 +74,7 @@ def test_align_standdown_single_chip_interpret(monkeypatch):
     """Force-interpret marks the fused Pallas path active: auto alignment
     must stand down (no expansion), while mode="on" still aligns."""
     monkeypatch.setenv("SLU_TPU_FORCE_PALLAS", "interpret")
-    A = laplacian_2d(12)     # n=144 > 2*bs so alignment would engage
+    A = laplacian_2d(9)      # n=81 > 2*bs so alignment would engage
     lu = SparseLU(A, Options(dtype="float32", block_size=16,
                              align_blocks="auto"))
     assert lu._expand is None, "auto alignment should stand down"
