@@ -21,12 +21,12 @@ import jax.numpy as jnp
 
 from ..utils.options import Options, Trans
 from ..utils.stats import Stats
-from ..parallel import dist2d
+from ..parallel import dist2d, multihost as _mh
 from ..parallel.grid import Grid2D
 from .driver import SparseLU, _real_base, _real_eps
 
 
-class DistributedSparseLU(SparseLU):
+class DistributedSparseLU(_mh.PreprocessOnce, SparseLU):
 
     _fused_refine_ok = True    # in-mesh fused refinement (see below)
     _device_solve_ok = False
@@ -109,50 +109,27 @@ class DistributedSparseLU(SparseLU):
         return super()._berr(x, b, trans)
 
     def _preprocess(self, A, reuse_perms: bool, reuse_colperm: bool):
+        """Generic flow in multihost.PreprocessOnce; this override adds
+        the sharded-NRLoc special cases (no global A3 view off process
+        0)."""
         from ..parallel import multihost as mh
-        if (self._nrloc is not None and mh.process_count() > 1
-                and (reuse_perms or reuse_colperm)):
-            raise NotImplementedError(
-                "factor-reuse staging with sharded NRLoc input is not "
-                "supported yet — re-gather or re-create the driver")
-        if mh.process_count() == 1 or reuse_perms:
-            return super()._preprocess(A, reuse_perms, reuse_colperm)
-        if mh.process_index() == 0:
-            A3 = super()._preprocess(A, reuse_perms, reuse_colperm)
-            extras = dict(
-                anorm=float(np.abs(A3.data).max()) if A3.nnz else 1.0,
-                anorm1=float(np.abs(A).sum(axis=0).max()),
-                nz=int(A.getnnz(axis=1).max()))
-            mh.bcast_obj((self.row_scale, self.col_scale, self.rowperm,
-                          self.colperm, self._expand, self._n_e,
-                          self.equed, extras))
-            self._anorm_global = extras["anorm"]
-            self._anorm1_global = extras["anorm1"]
-            self._nz_global = extras["nz"]
-            return A3
-        (self.row_scale, self.col_scale, self.rowperm, self.colperm,
-         self._expand, self._n_e, self.equed, extras) = mh.bcast_obj()
-        self._anorm_global = extras["anorm"]
-        self._anorm1_global = extras["anorm1"]
-        self._nz_global = extras["nz"]
-        if self._nrloc is not None:
-            # sharded input: no global A3 view exists here; the pool is
-            # built from the local chunks in _device_factor
-            return sp.csc_matrix((self.n, self.n))
-        A3 = A.multiply(self.row_scale[:, None]) \
-             .multiply(self.col_scale[None, :]).tocsc()
-        A3 = A3[self.rowperm, :][self.colperm, :][:, self.colperm]
-        return self._expand_A(sp.csc_matrix(A3))
-
-    def _symbolic(self, A3):
-        from ..parallel import multihost as mh
-        if mh.process_count() == 1:
-            return super()._symbolic(A3)
-        if mh.process_index() == 0:
-            plan = super()._symbolic(A3)
-            mh.bcast_obj(plan)
-            return plan
-        return mh.bcast_obj()
+        if self._nrloc is not None and mh.process_count() > 1:
+            if reuse_perms or reuse_colperm:
+                raise NotImplementedError(
+                    "factor-reuse staging with sharded NRLoc input is "
+                    "not supported yet — re-gather or re-create the "
+                    "driver")
+            if mh.process_index() != 0:
+                # consume the broadcast; the pool is built from local
+                # chunks in _device_factor — no global A3 here
+                (self.row_scale, self.col_scale, self.rowperm,
+                 self.colperm, self._expand, self._n_e, self.equed,
+                 extras) = mh.bcast_obj()
+                self._anorm_global = extras["anorm"]
+                self._anorm1_global = extras["anorm1"]
+                self._nz_global = extras["nz"]
+                return sp.csc_matrix((self.n, self.n))
+        return super()._preprocess(A, reuse_perms, reuse_colperm)
 
     # -- device phase overrides ----------------------------------------
 

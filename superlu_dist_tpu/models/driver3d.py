@@ -19,12 +19,12 @@ import jax.numpy as jnp
 
 from ..utils.options import Options
 from ..utils.stats import Stats
-from ..parallel import dist3d
+from ..parallel import dist3d, multihost as _mh
 from ..parallel.grid import Grid3D
 from .driver import SparseLU, _real_base
 
 
-class Distributed3DSparseLU(SparseLU):
+class Distributed3DSparseLU(_mh.PreprocessOnce, SparseLU):
 
     #: complex64 rides the real ring embedding (f32 executors unchanged,
     #: see dist_driver); complex128 / CPU-mesh default is native complex
@@ -46,13 +46,18 @@ class Distributed3DSparseLU(SparseLU):
         super().__init__(A, options=options, stat=stat)
 
     def _device_factor(self, A3: sp.csc_matrix):
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.grid import C_AXIS, R_AXIS, Z_AXIS
         opts, stat, plan = self.options, self.stat, self.plan
         g = self.grid
+        spec = P(Z_AXIS, R_AXIS, C_AXIS)
         with stat.phase("DIST"):
             self.dplan = dist3d.partition_plan3d(plan, g.npdep, g.nprow,
                                                  g.npcol,
                                                  anc25d=opts.anc25d)
-            self.tapes = dist3d.make_dist3d_factor_tapes(self.dplan)
+            self.tapes = tuple(
+                _mh.shard(g.mesh, spec, t)
+                for t in dist3d.make_dist3d_factor_tapes(self.dplan))
             if self.dplan.anc25d == "zsplit":
                 # comm-volume counter for the zsplit tradeoff: one z-psum
                 # of (max_tact+1) blocks per top level
@@ -60,7 +65,9 @@ class Distributed3DSparseLU(SparseLU):
                     self.dplan.ntop * (self.dplan.max_tact + 1)
                     * plan.bs * plan.bs
                     * np.dtype(self._fdtype).itemsize)
-            self.stapes = dist3d.make_dist3d_solve_tapes(self.dplan)
+            self.stapes = tuple(
+                _mh.shard(g.mesh, spec, t)
+                for t in dist3d.make_dist3d_solve_tapes(self.dplan))
             pools = dist3d.init_local_pools3d(plan, self.dplan, A3,
                                               self._fdtype, g)
             self._factor_fn = dist3d.build_dist3d_factor_fn(
@@ -72,10 +79,10 @@ class Distributed3DSparseLU(SparseLU):
                     np.sum(self.dplan.step_layer == z))
 
         with stat.phase("FACT"):
+            thresh = _mh.replicate(g.mesh, np.asarray(
+                self._thresh(), dtype=_real_base(self.dtype)))
             pools, linv, uinv, tiny = self._factor_fn(
-                pools, jnp.asarray(self._thresh(),
-                                   dtype=_real_base(self.dtype)),
-                self.tapes)
+                pools, thresh, self.tapes)
             pools.block_until_ready()
         self.pool = pools
         self.linv = linv
@@ -96,7 +103,7 @@ class Distributed3DSparseLU(SparseLU):
         nrhs = bp.shape[1]
         return np.asarray(self._solve_fn(nrhs)(
             self.pool, self.linv, self.uinv, self.stapes,
-            jnp.asarray(bp)))
+            _mh.replicate(self.grid.mesh, bp)))
 
     def _fused_refine_fn(self, nrhs: int):
         """In-mesh iterative refinement on the 3D grid (the pdgsrfs3d
@@ -229,10 +236,14 @@ class Distributed3DSparseLU(SparseLU):
         ``solve_transposed`` pipeline (see dist_driver._trans_solve_fn)."""
         key = ("T", nrhs)
         if key not in self._solve_fns:
+            from jax.sharding import PartitionSpec as P
+            from ..parallel.grid import C_AXIS, R_AXIS, Z_AXIS
             if not hasattr(self, "_ttapes"):
                 self.tplan = dist3d.trans_partition_plan3d(self.plan,
                                                            self.dplan)
-                self._ttapes = dist3d.make_dist3d_trans_tapes(self.tplan)
+                self._ttapes = tuple(
+                    _mh.shard(self.grid.mesh, P(Z_AXIS, R_AXIS, C_AXIS), t)
+                    for t in dist3d.make_dist3d_trans_tapes(self.tplan))
                 self.ttape_u = self.ttape_l = None
             core = dist3d.build_dist3d_trans_solve_fn(
                 self.plan, self.dplan, self.tplan, self.grid, nrhs,
@@ -240,7 +251,7 @@ class Distributed3DSparseLU(SparseLU):
 
             def wrapper(pool, uinv, linv, _tu, _tl, bp):
                 return core(pool, linv, uinv, self._ttapes,
-                            jnp.asarray(np.asarray(bp)))
+                            _mh.replicate(self.grid.mesh, np.asarray(bp)))
 
             self._solve_fns[key] = wrapper
         return self._solve_fns[key]

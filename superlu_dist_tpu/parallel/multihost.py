@@ -31,7 +31,51 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 __all__ = ["initialize", "process_count", "process_index", "replicate",
-           "shard", "bcast_obj"]
+           "shard", "bcast_obj", "PreprocessOnce"]
+
+
+class PreprocessOnce:
+    """Driver mixin: host preprocessing runs ONCE on process 0 and is
+    broadcast — equilibration, MC64/HWPM, ordering, alignment, symbolic
+    (the layer-0-preprocess-then-MPI_Bcast pattern of pdgssvx3d,
+    reference: SRC/double/pdgssvx3d.c:628-959). Single-process: plain
+    inheritance, zero overhead."""
+
+    def _preprocess(self, A, reuse_perms: bool, reuse_colperm: bool):
+        import scipy.sparse as sp
+        if process_count() == 1 or reuse_perms:
+            return super()._preprocess(A, reuse_perms, reuse_colperm)
+        if process_index() == 0:
+            A3 = super()._preprocess(A, reuse_perms, reuse_colperm)
+            extras = dict(
+                anorm=float(np.abs(A3.data).max()) if A3.nnz else 1.0,
+                anorm1=float(np.abs(A).sum(axis=0).max()),
+                nz=int(A.getnnz(axis=1).max()))
+            bcast_obj((self.row_scale, self.col_scale, self.rowperm,
+                       self.colperm, self._expand, self._n_e,
+                       self.equed, extras))
+            self._anorm_global = extras["anorm"]
+            self._anorm1_global = extras["anorm1"]
+            self._nz_global = extras["nz"]
+            return A3
+        (self.row_scale, self.col_scale, self.rowperm, self.colperm,
+         self._expand, self._n_e, self.equed, extras) = bcast_obj()
+        self._anorm_global = extras["anorm"]
+        self._anorm1_global = extras["anorm1"]
+        self._nz_global = extras["nz"]
+        A3 = A.multiply(self.row_scale[:, None]) \
+             .multiply(self.col_scale[None, :]).tocsc()
+        A3 = A3[self.rowperm, :][self.colperm, :][:, self.colperm]
+        return self._expand_A(sp.csc_matrix(A3))
+
+    def _symbolic(self, A3):
+        if process_count() == 1:
+            return super()._symbolic(A3)
+        if process_index() == 0:
+            plan = super()._symbolic(A3)
+            bcast_obj(plan)
+            return plan
+        return bcast_obj()
 
 
 def initialize(coordinator_address: str | None = None,

@@ -162,3 +162,73 @@ def test_two_process_nrloc_sharded(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert f"MULTIHOST_NRLOC_OK pid={pid}" in out, out
+
+
+_WORKER_3D = textwrap.dedent("""
+    import os, sys
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from superlu_dist_tpu.parallel import multihost as mh
+    mh.initialize(coordinator_address=f"127.0.0.1:{port}",
+                  num_processes=2, process_id=pid)
+    import numpy as np
+    from superlu_dist_tpu import Options, Trans
+    from superlu_dist_tpu.models.driver3d import gssvx3d
+    from superlu_dist_tpu.parallel.grid import Grid3D
+    from superlu_dist_tpu.utils.testing import laplacian_2d
+
+    A = laplacian_2d(12)
+    n = A.shape[0]
+    rng = np.random.default_rng(7)
+    xt = rng.standard_normal(n)
+    b = np.asarray(A @ xt)
+    grid = Grid3D(2, 2, 2)       # spans both processes' devices
+    res, lu = gssvx3d(A, b, grid,
+                      Options(dtype="float32", block_size=16))
+    rel = float(np.abs(res.x - xt).max() / np.abs(xt).max())
+    assert rel < 1e-5, f"solution err {rel}"
+    assert float(res.berr.max()) < 1e-13, f"berr {res.berr}"
+    # preprocessing ran only on process 0 (PreprocessOnce broadcast)
+    ran_rowperm = res.stat.utime.get("ROWPERM", 0.0) > 0.0
+    assert ran_rowperm == (pid == 0), (pid, dict(res.stat.utime))
+    # transposed solve across the 3D mesh, multi-process
+    xT = lu.solve(np.asarray(A.T @ xt), trans=Trans.TRANS)
+    relT = float(np.abs(xT - xt).max() / np.abs(xt).max())
+    assert relT < 1e-4, f"trans err {relT}"
+    print(f"MULTIHOST_3D_OK pid={pid} rel={rel:.2e} trans={relT:.2e}",
+          flush=True)
+""")
+
+
+def test_two_process_3d_mesh(tmp_path):
+    """2-process 3D driver: z-replicated factorization over a mesh
+    spanning both processes, preprocessing once on process 0
+    (pdgssvx3d.c:628-959 layer-0 pattern), solve + refine + Aᵀ solve."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    script = tmp_path / "worker3d.py"
+    script.write_text(_WORKER_3D)
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), str(port)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert f"MULTIHOST_3D_OK pid={pid}" in out, out
