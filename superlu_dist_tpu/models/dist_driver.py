@@ -74,18 +74,14 @@ class DistributedSparseLU(_mh.PreprocessOnce, SparseLU):
                                  "multi-process execution")
             self._nrloc = A
             n = A.n
-            ii, jj, vv = [], [], []
-            for fst, M in A.chunks:
-                C = M.tocoo()
-                ii.append(C.row.astype(np.int64) + fst)
-                jj.append(C.col.astype(np.int64))
-                vv.append(C.data)
-            rows = np.concatenate(ii) if ii else np.empty(0, np.int64)
-            cols = np.concatenate(jj) if jj else np.empty(0, np.int64)
-            vals = np.concatenate(vv) if vv else np.empty(0)
+            # the gather rides in full precision with a dtype every
+            # process agrees on regardless of its local nnz (an empty
+            # chunk must not desynchronize the SPMD collective's aval)
+            gdt = (np.complex128 if "complex" in self.options.dtype
+                   else np.float64)
+            rows, cols, vals = A.to_coo_arrays(gdt)
             Ag = dist2d.gather_values_to0(self.grid, rows, cols, vals, n,
-                                          vals.dtype if len(vals)
-                                          else np.float64)
+                                          gdt)
             # process 0 preprocesses on the gathered matrix; the others
             # keep only their local rows (O(local nnz) host memory)
             return Ag if mh.process_index() == 0 else A.to_partial_csc()

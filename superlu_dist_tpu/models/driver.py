@@ -358,6 +358,14 @@ class SparseLU:
             else:
                 plan = self._symbolic(A3)
                 self._solve_fns.clear()
+                # transpose-solve tapes are plan/perm-derived and cached
+                # behind hasattr guards — drop them with the plan, or a
+                # SAME_PATTERN refactor that changes the row permutation
+                # silently solves Aᵀ against stale schedules (caught by
+                # review: err 7e4 while NOTRANS stayed 5e-12)
+                for attr in ("ttape_u", "ttape_l", "_ttapes", "tplan"):
+                    if hasattr(self, attr):
+                        delattr(self, attr)
         self.plan = plan
         stat.counters["fill_blocks"] = plan.nslots
         stat.counters["factor_flops_model"] = plan.factor_flops
@@ -992,13 +1000,20 @@ class SparseLU:
         # letter codes too — an unrecognized value must NOT silently run
         # the NOTRANS path
         if not isinstance(trans, Trans):
-            try:
-                trans = Trans(trans) if isinstance(trans, str) \
-                    else list(Trans)[int(trans)]
-            except (ValueError, IndexError, TypeError):
-                raise ValueError(f"invalid trans={trans!r}; expected "
-                                 f"Trans.NOTRANS/TRANS/CONJ, 'N'/'T'/'C', "
-                                 f"or 0/1/2") from None
+            if isinstance(trans, str):
+                try:
+                    trans = Trans(trans)
+                except ValueError:
+                    trans = None
+            elif (isinstance(trans, (int, np.integer))
+                  and not isinstance(trans, bool) and 0 <= trans <= 2):
+                trans = list(Trans)[int(trans)]
+            else:
+                trans = None
+            if trans is None:
+                raise ValueError("invalid trans value; expected "
+                                 "Trans.NOTRANS/TRANS/CONJ, 'N'/'T'/'C', "
+                                 "or 0/1/2")
         if trans == Trans.TRANS:
             return self.solve_transposed(b)
         if trans == Trans.CONJ:

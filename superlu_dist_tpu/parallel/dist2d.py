@@ -822,15 +822,8 @@ def nrloc_entry_offsets(plan: SymbolicPlan, dplan: DistPlan2D, chunks,
     inv_cp = np.empty_like(colperm)
     inv_cp[colperm] = np.arange(len(colperm))
 
-    ii, jj, vv = [], [], []
-    for fst, M in chunks:
-        C = M.tocoo()
-        ii.append(C.row.astype(np.int64) + fst)
-        jj.append(C.col.astype(np.int64))
-        vv.append(C.data)
-    i = np.concatenate(ii) if ii else np.empty(0, np.int64)
-    j = np.concatenate(jj) if jj else np.empty(0, np.int64)
-    v = np.concatenate(vv) if vv else np.empty(0)
+    from ..utils.nrloc import NRLocMatrix
+    i, j, v = NRLocMatrix(chunks, n, local=True).to_coo_arrays()
     v = row_scale[i] * v * col_scale[j]
     r = inv_cp[inv_rp[i]]
     c = inv_cp[j]
@@ -907,16 +900,34 @@ def init_local_pools_nrloc(plan: SymbolicPlan, dplan: DistPlan2D,
                                        lambda idx, a=a: a[idx])
           for a in sh]
 
+    bb = bs * bs
+    CH = 1 << 16   # chunked 3D-shape scatter: bounds the sort-lowering
+    #                temps by the chunk and avoids the flat+reshape 2x
+    #                pool materialization (same discipline as
+    #                blocklu._pool_scatter_device — the capacity path)
+
     def spmd(d, o, v):
         d = lax.all_gather(lax.all_gather(d[0, 0], C_AXIS), R_AXIS)
         o = lax.all_gather(lax.all_gather(o[0, 0], C_AXIS), R_AXIS)
         v = lax.all_gather(lax.all_gather(v[0, 0], C_AXIS), R_AXIS)
         d, o, v = d.reshape(-1), o.reshape(-1), v.reshape(-1)
+        L = d.shape[0]
         my = (lax.axis_index(R_AXIS).astype(jnp.int32) * pc
               + lax.axis_index(C_AXIS).astype(jnp.int32))
-        flat = jnp.zeros(n_local * bs * bs, v.dtype)
-        flat = flat.at[o].add(jnp.where(d == my, v, 0))
-        return flat.reshape(1, 1, n_local, bs, bs)
+        pool = jnp.zeros((n_local, bs, bs), v.dtype)
+
+        def body(i, pool):
+            offs = i * CH + jnp.arange(CH, dtype=jnp.int32)
+            valid = offs < L
+            offs = jnp.minimum(offs, L - 1)
+            sel = valid & (d[offs] == my)
+            oc = jnp.where(sel, o[offs], 0)
+            vc = jnp.where(sel, v[offs], 0)
+            return pool.at[oc // bb, (oc % bb) // bs, oc % bs].add(vc)
+
+        return _chunked(0, L, CH, body, pool)[None, None]
+
+
 
     fn = shard_map(spmd, mesh=mesh,
                    in_specs=(P(R_AXIS, C_AXIS),) * 3,
@@ -929,15 +940,9 @@ def make_coo_shards_nrloc(chunks, n, grid: Grid2D, dtype):
     devices carry its local rows' entries (pdgsmv_init from local data —
     no global COO anywhere). Returns (pr, pc, m) host arrays valid at
     this process's device slots."""
-    ii, jj, vv = [], [], []
-    for fst, M in chunks:
-        C = M.tocoo()
-        ii.append(C.row.astype(np.int64) + fst)
-        jj.append(C.col.astype(np.int64))
-        vv.append(C.data)
-    rows = np.concatenate(ii) if ii else np.empty(0, np.int64)
-    cols = np.concatenate(jj) if jj else np.empty(0, np.int64)
-    vals = (np.concatenate(vv) if vv else np.empty(0)).astype(dtype)
+    from ..utils.nrloc import NRLocMatrix
+    rows, cols, vals = NRLocMatrix(chunks, n, local=True).to_coo_arrays(
+        dtype)
     m = _agree_stream_len(grid, len(rows))
     sh = _split_to_device_slots(
         grid, (rows.astype(np.int32), cols.astype(np.int32), vals),

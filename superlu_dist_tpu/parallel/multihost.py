@@ -44,6 +44,13 @@ class PreprocessOnce:
     def _preprocess(self, A, reuse_perms: bool, reuse_colperm: bool):
         import scipy.sparse as sp
         if process_count() == 1 or reuse_perms:
+            # local preprocessing recomputes everything from THIS A —
+            # stale broadcast norms from a previous factorization would
+            # otherwise set the tiny-pivot threshold / rcond scale from
+            # the old matrix's values
+            self._anorm_global = None
+            self._anorm1_global = None
+            self._nz_global = None
             return super()._preprocess(A, reuse_perms, reuse_colperm)
         if process_index() == 0:
             A3 = super()._preprocess(A, reuse_perms, reuse_colperm)

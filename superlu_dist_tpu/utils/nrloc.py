@@ -74,6 +74,24 @@ class NRLocMatrix:
                 "device-side instead")
         return sp.csc_matrix(sp.vstack([M for _, M in self.chunks]))
 
+    def to_coo_arrays(self, dtype=None):
+        """(rows, cols, vals) of every chunk entry in GLOBAL coordinates
+        (rows offset by fst_row). ``dtype`` casts the values; defaults to
+        the chunks' own dtype (float64 when there are no chunks — pass
+        an explicit dtype when cross-process consistency matters)."""
+        ii, jj, vv = [], [], []
+        for fst, M in self.chunks:
+            C = M.tocoo()
+            ii.append(C.row.astype(np.int64) + fst)
+            jj.append(C.col.astype(np.int64))
+            vv.append(C.data)
+        rows = np.concatenate(ii) if ii else np.empty(0, np.int64)
+        cols = np.concatenate(jj) if jj else np.empty(0, np.int64)
+        vals = np.concatenate(vv) if vv else np.empty(0)
+        if dtype is not None:
+            vals = vals.astype(dtype)
+        return rows, cols, vals
+
     def to_partial_csc(self) -> sp.csc_matrix:
         """This process's rows scattered into an (n, n) shell (other rows
         empty) — host memory stays O(local nnz)."""

@@ -194,3 +194,7 @@ def test_solve_rejects_bad_trans():
         lu.solve(b, trans="bogus")
     with pytest.raises(ValueError):
         lu.solve(b, trans=7)
+    with pytest.raises(ValueError):
+        lu.solve(b, trans=-1)      # negative indexing must not map to CONJ
+    with pytest.raises(ValueError):
+        lu.solve(b, trans=True)    # bools are not trans codes

@@ -153,3 +153,30 @@ def test_trans_conj_complex_dist(kind):
     assert np.abs(x - xt).max() < 1e-8
     x2 = lu.solve(np.asarray(A.T @ xt), trans=Trans.TRANS)
     assert np.abs(x2 - xt).max() < 1e-8
+
+
+@needs_8
+@pytest.mark.parametrize("kind", ["single", "dist2d", "dist3d"])
+def test_trans_valid_after_refactor(kind):
+    """Review regression: SAME_PATTERN refactor that changes the row
+    permutation must invalidate the cached transpose-solve tapes (stale
+    tapes produced err ~7e4 while NOTRANS stayed correct)."""
+    import scipy.sparse.linalg as spla
+    from superlu_dist_tpu import Fact
+    from superlu_dist_tpu.utils.options import RowPerm
+    rng = np.random.default_rng(5)
+    A = random_sparse(96, density=0.08, seed=8, diag_dominant=False)
+    n = A.shape[0]
+    opts = Options(dtype="float32", block_size=16,
+                   row_perm=RowPerm.LARGE_DIAG_MC64)
+    lu = _make_driver(kind, A, opts)
+    b = rng.standard_normal(n)
+    x0 = lu.solve_transposed(b)     # build + cache the trans tapes
+    # perturb values enough that MC64 picks a different matching
+    A2 = A.copy()
+    A2.data = A2.data * (1.0 + 0.8 * np.abs(rng.standard_normal(A.nnz)))
+    lu.refactor(A2, fact=Fact.SAME_PATTERN)
+    xt_ref = spla.spsolve(sp.csc_matrix(A2.T).astype(np.float64), b)
+    x = lu.solve_transposed(b)
+    err = np.abs(x - xt_ref).max() / np.abs(xt_ref).max()
+    assert err < 1e-3, f"stale trans tapes after refactor: err {err}"
