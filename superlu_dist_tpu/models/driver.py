@@ -261,6 +261,14 @@ class SparseLU:
         import os
         import jax
         opts = self.options
+        # above the fused kernels' practical size band, alignment stays
+        # ON: the capacity executors (XLA hybrid / aligned plans) need
+        # the level schedule — the unaligned serial plan at n=885k costs
+        # 47 GiB of per-level buffers (measured) while the aligned run
+        # fits 14.5 of 16 GiB
+        if self.n > int(os.environ.get("SLU_TPU_ALIGN_STANDDOWN_MAX",
+                                       200_000)):
+            return False
         if self._fdtype != np.dtype(np.float32):
             return False
         if (opts.executor or "clk") not in ("clk", "tck", "flk"):
@@ -427,6 +435,15 @@ class SparseLU:
         return (np.sqrt(_real_eps(self.dtype)) * self._anorm
                 if self.options.replace_tiny_pivot else 0.0)
 
+    def _pallas_solve_rows_ok(self) -> bool:
+        """The fused Pallas solve pads RHS lanes to W=128: two
+        (rows_pad, 128) f32 buffers ≈ 1.1 GiB at n=885k — 19 MiB past
+        HBM next to the 13.4 GiB capacity pool (measured). Above the row
+        cap the per-level XLA sweep (exact-width RHS) serves instead."""
+        import os
+        return self._bpad_rows() <= int(os.environ.get(
+            "SLU_TPU_PALLAS_SOLVE_MAX_ROWS", 500_000))
+
     def _pallas_solve_ok(self) -> bool:
         """The fused whole-sweep solve kernel prefetches its window tapes
         into SMEM; streams larger than one segment are scanned as uniform
@@ -557,11 +574,22 @@ class SparseLU:
                             len(s["j_fin"]) for s in self.tapes)
                         stat.counters["clk_segments"] = len(self.tapes)
                     else:
-                        # columns taller than clk's VMEM panel: flk.
-                        # (Measured lap3d50 n=125k: flk 406 ms / 451
-                        # GF/s vs tck 542 ms / 338 GF/s — the sliding-
-                        # tile kernel stays opt-in via executor="tck".)
-                        exc = "flk"
+                        # columns taller than clk's VMEM panel: flk when
+                        # its window tapes fit SMEM (measured lap3d50
+                        # n=125k: flk 406 ms / 451 GF/s vs tck 542 ms /
+                        # 338 GF/s), else the XLA hybrid executor — the
+                        # proven capacity path (n=885k in 14.5 of
+                        # 16 GiB; every fused kernel's scalar tapes
+                        # overflow SMEM there because one top
+                        # elimination step spans the whole segment
+                        # budget). tck stays opt-in via executor="tck".
+                        from ..ops.kernels import flk as _flkm
+                        if (opts.ilu_level is not None
+                                or _flkm.flk_supported(plan,
+                                                       opts.flk_kc)):
+                            exc = "flk"
+                        else:
+                            exc = "xla-fallback"
                 if exc == "tck":
                     # sliding-tile column kernel: clk semantics for
                     # columns of any height (no PANEL_CAP limit)
@@ -581,6 +609,14 @@ class SparseLU:
                     stat.counters["flk_windows"] = sum(
                         len(s["w_tgt"]) for s in self.tapes)
                     stat.counters["flk_segments"] = len(self.tapes)
+                elif exc == "xla-fallback":
+                    # fused kernels cannot segment this plan into SMEM:
+                    # run the level-batched XLA hybrid (the capacity
+                    # executor — no scalar-tape constraint)
+                    self.tapes = _blocklu.make_factor_tapes(plan)
+                    self._factor_fn = _blocklu.build_factor_fn(
+                        plan, chunk=opts.gemm_chunk)
+                    stat.counters["fused_fallback_xla"] = 1
                 elif exc not in ("clk", "tck"):
                     from ..ops.kernels import pallas_exec as _pe
                     self._factor_fn, self.tapes = _pe.build_factor_fn_pallas(
@@ -683,7 +719,8 @@ class SparseLU:
             y2 = self._solve_fns[key](self.pool, self.linv, self.uinv,
                                       self.ltape, self.utape, b2)
             return _planar.planar_to_complex(np.asarray(y2))
-        if self._use_pallas() and self._pallas_solve_ok():
+        if (self._use_pallas() and self._pallas_solve_ok()
+                and self._pallas_solve_rows_ok()):
             import os
             from ..ops.kernels import pallas_exec as _pe
             key = ("P", nrhs)
@@ -807,7 +844,8 @@ class SparseLU:
                          dtype=fdt)
         cs = jnp.asarray(self.col_scale[self.colperm], dtype=fdt)
 
-        if self._use_pallas() and self._pallas_solve_ok():
+        if (self._use_pallas() and self._pallas_solve_ok()
+                and self._pallas_solve_rows_ok()):
             import os
             from ..ops.kernels import pallas_exec as _pe
             interp = (os.environ.get("SLU_TPU_FORCE_PALLAS", "")
@@ -889,7 +927,8 @@ class SparseLU:
             cs = jnp.asarray(self.col_scale[self.colperm], dtype=fdt)
             ri_re = jnp.asarray(self._rows_idx[0::2])
             ri_im = jnp.asarray(self._rows_idx[1::2])
-            if self._use_pallas() and self._pallas_solve_ok():
+            if (self._use_pallas() and self._pallas_solve_ok()
+                and self._pallas_solve_rows_ok()):
                 import os
                 from ..ops.kernels import pallas_exec as _pe
                 interp = (os.environ.get("SLU_TPU_FORCE_PALLAS", "")
@@ -1019,18 +1058,28 @@ class SparseLU:
         if trans == Trans.CONJ:
             return self.solve_transposed(b, conj=True)
         if self._device_solve_ok:
-            if not self._use_planar() and not getattr(self, "_embed",
-                                                      False):
-                import jax
-                want_device = isinstance(b, jax.Array)
-                squeeze = b.ndim == 1
-                bb = b[:, None] if squeeze else b
-                return self._solve_device(bb, squeeze, want_device)
-            # complex (embed or planar): device-resident via re/im planes
-            bb = np.asarray(b)
-            squeeze = bb.ndim == 1
-            return self._solve_device_cplx(
-                bb[:, None] if squeeze else bb, squeeze)
+            try:
+                if not self._use_planar() and not getattr(self, "_embed",
+                                                          False):
+                    import jax
+                    want_device = isinstance(b, jax.Array)
+                    squeeze = b.ndim == 1
+                    bb = b[:, None] if squeeze else b
+                    return self._solve_device(bb, squeeze, want_device)
+                # complex (embed/planar): device-resident re/im planes
+                bb = np.asarray(b)
+                squeeze = bb.ndim == 1
+                return self._solve_device_cplx(
+                    bb[:, None] if squeeze else bb, squeeze)
+            except Exception as e:
+                # at capacity scale (n=885k: pool 13.4 of 15.75 GiB) the
+                # fused transform+sweep program can exceed HBM by a few
+                # tens of MB — degrade once to the host-transform path
+                # (smaller device footprint) instead of failing
+                if "memory" not in str(e).lower():
+                    raise
+                self._device_solve_ok = False
+                self.stat.counters["solve_hbm_fallback"] = 1
         b = np.asarray(b)
         squeeze = b.ndim == 1
         if squeeze:
@@ -1140,7 +1189,8 @@ class SparseLU:
         # plan-specific arrays (COO pattern, row placement, solve tapes)
         # ride as OPERANDS so same-bucket plans share one compiled refine
         # (see _device_solve_fn)
-        if self._use_pallas() and self._pallas_solve_ok():
+        if (self._use_pallas() and self._pallas_solve_ok()
+                and self._pallas_solve_rows_ok()):
             import os
             from ..ops.kernels import pallas_exec as _pe
             interp = (os.environ.get("SLU_TPU_FORCE_PALLAS", "")

@@ -45,6 +45,59 @@ class Distributed3DSparseLU(_mh.PreprocessOnce, SparseLU):
         self.grid = grid
         super().__init__(A, options=options, stat=stat)
 
+    # -- sharded NRLoc input (see dist_driver; same contract on z,r,c) --
+
+    def _ingest_input(self, A):
+        from ..parallel import dist2d
+        from ..utils.nrloc import NRLocMatrix
+        self._nrloc = None
+        if isinstance(A, NRLocMatrix) and A.local:
+            if _mh.process_count() == 1:
+                raise ValueError("local=True NRLoc input requires "
+                                 "multi-process execution")
+            self._nrloc = A
+            gdt = (np.complex128 if "complex" in self.options.dtype
+                   else np.float64)
+            rows, cols, vals = A.to_coo_arrays(gdt)
+            Ag = dist2d.gather_values_to0(self.grid, rows, cols, vals,
+                                          A.n, gdt)
+            return Ag if _mh.process_index() == 0 else A.to_partial_csc()
+        return super()._ingest_input(A)
+
+    def _preprocess(self, A, reuse_perms: bool, reuse_colperm: bool):
+        if self._nrloc is not None and _mh.process_count() > 1:
+            if reuse_perms or reuse_colperm:
+                raise NotImplementedError(
+                    "factor-reuse staging with sharded NRLoc input is "
+                    "not supported yet — re-gather or re-create the "
+                    "driver")
+            if _mh.process_index() != 0:
+                (self.row_scale, self.col_scale, self.rowperm,
+                 self.colperm, self._expand, self._n_e, self.equed,
+                 extras) = _mh.bcast_obj()
+                self._anorm_global = extras["anorm"]
+                self._anorm1_global = extras["anorm1"]
+                self._nz_global = extras["nz"]
+                return sp.csc_matrix((self.n, self.n))
+        return super()._preprocess(A, reuse_perms, reuse_colperm)
+
+    def _refine_hostloop(self, b, x0, **kw):
+        if self._nrloc is not None and _mh.process_count() > 1:
+            raise NotImplementedError(
+                "host-loop refinement needs global A values; with sharded "
+                "NRLoc input use real dtypes (in-mesh fused refinement) "
+                "or pass a gathered matrix")
+        return super()._refine_hostloop(b, x0, **kw)
+
+    def _berr(self, x, b, trans=None):
+        from ..utils.options import Trans
+        if self._nrloc is not None and _mh.process_count() > 1:
+            raise NotImplementedError(
+                "componentwise berr on the host needs global A; with "
+                "sharded NRLoc input run refine() (in-mesh berr) instead")
+        return super()._berr(x, b, trans if trans is not None
+                             else Trans.NOTRANS)
+
     def _device_factor(self, A3: sp.csc_matrix):
         from jax.sharding import PartitionSpec as P
         from ..parallel.grid import C_AXIS, R_AXIS, Z_AXIS
@@ -68,8 +121,18 @@ class Distributed3DSparseLU(_mh.PreprocessOnce, SparseLU):
             self.stapes = tuple(
                 _mh.shard(g.mesh, spec, t)
                 for t in dist3d.make_dist3d_solve_tapes(self.dplan))
-            pools = dist3d.init_local_pools3d(plan, self.dplan, A3,
-                                              self._fdtype, g)
+            if self._nrloc is not None and _mh.process_count() > 1:
+                dev, off, val = dist3d.nrloc_entry_offsets3d(
+                    plan, self.dplan, self._nrloc.chunks,
+                    self.row_scale, self.col_scale, self.rowperm,
+                    self.colperm, self._expand, self._n_e, self.n,
+                    embed=getattr(self, "_embed", False),
+                    with_identity=_mh.process_index() == 0)
+                pools = dist3d.init_local_pools3d_nrloc(
+                    plan, self.dplan, g, dev, off, val, self._fdtype)
+            else:
+                pools = dist3d.init_local_pools3d(plan, self.dplan, A3,
+                                                  self._fdtype, g)
             self._factor_fn = dist3d.build_dist3d_factor_fn(
                 plan, self.dplan, g, chunk=opts.gemm_chunk)
             stat.counters["anc_steps"] = float(
@@ -144,6 +207,12 @@ class Distributed3DSparseLU(_mh.PreprocessOnce, SparseLU):
             """Re-captured per factorization epoch — a stale closure
             would refine against the OLD matrix after refactor() (see
             dist_driver._fused_refine_fn)."""
+            if self._nrloc is not None and mh.process_count() > 1:
+                shards3 = dist2d.make_coo_shards_nrloc(
+                    self._nrloc.chunks, n, grid, np.dtype(rdt))
+                return tuple(
+                    mh.shard(grid.mesh, P(Z_AXIS, R_AXIS, C_AXIS), a)
+                    for a in shards3)
             rows, cols, vals = dist2d.make_coo_shards(
                 self._A_orig, pz * pr * pc_, np.dtype(rdt))
             m = rows.shape[-1]

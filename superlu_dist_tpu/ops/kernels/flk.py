@@ -66,6 +66,35 @@ FIN_U = 3     # X <- linv[step] @ X
 # ---------------------------------------------------------------------------
 
 
+#: conservative ceiling on the uniform segment window count: the
+#: scalar-prefetch tapes cost ~92 B/window at Kc=8 and must fit SMEM
+#: (~1 MiB); measured overflow at n=885k: 1.72 MiB requested (a single
+#: top elimination step spans >SEG_W windows, so segments cannot be cut
+#: small enough). Plans above this run the sliding-tile kernel (tck).
+MAX_SEG_WINDOWS = 10000
+
+
+def flk_supported(plan: SymbolicPlan, Kc: int = 8) -> bool:
+    """Cheap O(nnz) predicate: can the window tapes be segmented into
+    SMEM-sized pallas_calls? Segments cut only at elimination-step
+    boundaries, so the binding quantity is SEG_W plus the largest single
+    step's window count."""
+    g_t = np.asarray(plan.g_t, dtype=np.int64)
+    nslots = plan.nslots
+    counts = np.bincount(g_t, minlength=nslots) if len(g_t) else \
+        np.zeros(nslots, np.int64)
+    nwin_slot = np.maximum(1, -(-counts // Kc))
+    max_step = 0
+    for k in range(plan.nb):
+        w = int(nwin_slot[plan.diag_slot[k]])
+        ls = plan.l_slots[plan.l_ptr[k]:plan.l_ptr[k + 1]]
+        us = plan.u_slots[plan.u_ptr[k]:plan.u_ptr[k + 1]]
+        w += int(nwin_slot[np.asarray(ls, dtype=np.int64)].sum())
+        w += int(nwin_slot[np.asarray(us, dtype=np.int64)].sum())
+        max_step = max(max_step, w)
+    return SEG_W + max_step <= MAX_SEG_WINDOWS
+
+
 def build_flk_tapes(plan: SymbolicPlan, Kc: int = 8):
     """Window tape for the fused kernel.
 

@@ -731,38 +731,37 @@ def make_dist_solve_tapes(dplan: DistPlan2D):
 # here the exchange is an all-gather + masked scatter over the mesh.
 
 
-def _proc_device_slots(grid: Grid2D):
-    """(r, c) mesh positions owned by THIS process, in device order."""
+def _proc_device_slots(grid):
+    """Mesh index tuples owned by THIS process, in device order (works
+    for any mesh rank — 2D and 3D grids)."""
     import jax
     devs = np.asarray(grid.mesh.devices)
-    pos = [(r, c) for r in range(devs.shape[0])
-           for c in range(devs.shape[1])
-           if devs[r, c].process_index == jax.process_index()]
-    return pos
+    return [idx for idx in np.ndindex(devs.shape)
+            if devs[idx].process_index == jax.process_index()]
 
 
-def _split_to_device_slots(grid: Grid2D, arrays, fills, m):
+def _split_to_device_slots(grid, arrays, fills, m):
     """Split this process's entry streams round-robin across its own
-    device slots of a (pr, pc, m) host array (other slots hold fill —
-    they are never read: each device's shard comes from its own
+    device slots of a (*mesh_shape, m) host array (other slots hold fill
+    — they are never read: each device's shard comes from its own
     process's callback)."""
-    pr, pc = grid.nprow, grid.npcol
+    shape = np.asarray(grid.mesh.devices).shape
     pos = _proc_device_slots(grid)
     nloc = max(1, len(pos))
-    outs = [np.full((pr, pc, m), f, dtype=a.dtype)
+    outs = [np.full(shape + (m,), f, dtype=a.dtype)
             for a, f in zip(arrays, fills)]
     L = len(arrays[0])
     per = -(-L // nloc) if L else 0
-    for i, (r, c) in enumerate(pos):
+    for i, idx in enumerate(pos):
         lo, hi = i * per, min((i + 1) * per, L)
         if lo >= hi:
             continue
         for o, a in zip(outs, arrays):
-            o[r, c, : hi - lo] = a[lo:hi]
+            o[idx + (slice(0, hi - lo),)] = a[lo:hi]
     return outs
 
 
-def _agree_stream_len(grid: Grid2D, local_len: int) -> int:
+def _agree_stream_len(grid, local_len: int) -> int:
     """Global max of ceil(local_len / local_device_count), bucket-padded
     (one tiny replicated-int exchange; every process must call)."""
     import jax
@@ -789,7 +788,7 @@ def gather_values_to0(grid: Grid2D, rows, cols, vals, n, dtype):
         grid, (np.asarray(rows, np.int64), np.asarray(cols, np.int64),
                np.asarray(vals, dtype)), (n, 0, 0), m)
     mesh = grid.mesh
-    shard = NamedSharding(mesh, P(R_AXIS, C_AXIS))
+    shard = NamedSharding(mesh, P(*mesh.axis_names))
     rep = NamedSharding(mesh, P())
     gl = [jax.make_array_from_callback(a.shape, shard,
                                        lambda idx, a=a: a[idx])
@@ -803,20 +802,21 @@ def gather_values_to0(grid: Grid2D, rows, cols, vals, n, dtype):
     return sp.csc_matrix((v[keep], (r[keep], c[keep])), shape=(n, n))
 
 
-def nrloc_entry_offsets(plan: SymbolicPlan, dplan: DistPlan2D, chunks,
-                        row_scale, col_scale, rowperm, colperm,
-                        expand, n_e, n, *, embed=False,
-                        with_identity=False):
+def nrloc_slot_entries(plan: SymbolicPlan, chunks,
+                       row_scale, col_scale, rowperm, colperm,
+                       expand, n_e, n, *, embed=False,
+                       with_identity=False):
     """Map local NRLoc entries (global row coords) to
-    (owner_device, flat pool offset, scaled value) — the per-process
-    half of dReDistribute_A. ``with_identity`` adds the unit-diagonal
-    entries of expansion/block padding (contributed by ONE process).
+    (pool slot, row-in-block, col-in-block, scaled value) — the
+    grid-independent half of dReDistribute_A (the 2D/3D wrappers map
+    slots to their grid's owners). ``with_identity`` adds the
+    unit-diagonal entries of expansion/block padding (contributed by
+    ONE process).
 
     A3[r, c] = (Dr·A·Dc)[rowperm[colperm[r]], colperm[c]], then the
     alignment expansion re = expand[r], then (for complex64 on TPU) the
     ring embedding doubling."""
     bs = plan.bs
-    bb = bs * bs
     inv_rp = np.empty_like(rowperm)
     inv_rp[rowperm] = np.arange(len(rowperm))
     inv_cp = np.empty_like(colperm)
@@ -874,9 +874,23 @@ def nrloc_entry_offsets(plan: SymbolicPlan, dplan: DistPlan2D, chunks,
                                 == keys)
     if not np.all(ok):
         raise ValueError("NRLoc entry outside the symbolic pattern")
+    return slot, r % bs, c % bs, v
+
+
+def nrloc_entry_offsets(plan: SymbolicPlan, dplan: DistPlan2D, chunks,
+                        row_scale, col_scale, rowperm, colperm,
+                        expand, n_e, n, *, embed=False,
+                        with_identity=False):
+    """2D-grid owner mapping over :func:`nrloc_slot_entries`: returns
+    (owner_device, flat pool offset, scaled value)."""
+    bs = plan.bs
+    bb = bs * bs
+    slot, ri, ci, v = nrloc_slot_entries(
+        plan, chunks, row_scale, col_scale, rowperm, colperm,
+        expand, n_e, n, embed=embed, with_identity=with_identity)
     dev = np.asarray(dplan.owner_dev)[slot]
     off = (np.asarray(dplan.local_slot)[slot] * bb
-           + (r % bs) * bs + (c % bs))
+           + ri.astype(np.int64) * bs + ci)
     return dev.astype(np.int32), off.astype(np.int64), v
 
 

@@ -827,6 +827,86 @@ def make_dist3d_solve_tapes(dplan: DistPlan3D):
 
 
 # ---------------------------------------------------------------------------
+# sharded NRLoc input on the 3D grid (dReDistribute_A over z x r x c)
+# ---------------------------------------------------------------------------
+
+
+def nrloc_entry_offsets3d(plan: SymbolicPlan, dplan: DistPlan3D, chunks,
+                          row_scale, col_scale, rowperm, colperm,
+                          expand, n_e, n, *, embed=False,
+                          with_identity=False):
+    """3D-grid owner mapping over dist2d.nrloc_slot_entries: ancestor
+    slots land on their layer-0 replica (init convention of
+    init_local_pools3d — the z reduction then counts each value once)."""
+    from .dist2d import nrloc_slot_entries
+    bs = plan.bs
+    bb = bs * bs
+    slot, ri, ci, v = nrloc_slot_entries(
+        plan, chunks, row_scale, col_scale, rowperm, colperm,
+        expand, n_e, n, embed=embed, with_identity=with_identity)
+    z_of = np.where(dplan.slot_is_anc[slot], 0,
+                    dplan.step_layer[plan.slot_step[slot]])
+    dev = (z_of * (dplan.pr * dplan.pc)
+           + np.asarray(dplan.slot_rc)[slot]).astype(np.int32)
+    off = (np.asarray(dplan.slot_local)[slot] * bb
+           + ri.astype(np.int64) * bs + ci)
+    return dev, off.astype(np.int64), v
+
+
+def init_local_pools3d_nrloc(plan: SymbolicPlan, dplan: DistPlan3D,
+                             grid: Grid3D, dev, off, vals, dtype):
+    """3D analog of dist2d.init_local_pools_nrloc: one device-side
+    all-gather over the three mesh axes + chunked masked scatter into
+    each device's (n_local, B, B) shard."""
+    import jax
+    from .dist2d import _agree_stream_len, _split_to_device_slots
+    bs = plan.bs
+    bb = bs * bs
+    pr, pc = dplan.pr, dplan.pc
+    n_local = dplan.n_local
+    m = _agree_stream_len(grid, len(dev))
+    sh = _split_to_device_slots(
+        grid, (np.asarray(dev, np.int32), np.asarray(off, np.int64),
+               np.asarray(vals, dtype)), (-1, 0, 0), m)
+    mesh = grid.mesh
+    shard = NamedSharding(mesh, P(Z_AXIS, R_AXIS, C_AXIS))
+    gl = [jax.make_array_from_callback(a.shape, shard,
+                                       lambda idx, a=a: a[idx])
+          for a in sh]
+    CH = 1 << 16
+
+    def spmd(d, o, v):
+        def gath(x):
+            x = lax.all_gather(x[0, 0, 0], C_AXIS)
+            x = lax.all_gather(x, R_AXIS)
+            return lax.all_gather(x, Z_AXIS).reshape(-1)
+
+        d, o, v = gath(d), gath(o), gath(v)
+        L = d.shape[0]
+        my = ((lax.axis_index(Z_AXIS).astype(jnp.int32) * pr
+               + lax.axis_index(R_AXIS).astype(jnp.int32)) * pc
+              + lax.axis_index(C_AXIS).astype(jnp.int32))
+        pool = jnp.zeros((n_local, bs, bs), v.dtype)
+
+        def body(i, pool):
+            offs = i * CH + jnp.arange(CH, dtype=jnp.int32)
+            valid = offs < L
+            offs = jnp.minimum(offs, L - 1)
+            sel = valid & (d[offs] == my)
+            oc = jnp.where(sel, o[offs], 0)
+            vc = jnp.where(sel, v[offs], 0)
+            return pool.at[oc // bb, (oc % bb) // bs, oc % bs].add(vc)
+
+        pool = _chunked(0, L, CH, body, pool)
+        return pool[None, None, None]
+
+    fn = shard_map(spmd, mesh=mesh,
+                   in_specs=(P(Z_AXIS, R_AXIS, C_AXIS),) * 3,
+                   out_specs=P(Z_AXIS, R_AXIS, C_AXIS), check_vma=False)
+    return jax.jit(fn)(*gl)
+
+
+# ---------------------------------------------------------------------------
 # 3D transposed solves (the trans branches of pdgstrs on the 3D grid)
 # ---------------------------------------------------------------------------
 

@@ -198,8 +198,23 @@ _WORKER_3D = textwrap.dedent("""
     xT = lu.solve(np.asarray(A.T @ xt), trans=Trans.TRANS)
     relT = float(np.abs(xT - xt).max() / np.abs(xt).max())
     assert relT < 1e-4, f"trans err {relT}"
-    print(f"MULTIHOST_3D_OK pid={pid} rel={rel:.2e} trans={relT:.2e}",
-          flush=True)
+
+    # sharded NRLoc input on the 3D grid: this process's rows only,
+    # global A values never off process 0
+    import scipy.sparse as sp
+    from superlu_dist_tpu.utils.nrloc import NRLocMatrix
+    Ar = sp.csr_matrix(A)
+    half = n // 2
+    lo, hi = (0, half) if pid == 0 else (half, n)
+    Aloc = NRLocMatrix([(lo, Ar[lo:hi])], n, local=True)
+    res3, lu3 = gssvx3d(Aloc, b, Grid3D(2, 2, 2),
+                        Options(dtype="float32", block_size=16))
+    rel3 = float(np.abs(res3.x - xt).max() / np.abs(xt).max())
+    assert rel3 < 1e-5, f"3D NRLoc err {rel3}"
+    if pid != 0:
+        assert lu3._A_orig.nnz == Ar[half:].nnz
+    print(f"MULTIHOST_3D_OK pid={pid} rel={rel:.2e} trans={relT:.2e} "
+          f"nrloc={rel3:.2e}", flush=True)
 """)
 
 

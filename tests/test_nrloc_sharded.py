@@ -66,3 +66,32 @@ def test_nrloc_local_flags():
     assert P.shape == (n, n) and P.nnz == sp.csr_matrix(A)[:10].nnz
     with pytest.raises(ValueError):
         NRLocMatrix([(0, sp.csr_matrix(A)[:10])], n)   # gap without local
+
+
+@needs_8
+def test_nrloc_offsets_match_gathered_pool_3d():
+    """3D owner mapping + exchange reproduces init_local_pools3d."""
+    from superlu_dist_tpu.parallel import dist3d
+    from superlu_dist_tpu.parallel.grid import Grid3D
+    A = random_sparse(96, density=0.08, seed=5, diag_dominant=True)
+    n = A.shape[0]
+    lu = SparseLU(A, Options(dtype="float32", block_size=16))
+    plan = lu.plan
+    grid = Grid3D(2, 2, 2)
+    dplan = dist3d.partition_plan3d(plan, 2, 2, 2)
+
+    A3 = A.multiply(lu.row_scale[:, None]) \
+          .multiply(lu.col_scale[None, :]).tocsc()
+    A3 = A3[lu.rowperm, :][lu.colperm, :][:, lu.colperm]
+    A3 = lu._expand_A(sp.csc_matrix(A3))
+    ref = np.asarray(dist3d.init_local_pools3d(plan, dplan, A3,
+                                               np.float32, grid))
+
+    chunks = NRLocMatrix.from_global(A, 3).chunks
+    dev, off, val = dist3d.nrloc_entry_offsets3d(
+        plan, dplan, chunks, lu.row_scale, lu.col_scale, lu.rowperm,
+        lu.colperm, lu._expand, lu._n_e, n, with_identity=True)
+    got = np.asarray(dist3d.init_local_pools3d_nrloc(
+        plan, dplan, grid, dev, off, val, np.float32))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-6
