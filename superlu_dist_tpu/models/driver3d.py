@@ -135,6 +135,8 @@ class Distributed3DSparseLU(_mh.PreprocessOnce, SparseLU):
                                                   self._fdtype, g)
             self._factor_fn = dist3d.build_dist3d_factor_fn(
                 plan, self.dplan, g, chunk=opts.gemm_chunk)
+            stat.counters.update(self.dplan.comm_volume(
+                np.dtype(self._fdtype).itemsize))
             stat.counters["anc_steps"] = float(
                 np.sum(self.dplan.step_layer < 0))
             for z in range(g.npdep):

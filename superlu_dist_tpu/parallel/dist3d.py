@@ -209,6 +209,27 @@ class DistPlan3D:
     t2loc: np.ndarray = None      # local slots in compact-position order
     max_tact: int = 0             # max touched ancestor blocks per level
 
+    # ---- comm accounting (bytes per psum; the SCT comm-volume role) ----
+    def comm_volume(self, itemsize: int, nrhs: int = 1) -> dict:
+        """Collective payload of the compiled 3D program: per-level
+        inverse/panel psums over r,c; the one ancestor z-reduction
+        (dreduceAllAncestors3d analog); optional anc25d z-psums; solve
+        X-sized psums over all axes per level."""
+        bsb = self.bs * self.bs * itemsize
+        nlvl = self.max_p1 + self.ntop
+        fac = nlvl * (2 * (self.max_dlvl + 1)
+                      + (self.max_lbuf + 2) + (self.max_ubuf + 2)) * bsb
+        anc = self.max_anc * bsb            # the z ancestor reduction
+        if self.anc25d == "zsplit":
+            anc += self.ntop * (self.max_tact + 1) * bsb
+        xrow = self.bs * nrhs * itemsize
+        snlvl = (self.lsol_gptr.shape[-1] - 1
+                 + self.usol_gptr.shape[-1] - 1)
+        sol = snlvl * (self.nb + 1) * xrow      # full-X psum per level
+        return {"factor_psum_bytes": int(fac),
+                "anc_reduce_bytes": int(anc),
+                "solve_psum_bytes": int(sol)}
+
 
 def _compact_levels(steps, global_level):
     """Group ``steps`` by their global level, compacted to consecutive."""
