@@ -363,4 +363,9 @@ def gssvx3d(A, b, grid: Grid3D, options: Optional[Options] = None):
         bb = np.asarray(b)
         bb = bb[:, None] if bb.ndim == 1 else bb
         berr, _ = lu._berr(xb, bb)
-    return SolveResult(x=x, berr=np.atleast_1d(berr), stat=stat), lu
+    rcond = None
+    if options.condition_number:
+        with stat.phase("RCOND"):
+            rcond = lu.rcond_1()
+    return SolveResult(x=x, berr=np.atleast_1d(berr), stat=stat,
+                       rcond=rcond), lu

@@ -180,3 +180,24 @@ def test_trans_valid_after_refactor(kind):
     x = lu.solve_transposed(b)
     err = np.abs(x - xt_ref).max() / np.abs(xt_ref).max()
     assert err < 1e-3, f"stale trans tapes after refactor: err {err}"
+
+
+@needs_8
+@pytest.mark.parametrize("kind", ["dist2d", "dist3d"])
+def test_condition_number_option_dist(kind):
+    """options.condition_number flows through the distributed one-call
+    drivers (pdgssvx's ConditionNumber contract on the mesh)."""
+    A = random_sparse(90, density=0.08, seed=11, diag_dominant=False)
+    n = A.shape[0]
+    b = np.asarray(A @ np.ones(n))
+    opts = Options(dtype="float32", block_size=16, condition_number=True)
+    if kind == "dist2d":
+        from superlu_dist_tpu.models.dist_driver import gssvx_dist
+        from superlu_dist_tpu.parallel.grid import Grid2D
+        res, _ = gssvx_dist(A, b, Grid2D(2, 4), opts)
+    else:
+        from superlu_dist_tpu.models.driver3d import gssvx3d
+        from superlu_dist_tpu.parallel.grid import Grid3D
+        res, _ = gssvx3d(A, b, Grid3D(2, 2, 2), opts)
+    assert res.rcond is not None and 0 < res.rcond < 1
+    assert "RCOND" in res.stat.utime
