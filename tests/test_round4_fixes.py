@@ -154,3 +154,35 @@ def test_complex_device_resident_solve(mode, monkeypatch):
                         + 1j * rng.standard_normal((100, 3))))
     X = lu.solve(B)
     assert np.abs(A @ X - B).max() / np.abs(B).max() < 1e-4
+
+
+def test_executor_chain_falls_back_to_xla(monkeypatch):
+    """clk -> flk -> XLA hybrid: when no fused kernel can segment the
+    plan into SMEM, the driver runs the level-batched XLA executor (the
+    n=885k capacity behavior, forced here with tiny caps)."""
+    from superlu_dist_tpu import Options, SparseLU
+    from superlu_dist_tpu.ops.kernels import clk as _clk, flk as _flk
+
+    monkeypatch.setenv("SLU_TPU_FORCE_PALLAS", "interpret")
+    monkeypatch.setattr(_clk, "PANEL_CAP", 2)
+    monkeypatch.setattr(_flk, "MAX_SEG_WINDOWS", 1)
+    A = laplacian_2d(10)
+    n = A.shape[0]
+    lu = SparseLU(A, Options(dtype="float32", block_size=8))
+    assert lu.stat.counters.get("fused_fallback_xla") == 1
+    b = np.asarray(A @ np.ones(n))
+    x = lu.solve(b)
+    assert np.abs(x - 1).max() < 1e-4
+
+
+def test_align_stays_on_above_threshold(monkeypatch):
+    """Above SLU_TPU_ALIGN_STANDDOWN_MAX the stand-down is inert — the
+    capacity executors need the aligned schedule (n=885k: 47 GiB of
+    per-level buffers without it)."""
+    from superlu_dist_tpu import Options, SparseLU
+    monkeypatch.setenv("SLU_TPU_FORCE_PALLAS", "interpret")
+    monkeypatch.setenv("SLU_TPU_ALIGN_STANDDOWN_MAX", "50")
+    A = laplacian_2d(10)          # n=100 > 50 -> alignment stays on
+    lu = SparseLU(A, Options(dtype="float32", block_size=8,
+                             align_blocks="auto"))
+    assert lu._expand is not None, "alignment must stay on above the cap"
