@@ -355,14 +355,16 @@ def gssvx3d(A, b, grid: Grid3D, options: Optional[Options] = None):
     options = options or Options()
     stat = Stats()
     lu = Distributed3DSparseLU(A, grid, options=options, stat=stat)
-    x = lu.solve(b)
+    # honor options.trans (the options->Trans contract, pdgssvx.c:622):
+    # solve, refinement residuals, and berr all use A / A^T / A^H
+    x = lu.solve(b, trans=options.trans)
     if options.iter_refine != IterRefine.NOREFINE:
-        x, berr = lu.refine(b, x)
+        x, berr = lu.refine(b, x, trans=options.trans)
     else:
         xb = x[:, None] if x.ndim == 1 else x
         bb = np.asarray(b)
         bb = bb[:, None] if bb.ndim == 1 else bb
-        berr, _ = lu._berr(xb, bb)
+        berr, _ = lu._berr(xb, bb, trans=options.trans)
     rcond = None
     if options.condition_number:
         with stat.phase("RCOND"):

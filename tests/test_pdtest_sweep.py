@@ -132,3 +132,41 @@ def test_mutation_broken_reuse_is_caught():
                    lu=lu)
     rt = compute_resid(_perturbed(A, 3), np.atleast_2d(res.x.T).T[:, 0], b)
     assert rt > THRESH, f"mutation escaped the harness: resid test {rt}"
+
+
+@needs_8
+@pytest.mark.parametrize("kind", ["dist2d", "dist3d"])
+def test_options_trans_dist_drivers(kind):
+    """options.trans flows through the distributed one-call drivers:
+    solve, refinement residuals, and berr all use A^T (the options->Trans
+    contract, superlu_defs.h:684-728)."""
+    from superlu_dist_tpu import Trans
+    A = A_BASE
+    n = A.shape[0]
+    rng = np.random.default_rng(12)
+    xt = rng.standard_normal(n)
+    b = np.asarray(A.T @ xt)
+    opts = Options(dtype="float32", block_size=16, trans=Trans.TRANS)
+    if kind == "dist2d":
+        from superlu_dist_tpu.models.dist_driver import gssvx_dist
+        from superlu_dist_tpu.parallel.grid import Grid2D
+        res, _ = gssvx_dist(A, b, Grid2D(2, 4), opts)
+    else:
+        from superlu_dist_tpu.models.driver3d import gssvx3d
+        from superlu_dist_tpu.parallel.grid import Grid3D
+        res, _ = gssvx3d(A, b, Grid3D(2, 2, 2), opts)
+    assert np.abs(res.x - xt).max() / np.abs(xt).max() < 1e-8
+    assert float(np.max(res.berr)) < 1e-10
+
+
+def test_pdtest_complex_axis():
+    """pztest leg: the fact-staging sweep on the complex fixture
+    (reference: TEST/pztest.c — same loops, z precision)."""
+    from superlu_dist_tpu.utils.testing import reference_matrix
+    C = reference_matrix("cg20.cua")
+    if C is None:
+        pytest.skip("complex fixture not available")
+    opts = Options(dtype="complex128", block_size=16)
+    for fact in (Fact.DOFACT, Fact.SAME_PATTERN,
+                 Fact.SAME_PATTERN_SAME_ROWPERM, Fact.FACTORED):
+        _run_config(C, opts, fact, 1)
