@@ -379,6 +379,36 @@ class DistributedSparseLU(_mh.PreprocessOnce, SparseLU):
             self._solve_fns[key] = wrapper
         return self._solve_fns[key]
 
+    def _export_factors(self):
+        """Gather the sharded factors into the canonical single-chip
+        layout (global slots; inverses at step index) so save_factors
+        checkpoints load as portable SolveOnly objects."""
+        from ..parallel import multihost as mh
+        if mh.process_count() > 1 and self._nrloc is not None:
+            raise NotImplementedError(
+                "save_factors with sharded NRLoc input needs a global A "
+                "for the checkpoint; pass a gathered matrix instead")
+        from ..ops.kernels.blocklu import bucket125, factor_buckets
+        plan, dp = self.plan, self.dplan
+        bs = plan.bs
+        pool = np.asarray(self.pool)       # (pr, pc, n_local, B, B)
+        linvL = np.asarray(self.linv)      # (pr, pc, dlen+1, B, B)
+        uinvL = np.asarray(self.uinv)
+        poolp = factor_buckets(plan).poolp
+        out = np.zeros((poolp, bs, bs), pool.dtype)
+        dev = np.asarray(dp.owner_dev)
+        r, c = np.divmod(dev, dp.pc)
+        out[: plan.nslots] = pool[r, c, np.asarray(dp.local_slot)]
+        nbp = bucket125(plan.nb)
+        linv = np.zeros((nbp + 1, bs, bs), pool.dtype)
+        uinv = np.zeros((nbp + 1, bs, bs), pool.dtype)
+        ds = np.asarray(plan.diag_slot)
+        rd, cd = np.divmod(dev[ds], dp.pc)
+        idx = np.asarray(dp.dinv_idx)
+        linv[: plan.nb] = linvL[rd, cd, idx]
+        uinv[: plan.nb] = uinvL[rd, cd, idx]
+        return out, linv, uinv
+
     def diag_u(self) -> np.ndarray:
         """Diagonal of U gathered in-mesh: every device contributes its
         owned diagonal rows into a replicated psum buffer, so no host ever

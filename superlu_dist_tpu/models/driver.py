@@ -1151,6 +1151,13 @@ class SparseLU:
                        (num + safe1) / (denom + safe1))
         return val.max(axis=0), r
 
+    def _export_factors(self):
+        """(pool, linv, uinv) as host arrays in the canonical single-chip
+        layout (global slot / step indexed). The mesh drivers override
+        to gather their sharded state — checkpoints stay portable."""
+        return (np.asarray(self.pool), np.asarray(self.linv),
+                np.asarray(self.uinv))
+
     def _max_row_nnz(self) -> int:
         """Global max row-nnz (for the berr safe1/safe2 guards). Sharded-
         input processes use the broadcast value — it MUST be identical on
@@ -1519,17 +1526,20 @@ def gssvx(A, b, options: Optional[Options] = None,
 
 def save_factors(lu: SparseLU, path) -> None:
     """Persist a factorization: block pool, diagonal inverses, symbolic
-    plan, permutations, scalings, and the original A (for refinement)."""
+    plan, permutations, scalings, and the original A (for refinement).
+    Mesh-distributed drivers export their sharded state in the canonical
+    single-chip layout (``_export_factors``), so a checkpoint written on
+    any grid loads as a portable SolveOnly object."""
     import dataclasses as _dc
     plan_fields = {}
     for f in _dc.fields(lu.plan):
         v = getattr(lu.plan, f.name)
         plan_fields["plan_" + f.name] = np.asarray(v)
     A = sp.csc_matrix(lu._A_orig)
+    pool, linv, uinv = lu._export_factors()
     np.savez_compressed(
         path,
-        pool=np.asarray(lu.pool), linv=np.asarray(lu.linv),
-        uinv=np.asarray(lu.uinv),
+        pool=pool, linv=linv, uinv=uinv,
         rowperm=lu.rowperm, colperm=lu.colperm,
         row_scale=lu.row_scale, col_scale=lu.col_scale,
         a_indptr=A.indptr, a_indices=A.indices, a_data=A.data,

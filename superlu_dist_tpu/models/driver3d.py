@@ -327,6 +327,33 @@ class Distributed3DSparseLU(_mh.PreprocessOnce, SparseLU):
             self._solve_fns[key] = wrapper
         return self._solve_fns[key]
 
+    def _export_factors(self):
+        """Gather the z/r/c-sharded factors into the canonical
+        single-chip layout (see dist_driver._export_factors)."""
+        if self._nrloc is not None and _mh.process_count() > 1:
+            raise NotImplementedError(
+                "save_factors with sharded NRLoc input needs a global A "
+                "for the checkpoint; pass a gathered matrix instead")
+        from ..ops.kernels.blocklu import bucket125, factor_buckets
+        plan, dp = self.plan, self.dplan
+        bs = plan.bs
+        pool = np.asarray(self.pool)   # (pz, pr, pc, n_local, B, B)
+        z = np.where(np.asarray(dp.slot_is_anc), 0,
+                     np.asarray(dp.step_layer)[np.asarray(plan.slot_step)])
+        r, c = np.divmod(np.asarray(dp.slot_rc), dp.pc)
+        poolp = factor_buckets(plan).poolp
+        out = np.zeros((poolp, bs, bs), pool.dtype)
+        out[: plan.nslots] = pool[z, r, c, np.asarray(dp.slot_local)]
+        # 3D inverses are already global (nb, B, B); pad to the
+        # canonical (nbp+1) table
+        nbp = bucket125(plan.nb)
+        linv = np.zeros((nbp + 1, bs, bs), pool.dtype)
+        uinv = np.zeros((nbp + 1, bs, bs), pool.dtype)
+        li, ui = np.asarray(self.linv), np.asarray(self.uinv)
+        linv[: li.shape[0]] = li
+        uinv[: ui.shape[0]] = ui
+        return out, linv, uinv
+
     def diag_u(self) -> np.ndarray:
         pool = np.asarray(self.pool)   # (pz, pr, pc, n_local, B, B)
         plan, dplan = self.plan, self.dplan

@@ -126,3 +126,45 @@ def test_owner_local_inverses_sharded():
     dlen = lu.dplan.dstep.shape[-1]
     assert lu.linv.shape == (2, 2, dlen + 1, 16, 16)
     assert lu.uinv.shape == (2, 2, dlen + 1, 16, 16)
+
+
+@needs_8
+@pytest.mark.parametrize("kind", ["dist2d", "dist3d"])
+def test_save_load_from_mesh_driver(kind, tmp_path):
+    """Checkpoints written on any grid load as portable single-chip
+    SolveOnly objects (save_factors gathers the sharded pool into the
+    canonical layout; the WRITELU/SolveOnly contract)."""
+    from superlu_dist_tpu.models.driver import load_factors, save_factors
+    A = laplacian_2d(12)
+    n = A.shape[0]
+    b = np.asarray(A @ np.ones(n))
+    opts = Options(dtype="float32", block_size=16)
+    if kind == "dist2d":
+        lu = DistributedSparseLU(A, Grid2D(2, 4), opts)
+    else:
+        from superlu_dist_tpu.models.driver3d import Distributed3DSparseLU
+        lu = Distributed3DSparseLU(A, Grid3D(2, 2, 2), opts)
+    p = tmp_path / "f.npz"
+    save_factors(lu, p)
+    lu2 = load_factors(p)
+    x, berr = lu2.refine(b, lu2.solve(b))
+    assert np.abs(x - 1).max() < 1e-12 and float(np.max(berr)) < 1e-13
+    xt = lu2.solve_transposed(b)
+    assert np.abs(xt - 1).max() < 1e-5
+
+
+@needs_8
+def test_dist_ilu_preconditioner():
+    """ILU(k) symbolic through the distributed executors (reference:
+    ilu_level_symbfact + the distributed factorization consuming it)."""
+    A = random_sparse(128, density=0.06, seed=4, diag_dominant=True)
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+    b = np.asarray(A @ rng.standard_normal(n))
+    lu0 = SparseLU(A, Options(dtype="float32", block_size=16, ilu_level=0))
+    lud = DistributedSparseLU(A, Grid2D(2, 4),
+                              Options(dtype="float32", block_size=16,
+                                      ilu_level=0))
+    x0, xd = lu0.solve(b), lud.solve(b)
+    # both are the SAME incomplete factorization -> same approximation
+    assert np.allclose(x0, xd, rtol=1e-3, atol=1e-4)
