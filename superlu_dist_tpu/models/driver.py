@@ -1271,6 +1271,78 @@ class SparseLU:
         self._solve_fns[key] = refine
         return refine
 
+    def _fused_refine_fn_cplx(self, nrhs: int):
+        """One-dispatch complex refinement over (re, im) planes: planar
+        residual SpMV + modulus berr + the device-resident complex solve,
+        the whole loop a jitted while_loop (the pzgsrfs analog; before
+        this, complex refines paid a host round-trip per iteration)."""
+        key = ("FRC", nrhs)
+        if key in self._solve_fns:
+            return self._solve_fns[key]
+        import jax
+        from jax import lax
+
+        n = self.n
+        rb = jnp.dtype(_real_base(self.refine_dtype))
+        rows, cols, (vr, vi) = self._coo_ref
+        vabs = self._coo_abs
+        eps = _real_eps(self.refine_dtype)
+        nz = self._max_row_nnz() + 1
+        safe1 = nz * np.finfo(np.float64).tiny
+        safe2 = safe1 / np.finfo(np.float64).eps
+        itmax = self.options.max_refine_steps
+        rthresh = self.options.refine_rthresh
+        # transforms (Dr/Pr/Pc and back) live inside the inner solve;
+        # it consumes planes in the FACTOR precision (f32 for the
+        # embedding) — cast explicitly (mixed-precision residual)
+        inner = self._device_solve_fn_cplx(nrhs)
+        sdt = (jnp.dtype(np.float32) if getattr(self, "_embed", False)
+               else jnp.dtype(_real_base(self.dtype)))
+
+        @jax.jit
+        def refine(pool, linv, uinv, b2, x02, rows, cols, vr, vi, vabs):
+            b2 = b2.astype(rb)
+
+            def berr_of(x2):
+                ax = _spmv.spmv_planar(rows, cols, vr, vi, x2, n)
+                r2 = b2 - ax
+                xm = jnp.sqrt(x2[0] * x2[0] + x2[1] * x2[1])
+                denom = _spmv.abs_spmv(rows, cols, vabs, xm, n) \
+                    + jnp.sqrt(b2[0] * b2[0] + b2[1] * b2[1])
+                num = jnp.sqrt(r2[0] * r2[0] + r2[1] * r2[1])
+                val = jnp.where(denom > safe2,
+                                num / jnp.maximum(denom, safe1),
+                                (num + safe1) / (denom + safe1))
+                return val.max(axis=0), r2
+
+            def cond(carry):
+                x2, berr, prev, it = carry
+                keep = (berr > eps).any() & (berr <= rthresh * prev).all()
+                return (it < itmax) & ((it == 0) | keep)
+
+            def body(carry):
+                x2, berr, prev, it = carry
+                _, r2 = berr_of(x2)
+                dx2 = inner(pool, linv, uinv, r2.astype(sdt))
+                x2 = x2 + dx2.astype(rb)
+                nberr, _ = berr_of(x2)
+                return (x2, nberr, berr, it + 1)
+
+            berr0, _ = berr_of(x02.astype(rb))
+            x2, berr, prev, it = lax.while_loop(
+                cond, body,
+                (x02.astype(rb), berr0,
+                 jnp.full((nrhs,), jnp.inf, rb),
+                 jnp.zeros((), jnp.int32)))
+            return x2, berr, it
+
+        def bound(pool, linv, uinv, b2, x02):
+            return refine(pool, linv, uinv, b2, x02, rows, cols, vr, vi,
+                          vabs)
+
+        self._solve_fns[key] = bound
+        return bound
+
     def refine(self, b, x0: np.ndarray, trans: Trans = Trans.NOTRANS):
         """Iterative refinement — ``pdgsrfs`` analog (pdgsrfs.c:129-251).
 
@@ -1283,9 +1355,29 @@ class SparseLU:
         if trans != Trans.NOTRANS:
             return self._refine_hostloop(b, x0, trans=trans)
         if self._use_planar() or getattr(self, "_embed", False):
-            # complex (planar or embedded): host refinement loop with
-            # planar-spmv residuals; the one-dispatch fused loop is
-            # real-only for now
+            # complex (planar or embedded): fused one-dispatch loop over
+            # (re, im) planes on the single-chip driver; mesh drivers
+            # keep the host loop (their complex pool layouts differ)
+            if self._fused_refine_ok and self._device_solve_ok:
+                bb = np.asarray(b)
+                squeeze = bb.ndim == 1
+                if squeeze:
+                    bb = bb[:, None]
+                x = np.asarray(x0)
+                if x.ndim == 1:
+                    x = x[:, None]
+                fn = self._fused_refine_fn_cplx(bb.shape[1])
+                rb = jnp.dtype(_real_base(self.refine_dtype))
+                b2 = jnp.asarray(np.stack([bb.real, bb.imag]).astype(rb))
+                x2 = jnp.asarray(np.stack([x.real, x.imag]).astype(rb))
+                with self.stat.phase("REFINE"):
+                    xo2, berr, it = fn(self.pool, self.linv, self.uinv,
+                                       b2, x2)
+                    xo2 = np.asarray(xo2)
+                    berr = np.asarray(berr)
+                self.stat.refine_steps = int(it)
+                xo = (xo2[0] + 1j * xo2[1]).astype(self.refine_dtype)
+                return (xo[:, 0] if squeeze else xo), np.atleast_1d(berr)
             return self._refine_hostloop(b, x0)
         if self._fused_refine_ok:
             bb = np.asarray(b)
