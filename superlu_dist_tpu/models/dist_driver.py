@@ -349,6 +349,138 @@ class DistributedSparseLU(_mh.PreprocessOnce, SparseLU):
         self._solve_fns[key] = refine
         return refine
 
+    def _fused_cplx_ok(self) -> bool:
+        # the in-mesh embed refine below; native complex (CPU mesh)
+        # runs the real fused path. Sharded NRLoc input is excluded
+        # (its per-process COO layout is real-valued only so far).
+        return (self._fused_refine_ok and getattr(self, "_embed", False)
+                and not (self._nrloc is not None
+                         and _mh.process_count() > 1))
+
+    def _fused_refine_fn_cplx(self, nrhs: int):
+        """In-mesh refinement for the ring-embedded complex path: planar
+        residual SpMV with psums, modulus berr, the distributed solve
+        sweep on the embedded f32 pool — one jitted shard_map while_loop
+        (the pzgsrfs analog on the mesh). Same (pool, linv, uinv, b2,
+        x02) -> (x2, berr, it) contract as the single-chip variant."""
+        key = ("FRC", nrhs)
+        if key in self._solve_fns:
+            return self._solve_fns[key]
+        import jax
+        from jax import lax
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+        from ..parallel import multihost as mh
+        from ..parallel.grid import C_AXIS, R_AXIS
+
+        plan, dplan, grid = self.plan, self.dplan, self.grid
+        n = self.n
+        rb = jnp.dtype(_real_base(self.refine_dtype))
+        fdt = jnp.dtype(np.float32)          # embedded pool precision
+        rows_pad = self._bpad_rows()
+        ri_re = jnp.asarray(self._rows_idx[0::2])
+        ri_im = jnp.asarray(self._rows_idx[1::2])
+        prc = jnp.asarray(self.rowperm[self.colperm])
+        pcp = jnp.asarray(self.colperm)
+        rs = jnp.asarray(self.row_scale[self.rowperm[self.colperm]],
+                         dtype=rb)
+        cs = jnp.asarray(self.col_scale[self.colperm], dtype=rb)
+        eps = _real_eps(self.refine_dtype)
+        safe1 = (self._max_row_nnz() + 1) * np.finfo(np.float64).tiny
+        safe2 = safe1 / np.finfo(np.float64).eps
+        itmax = self.options.max_refine_steps
+        rthresh = self.options.refine_rthresh
+
+        run = dist2d.solve_sweeps_core(plan, dplan, nrhs,
+                                       chunk=self.options.gemm_chunk)
+        pr, pc_ = grid.nprow, grid.npcol
+
+        def build_coo_shards():
+            # re-captured per factorization epoch (see _fused_refine_fn)
+            rows, cols, vr, vi = dist2d.make_coo_shards_planar(
+                self._A_orig, pr * pc_, np.dtype(rb))
+            m = rows.shape[-1]
+            return tuple(
+                mh.shard(grid.mesh, P(R_AXIS, C_AXIS),
+                         a.reshape(pr, pc_, m))
+                for a in (rows, cols, vr, vi))
+
+        def spmd(pools, linvL, uinvL, *args):
+            tapes = tuple(t[0, 0] for t in args[:16])
+            rl, cl, vrl, vil = (a[0, 0] for a in args[16:20])
+            b2, x02 = args[20:]
+            pool = pools[0, 0]
+            linv, uinv = linvL[0, 0], uinvL[0, 0]
+            b2 = b2.astype(rb)
+            va = jnp.sqrt(vrl * vrl + vil * vil)
+
+            def berr_of(x2):
+                r2 = b2 - dist2d.dist_spmv_planar(rl, cl, vrl, vil, x2, n)
+                xm = jnp.sqrt(x2[0] * x2[0] + x2[1] * x2[1])
+                denom = dist2d.dist_spmv(rl, cl, va, xm, n) \
+                    + jnp.sqrt(b2[0] * b2[0] + b2[1] * b2[1])
+                num = jnp.sqrt(r2[0] * r2[0] + r2[1] * r2[1])
+                val = jnp.where(denom > safe2,
+                                num / jnp.maximum(denom, safe1),
+                                (num + safe1) / (denom + safe1))
+                return val.max(axis=0), r2
+
+            def lu_solve(r2):
+                bp = jnp.zeros((rows_pad, nrhs), fdt)
+                bp = bp.at[ri_re].set((rs[:, None] * r2[0][prc])
+                                      .astype(fdt))
+                bp = bp.at[ri_im].set((rs[:, None] * r2[1][prc])
+                                      .astype(fdt))
+                y = run(pool, linv, uinv, tapes, bp)
+                z = jnp.zeros((n, nrhs), rb)
+                return jnp.stack([
+                    z.at[pcp].set(cs[:, None] * y[ri_re].astype(rb)),
+                    z.at[pcp].set(cs[:, None] * y[ri_im].astype(rb))])
+
+            def cond(carry):
+                x2, berr, prev, it = carry
+                keep = (berr > eps).any() & (berr <= rthresh * prev).all()
+                return (it < itmax) & ((it == 0) | keep)
+
+            def body(carry):
+                x2, berr, prev, it = carry
+                _, r2 = berr_of(x2)
+                x2 = x2 + lu_solve(r2)
+                nberr, _ = berr_of(x2)
+                return (x2, nberr, berr, it + 1)
+
+            berr0, _ = berr_of(x02.astype(rb))
+            x2, berr, prev, it = lax.while_loop(
+                cond, body,
+                (x02.astype(rb), berr0,
+                 jnp.full((nrhs,), jnp.inf, rb),
+                 jnp.zeros((), jnp.int32)))
+            return x2, berr, it
+
+        sharded, rep = P(R_AXIS, C_AXIS), P()
+        fn = shard_map(
+            spmd, mesh=grid.mesh,
+            in_specs=(sharded,) * (3 + 16 + 4) + (rep,) * 2,
+            out_specs=(rep, rep, rep), check_vma=False)
+        jfn = jax.jit(lambda pool, linv, uinv, st, coo, b2, x02:
+                      fn(pool, linv, uinv, *st, *coo, b2, x02))
+
+        state = {"epoch": None, "coo": None}
+
+        def refine(pool, linv, uinv, b2, x02):
+            epoch = getattr(self, "_factor_epoch", 0)
+            if state["epoch"] != epoch:
+                state["coo"] = build_coo_shards()
+                state["epoch"] = epoch
+            if mh.process_count() > 1:
+                b2, x02 = (mh.replicate(grid.mesh, np.asarray(a))
+                           for a in (b2, x02))
+            return jfn(pool, linv, uinv, self.stapes, state["coo"],
+                       b2, x02)
+
+        self._solve_fns[key] = refine
+        return refine
+
     def _trans_solve_fn(self, nrhs: int):
         """Distributed Aᵀ solve executor, slotted into the inherited
         ``solve_transposed`` host pipeline (same 6-argument signature as

@@ -1271,6 +1271,11 @@ class SparseLU:
         self._solve_fns[key] = refine
         return refine
 
+    def _fused_cplx_ok(self) -> bool:
+        """Can complex refinement run as one fused device dispatch?
+        (mesh drivers override: their embed variant is in-mesh)"""
+        return self._fused_refine_ok and self._device_solve_ok
+
     def _fused_refine_fn_cplx(self, nrhs: int):
         """One-dispatch complex refinement over (re, im) planes: planar
         residual SpMV + modulus berr + the device-resident complex solve,
@@ -1356,9 +1361,9 @@ class SparseLU:
             return self._refine_hostloop(b, x0, trans=trans)
         if self._use_planar() or getattr(self, "_embed", False):
             # complex (planar or embedded): fused one-dispatch loop over
-            # (re, im) planes on the single-chip driver; mesh drivers
-            # keep the host loop (their complex pool layouts differ)
-            if self._fused_refine_ok and self._device_solve_ok:
+            # (re, im) planes (single-chip and the mesh embed variant;
+            # native-complex mesh pools use the real fused path below)
+            if self._fused_cplx_ok():
                 bb = np.asarray(b)
                 squeeze = bb.ndim == 1
                 if squeeze:

@@ -1138,6 +1138,42 @@ def make_coo_shards(A, ndev: int, dtype):
             vals.reshape(ndev, m))
 
 
+def make_coo_shards_planar(A, ndev: int, real_dtype):
+    """COO entry shards with planar (re, im) values — the pdgsmv_init
+    analog for the ring-embedded complex path (TPU devices hold no
+    complex dtype). Returns (rows, cols, vr, vi) of shape (ndev, m)."""
+    import scipy.sparse as sp
+    coo = sp.coo_matrix(A)
+    n = A.shape[0]
+    nnz = coo.nnz
+    from ..ops.kernels.spmv import _coo_bucket
+    m = _coo_bucket(-(-max(nnz, 1) // ndev))
+    rows = np.full(ndev * m, n, dtype=np.int32)
+    cols = np.zeros(ndev * m, dtype=np.int32)
+    vr = np.zeros(ndev * m, dtype=real_dtype)
+    vi = np.zeros(ndev * m, dtype=real_dtype)
+    rows[:nnz] = coo.row
+    cols[:nnz] = coo.col
+    vr[:nnz] = coo.data.real.astype(real_dtype)
+    vi[:nnz] = coo.data.imag.astype(real_dtype)
+    return (rows.reshape(ndev, m), cols.reshape(ndev, m),
+            vr.reshape(ndev, m), vi.reshape(ndev, m))
+
+
+def dist_spmv_planar(rl, cl, vr, vi, x2, n):
+    """Planar complex per-device partial SpMV + two-axis psum inside
+    shard_map: ``x2`` is the replicated (2, n, k) planes; returns
+    replicated planes of A·x."""
+    k = x2.shape[-1]
+    xr, xi = x2[0][cl], x2[1][cl]
+    pr_ = jnp.zeros((n + 1, k), x2.dtype).at[rl].add(
+        vr[:, None] * xr - vi[:, None] * xi)
+    pi_ = jnp.zeros((n + 1, k), x2.dtype).at[rl].add(
+        vr[:, None] * xi + vi[:, None] * xr)
+    out = jnp.stack([pr_[:n], pi_[:n]])
+    return lax.psum(lax.psum(out, R_AXIS), C_AXIS)
+
+
 def dist_spmv(rl, cl, vl, x, n):
     """Per-device partial SpMV + two-axis psum, callable inside shard_map:
     ``x`` is the replicated (n, k) multiplicand; returns replicated A·x."""

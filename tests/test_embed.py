@@ -198,3 +198,28 @@ def test_solve_rejects_bad_trans():
         lu.solve(b, trans=-1)      # negative indexing must not map to CONJ
     with pytest.raises(ValueError):
         lu.solve(b, trans=True)    # bools are not trans codes
+
+
+@needs_8
+def test_embed_dist_in_mesh_refine(embed_env):
+    """The ring-embedded mesh driver refines IN-MESH (one fused
+    shard_map while_loop — the pzgsrfs analog), not via the host loop."""
+    from superlu_dist_tpu.models.dist_driver import DistributedSparseLU
+    from superlu_dist_tpu.parallel.grid import Grid2D
+    from superlu_dist_tpu.utils.testing import reference_matrix
+    A = reference_matrix("cg20.cua")
+    if A is None:
+        pytest.skip("complex fixture not available")
+    A = A.astype(np.complex64)
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+    xt = (rng.standard_normal(n)
+          + 1j * rng.standard_normal(n)).astype(np.complex64)
+    b = np.asarray(A @ xt)
+    lu = DistributedSparseLU(A, Grid2D(2, 4),
+                             Options(dtype="complex64", block_size=16))
+    assert lu._embed and lu._fused_cplx_ok()
+    x = lu.solve(b)
+    xr, berr = lu.refine(b, x)
+    assert float(np.max(berr)) < 1e-13
+    assert lu.stat.refine_steps >= 1
