@@ -166,13 +166,15 @@ class BatchedSparseLU:
 
 
 def gssvx_batch(As: Sequence[sp.spmatrix], Bs: Sequence[np.ndarray],
-                options: Optional[Options] = None):
+                options: Optional[Options] = None, grid=None):
     """Heterogeneous batch via a block-diagonal composite system.
 
     Per-matrix preprocessing (equilibration → MC64 → fill-reducing
     ordering) runs first so the composite needs no further permutation
     (options fact/ordering axes mirror pdgssvx3d_csc_batch.c:110-217).
-    Returns a list of SolveResult.
+    ``grid`` (Grid2D or Grid3D) factors the composite on a device mesh —
+    the reference's batch interface runs through pdgssvx3d the same way
+    (pdgssvx3d_csc_batch.c:80-503). Returns a list of SolveResult.
     """
     options = options or Options()
     count = len(As)
@@ -206,7 +208,16 @@ def gssvx_batch(As: Sequence[sp.spmatrix], Bs: Sequence[np.ndarray],
     composite_opts = options.replace(
         equil=Equil.NO, row_perm=RowPerm.NOROWPERM,
         col_perm=ColPerm.NATURAL, iter_refine=IterRefine.NOREFINE)
-    lu = SparseLU(A_big, composite_opts)
+    if grid is None:
+        lu = SparseLU(A_big, composite_opts)
+    else:
+        from ..parallel.grid import Grid3D
+        if isinstance(grid, Grid3D):
+            from .driver3d import Distributed3DSparseLU
+            lu = Distributed3DSparseLU(A_big, grid, composite_opts)
+        else:
+            from .dist_driver import DistributedSparseLU
+            lu = DistributedSparseLU(A_big, grid, composite_opts)
 
     from ..utils.testing import backward_error
 

@@ -52,3 +52,29 @@ def test_block_diag_composite_batch():
         assert compute_resid(A, res.x, b) < THRESH
         assert res.berr.max() < 1e-12
         assert np.abs(res.x - xt).max() < 1e-6 * max(1, np.abs(xt).max())
+
+
+def test_gssvx_batch_on_mesh():
+    """The block-diagonal composite factors on a device mesh (the
+    reference's batch runs through pdgssvx3d; reference:
+    pdgssvx3d_csc_batch.c:80-503)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from superlu_dist_tpu.models.batch import gssvx_batch
+    from superlu_dist_tpu.parallel.grid import Grid3D
+    rng = np.random.default_rng(3)
+    As, Bs, xs = [], [], []
+    for i, n in enumerate((40, 56, 32)):
+        A = random_sparse(n, density=0.1, seed=10 + i)
+        xt = rng.standard_normal(n)
+        As.append(A)
+        xs.append(xt)
+        Bs.append(np.asarray(A @ xt))
+    res, lu = gssvx_batch(As, Bs, Options(dtype="float32", block_size=16),
+                          grid=Grid3D(2, 2, 2))
+    from superlu_dist_tpu.models.driver3d import Distributed3DSparseLU
+    assert isinstance(lu, Distributed3DSparseLU)
+    for r, xt in zip(res, xs):
+        assert np.abs(r.x - xt).max() < 1e-4
+        assert float(np.max(r.berr)) < 1e-5
