@@ -46,11 +46,22 @@ from .utils.options import (ColPerm, DiagScale, Equil, Fact, IterRefine,
                             Options, RowPerm, Trans, set_default_options,
                             sp_ienv, print_options)
 from .utils.stats import Stats
-from .models.driver import SparseLU, SolveResult, gssvx
+from .utils.nrloc import NRLocMatrix
+from .models.driver import (SparseLU, SolveResult, gssvx, load_factors,
+                            save_factors)
+from .models.dist_driver import DistributedSparseLU, gssvx_dist
+from .models.driver3d import Distributed3DSparseLU, gssvx3d
+from .models.batch import BatchedSparseLU, gssvx_batch
+from .parallel.grid import Grid2D, Grid3D
 
 __all__ = [
     "__version__", "get_version_number",
     "Options", "Fact", "Equil", "RowPerm", "ColPerm", "Trans", "IterRefine",
     "DiagScale", "set_default_options", "sp_ienv", "print_options",
     "Stats", "SparseLU", "SolveResult", "gssvx",
+    "save_factors", "load_factors", "NRLocMatrix",
+    "DistributedSparseLU", "gssvx_dist",
+    "Distributed3DSparseLU", "gssvx3d",
+    "BatchedSparseLU", "gssvx_batch",
+    "Grid2D", "Grid3D",
 ]
