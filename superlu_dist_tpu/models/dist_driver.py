@@ -511,6 +511,63 @@ class DistributedSparseLU(_mh.PreprocessOnce, SparseLU):
             self._solve_fns[key] = wrapper
         return self._solve_fns[key]
 
+    def profile_levels(self):
+        """Per-elimination-level device timings of the DISTRIBUTED
+        factorization (the slu_SCT_printComm3D role): one compiled
+        prefix program (levels [0, lmax) with runtime lmax) is timed at
+        every prefix length; differences give per-level wall time on the
+        mesh. Host-side tape metadata supplies the per-level work mix.
+        Wall times on a virtual CPU mesh track program structure only."""
+        import time as _time
+        from ..parallel import multihost as mh
+        if self._nrloc is not None and mh.process_count() > 1:
+            raise NotImplementedError(
+                "profile_levels with sharded NRLoc input is not supported")
+        plan, dplan, grid = self.plan, self.dplan, self.grid
+        fn = dist2d.build_dist_factor_fn(
+            plan, dplan, grid, chunk=self.options.gemm_chunk,
+            prefix=True)
+        # rebuild the initial pools from the stored transforms (the
+        # factors stay live — the profile runs on its own pool copies)
+        A3 = self._A_orig.multiply(self.row_scale[:, None]) \
+                         .multiply(self.col_scale[None, :]).tocsc()
+        A3 = A3[self.rowperm, :][self.colperm, :][:, self.colperm]
+        A3 = self._expand_A(sp.csc_matrix(A3))
+        if getattr(self, "_embed", False):
+            from .driver import _embed_csc
+            A3 = _embed_csc(A3)
+        pools0 = dist2d.init_local_pools(plan, dplan, A3, self._fdtype,
+                                         grid)
+        thresh = mh.replicate(grid.mesh, np.asarray(
+            self._thresh(), dtype=_real_base(self.dtype)))
+        nlvl = dplan.nlvl
+        # warm the prefix compile
+        out = fn(pools0, thresh, self.tapes, jnp.int32(0))
+        out[0].block_until_ready()
+        rows = []
+        prev = 0.0
+        dptr = dplan.dptr.reshape(-1, nlvl + 1)
+        lptr = dplan.lptr.reshape(-1, nlvl + 1)
+        uptr = dplan.uptr.reshape(-1, nlvl + 1)
+        gptr = dplan.gptr.reshape(-1, nlvl + 1)
+        for l in range(1, nlvl + 1):
+            best = np.inf
+            for _ in range(2):     # best-of-2 damps dispatch jitter
+                t0 = _time.perf_counter()
+                out = fn(pools0, thresh, self.tapes, jnp.int32(l))
+                out[0].block_until_ready()
+                best = min(best, _time.perf_counter() - t0)
+            t = best
+            rows.append(dict(
+                level=l - 1, ms=round(max(0.0, t - prev) * 1e3, 3),
+                steps=int((dptr[:, l] - dptr[:, l - 1]).sum()),
+                lpanels=int((lptr[:, l] - lptr[:, l - 1]).sum()),
+                upanels=int((uptr[:, l] - uptr[:, l - 1]).sum()),
+                gemms=int((gptr[:, l] - gptr[:, l - 1]).sum())))
+            prev = t
+        self.stat.counters["profiled_levels"] = len(rows)
+        return rows
+
     def _export_factors(self):
         """Gather the sharded factors into the canonical single-chip
         layout (global slots; inverses at step index) so save_factors

@@ -408,7 +408,8 @@ def _chunked(lo, hi, chunk, body, carry):
 
 
 def build_dist_factor_fn(plan: SymbolicPlan, dplan: DistPlan2D, grid: Grid2D,
-                         *, chunk: int = 16, diag_chunk: int = 4):
+                         *, chunk: int = 16, diag_chunk: int = 4,
+                         prefix: bool = False):
     """Compile the SPMD level-batched distributed factorization.
 
     Returns ``factor(pools, thresh, tapes) -> (pools, linvL, uinvL, tiny)``
@@ -431,8 +432,9 @@ def build_dist_factor_fn(plan: SymbolicPlan, dplan: DistPlan2D, grid: Grid2D,
     glen = dplan.glpos.shape[-1]
     blu = jax.vmap(block_lu_inv, in_axes=(0, None))
 
-    def spmd(pools, thresh, dptr, dstep, dloc, dpos, lptr, lloc, lpos, lpil,
-             uptr, uloc, upos, upil, gptr, glpos, gupos, gtloc):
+    def spmd(pools, thresh, lmax, dptr, dstep, dloc, dpos, lptr, lloc,
+             lpos, lpil, uptr, uloc, upos, upil, gptr, glpos, gupos,
+             gtloc):
         pool = pools[0, 0]
         dptr, dstep, dloc, dpos = (dptr[0, 0], dstep[0, 0], dloc[0, 0],
                                    dpos[0, 0])
@@ -548,8 +550,11 @@ def build_dist_factor_fn(plan: SymbolicPlan, dplan: DistPlan2D, grid: Grid2D,
 
         linv0 = jnp.zeros((dlen + 1, bs, bs), dtype)
         uinv0 = jnp.zeros((dlen + 1, bs, bs), dtype)
+        # prefix mode runs levels [0, lmax) with lmax a runtime scalar
+        # (one compile serves every prefix — the per-level profiler)
         pool, linvL, uinvL, tiny = lax.fori_loop(
-            0, nlvl, level, (pool, linv0, uinv0, jnp.zeros((), jnp.int32)))
+            0, lmax if prefix else nlvl, level,
+            (pool, linv0, uinv0, jnp.zeros((), jnp.int32)))
         tiny = lax.psum(lax.psum(tiny, R_AXIS), C_AXIS)
         return pool[None, None], linvL[None, None], uinvL[None, None], tiny
 
@@ -557,13 +562,20 @@ def build_dist_factor_fn(plan: SymbolicPlan, dplan: DistPlan2D, grid: Grid2D,
     rep = P()
     fn = shard_map(
         spmd, mesh=mesh,
-        in_specs=(sharded, rep) + (sharded,) * 16,
+        in_specs=(sharded, rep, rep) + (sharded,) * 16,
         out_specs=(sharded, sharded, sharded, rep),
         check_vma=False)
 
+    if prefix:
+        @jax.jit
+        def factor_prefix(pools, thresh, tapes, lmax):
+            return fn(pools, thresh, lmax, *tapes)
+
+        return factor_prefix
+
     @jax.jit
     def factor(pools, thresh, tapes):
-        return fn(pools, thresh, *tapes)
+        return fn(pools, thresh, jnp.int32(nlvl), *tapes)
 
     return factor
 

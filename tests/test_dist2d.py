@@ -168,3 +168,19 @@ def test_dist_ilu_preconditioner():
     x0, xd = lu0.solve(b), lud.solve(b)
     # both are the SAME incomplete factorization -> same approximation
     assert np.allclose(x0, xd, rtol=1e-3, atol=1e-4)
+
+
+@needs_8
+def test_dist_profile_levels():
+    """Per-level device timing on the mesh (the slu_SCT_printComm3D
+    role): one prefix program, per-level rows with the work mix."""
+    A = laplacian_2d(12)
+    lu = DistributedSparseLU(A, Grid2D(2, 4),
+                             Options(dtype="float32", block_size=16))
+    rows = lu.profile_levels()
+    assert len(rows) == lu.dplan.nlvl
+    assert sum(r["steps"] for r in rows) == lu.plan.nb
+    assert all(r["ms"] >= 0 for r in rows)
+    # factors stay live
+    b = np.asarray(A @ np.ones(A.shape[0]))
+    assert np.abs(lu.solve(b) - 1).max() < 1e-5
