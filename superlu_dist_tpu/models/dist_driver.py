@@ -26,7 +26,72 @@ from ..parallel.grid import Grid2D
 from .driver import SparseLU, _real_base, _real_eps
 
 
-class DistributedSparseLU(_mh.PreprocessOnce, SparseLU):
+class ShardedNRLocInput:
+    """Mixin shared by the 2D and 3D mesh drivers: sharded NRLoc input
+    (``local=True`` chunks, one set per process) stays distributed.
+    Values gather ONLY to process 0 (device-side collective — the
+    pdgssvx.c:768-794 gather role for rowperm/symbolic); the pool is
+    built straight from the local chunks in each driver's
+    ``_device_factor`` (dReDistribute_A analog). Host paths that need
+    global values raise clear errors instead."""
+
+    def _ingest_input(self, A):
+        from ..utils.nrloc import NRLocMatrix
+        self._nrloc = None
+        if isinstance(A, NRLocMatrix) and A.local:
+            if _mh.process_count() == 1:
+                raise ValueError("local=True NRLoc input requires "
+                                 "multi-process execution")
+            self._nrloc = A
+            # full precision with a dtype every process agrees on
+            # regardless of its local nnz (an empty chunk must not
+            # desynchronize the SPMD collective's aval)
+            gdt = (np.complex128 if "complex" in self.options.dtype
+                   else np.float64)
+            rows, cols, vals = A.to_coo_arrays(gdt)
+            Ag = dist2d.gather_values_to0(self.grid, rows, cols, vals,
+                                          A.n, gdt)
+            # process 0 preprocesses on the gathered matrix; the others
+            # keep only their local rows (O(local nnz) host memory)
+            return Ag if _mh.process_index() == 0 else A.to_partial_csc()
+        return super()._ingest_input(A)
+
+    def _preprocess(self, A, reuse_perms: bool, reuse_colperm: bool):
+        if self._nrloc is not None and _mh.process_count() > 1:
+            if reuse_perms or reuse_colperm:
+                raise NotImplementedError(
+                    "factor-reuse staging with sharded NRLoc input is "
+                    "not supported yet — re-gather or re-create the "
+                    "driver")
+            if _mh.process_index() != 0:
+                # consume the broadcast; the pool is built from local
+                # chunks in _device_factor — no global A3 here
+                (self.row_scale, self.col_scale, self.rowperm,
+                 self.colperm, self._expand, self._n_e, self.equed,
+                 extras) = _mh.bcast_obj()
+                self._anorm_global = extras["anorm"]
+                self._anorm1_global = extras["anorm1"]
+                self._nz_global = extras["nz"]
+                return sp.csc_matrix((self.n, self.n))
+        return super()._preprocess(A, reuse_perms, reuse_colperm)
+
+    def _refine_hostloop(self, b, x0, **kw):
+        if self._nrloc is not None and _mh.process_count() > 1:
+            raise NotImplementedError(
+                "host-loop refinement needs global A values; with sharded "
+                "NRLoc input use real dtypes (in-mesh fused refinement) "
+                "or pass a gathered matrix")
+        return super()._refine_hostloop(b, x0, **kw)
+
+    def _berr(self, x, b, trans=Trans.NOTRANS):
+        if self._nrloc is not None and _mh.process_count() > 1:
+            raise NotImplementedError(
+                "componentwise berr on the host needs global A; with "
+                "sharded NRLoc input run refine() (in-mesh berr) instead")
+        return super()._berr(x, b, trans)
+
+
+class DistributedSparseLU(ShardedNRLocInput, _mh.PreprocessOnce, SparseLU):
 
     _fused_refine_ok = True    # in-mesh fused refinement (see below)
     _device_solve_ok = False
@@ -57,75 +122,6 @@ class DistributedSparseLU(_mh.PreprocessOnce, SparseLU):
     # runs equilibration/MC64/ordering/alignment/symbolic and broadcasts
     # the results; every process then rebuilds its cheap local state
     # (permuted matrix, partition, tapes) deterministically.
-
-    def _ingest_input(self, A):
-        """Sharded NRLoc input (``local=True`` chunks, one set per
-        process): keep the input distributed. Values are gathered ONLY to
-        process 0 (device-side collective; the pdgssvx.c:768-794 gather
-        role for rowperm/symbolic) and the pool is later built straight
-        from the local chunks (dReDistribute_A analog). Non-partial
-        NRLoc / plain matrices use the inherited host gather."""
-        from ..parallel import multihost as mh
-        from ..utils.nrloc import NRLocMatrix
-        self._nrloc = None
-        if isinstance(A, NRLocMatrix) and A.local:
-            if mh.process_count() == 1:
-                raise ValueError("local=True NRLoc input requires "
-                                 "multi-process execution")
-            self._nrloc = A
-            n = A.n
-            # the gather rides in full precision with a dtype every
-            # process agrees on regardless of its local nnz (an empty
-            # chunk must not desynchronize the SPMD collective's aval)
-            gdt = (np.complex128 if "complex" in self.options.dtype
-                   else np.float64)
-            rows, cols, vals = A.to_coo_arrays(gdt)
-            Ag = dist2d.gather_values_to0(self.grid, rows, cols, vals, n,
-                                          gdt)
-            # process 0 preprocesses on the gathered matrix; the others
-            # keep only their local rows (O(local nnz) host memory)
-            return Ag if mh.process_index() == 0 else A.to_partial_csc()
-        return super()._ingest_input(A)
-
-    def _refine_hostloop(self, b, x0, **kw):
-        from ..parallel import multihost as mh
-        if self._nrloc is not None and mh.process_count() > 1:
-            raise NotImplementedError(
-                "host-loop refinement needs global A values; with sharded "
-                "NRLoc input use real dtypes (in-mesh fused refinement) "
-                "or pass a gathered matrix")
-        return super()._refine_hostloop(b, x0, **kw)
-
-    def _berr(self, x, b, trans=Trans.NOTRANS):
-        from ..parallel import multihost as mh
-        if self._nrloc is not None and mh.process_count() > 1:
-            raise NotImplementedError(
-                "componentwise berr on the host needs global A; with "
-                "sharded NRLoc input run refine() (in-mesh berr) instead")
-        return super()._berr(x, b, trans)
-
-    def _preprocess(self, A, reuse_perms: bool, reuse_colperm: bool):
-        """Generic flow in multihost.PreprocessOnce; this override adds
-        the sharded-NRLoc special cases (no global A3 view off process
-        0)."""
-        from ..parallel import multihost as mh
-        if self._nrloc is not None and mh.process_count() > 1:
-            if reuse_perms or reuse_colperm:
-                raise NotImplementedError(
-                    "factor-reuse staging with sharded NRLoc input is "
-                    "not supported yet — re-gather or re-create the "
-                    "driver")
-            if mh.process_index() != 0:
-                # consume the broadcast; the pool is built from local
-                # chunks in _device_factor — no global A3 here
-                (self.row_scale, self.col_scale, self.rowperm,
-                 self.colperm, self._expand, self._n_e, self.equed,
-                 extras) = mh.bcast_obj()
-                self._anorm_global = extras["anorm"]
-                self._anorm1_global = extras["anorm1"]
-                self._nz_global = extras["nz"]
-                return sp.csc_matrix((self.n, self.n))
-        return super()._preprocess(A, reuse_perms, reuse_colperm)
 
     # -- device phase overrides ----------------------------------------
 
@@ -378,13 +374,14 @@ class DistributedSparseLU(_mh.PreprocessOnce, SparseLU):
         rb = jnp.dtype(_real_base(self.refine_dtype))
         fdt = jnp.dtype(np.float32)          # embedded pool precision
         rows_pad = self._bpad_rows()
-        ri_re = jnp.asarray(self._rows_idx[0::2])
-        ri_im = jnp.asarray(self._rows_idx[1::2])
-        prc = jnp.asarray(self.rowperm[self.colperm])
-        pcp = jnp.asarray(self.colperm)
-        rs = jnp.asarray(self.row_scale[self.rowperm[self.colperm]],
-                         dtype=rb)
-        cs = jnp.asarray(self.col_scale[self.colperm], dtype=rb)
+        # transforms ship as replicated OPERANDS — mesh-spanning
+        # computations may not close over process-local arrays under
+        # multi-process execution (same rule as _fused_refine_fn)
+        xf_host = (self._rows_idx[0::2], self._rows_idx[1::2],
+                   self.rowperm[self.colperm], self.colperm,
+                   np.asarray(self.row_scale[self.rowperm[self.colperm]],
+                              dtype=rb),
+                   np.asarray(self.col_scale[self.colperm], dtype=rb))
         eps = _real_eps(self.refine_dtype)
         safe1 = (self._max_row_nnz() + 1) * np.finfo(np.float64).tiny
         safe2 = safe1 / np.finfo(np.float64).eps
@@ -408,7 +405,8 @@ class DistributedSparseLU(_mh.PreprocessOnce, SparseLU):
         def spmd(pools, linvL, uinvL, *args):
             tapes = tuple(t[0, 0] for t in args[:16])
             rl, cl, vrl, vil = (a[0, 0] for a in args[16:20])
-            b2, x02 = args[20:]
+            ri_re, ri_im, prc, pcp, rs, cs = args[20:26]
+            b2, x02 = args[26:]
             pool = pools[0, 0]
             linv, uinv = linvL[0, 0], uinvL[0, 0]
             b2 = b2.astype(rb)
@@ -460,12 +458,14 @@ class DistributedSparseLU(_mh.PreprocessOnce, SparseLU):
         sharded, rep = P(R_AXIS, C_AXIS), P()
         fn = shard_map(
             spmd, mesh=grid.mesh,
-            in_specs=(sharded,) * (3 + 16 + 4) + (rep,) * 2,
+            in_specs=(sharded,) * (3 + 16 + 4) + (rep,) * 8,
             out_specs=(rep, rep, rep), check_vma=False)
-        jfn = jax.jit(lambda pool, linv, uinv, st, coo, b2, x02:
-                      fn(pool, linv, uinv, *st, *coo, b2, x02))
+        jfn = jax.jit(lambda pool, linv, uinv, st, coo, xf, b2, x02:
+                      fn(pool, linv, uinv, *st, *coo, *xf, b2, x02))
 
         state = {"epoch": None, "coo": None}
+        xf = tuple(mh.replicate(grid.mesh, np.asarray(a))
+                   for a in xf_host)
 
         def refine(pool, linv, uinv, b2, x02):
             epoch = getattr(self, "_factor_epoch", 0)
@@ -475,7 +475,7 @@ class DistributedSparseLU(_mh.PreprocessOnce, SparseLU):
             if mh.process_count() > 1:
                 b2, x02 = (mh.replicate(grid.mesh, np.asarray(a))
                            for a in (b2, x02))
-            return jfn(pool, linv, uinv, self.stapes, state["coo"],
+            return jfn(pool, linv, uinv, self.stapes, state["coo"], xf,
                        b2, x02)
 
         self._solve_fns[key] = refine
@@ -573,10 +573,11 @@ class DistributedSparseLU(_mh.PreprocessOnce, SparseLU):
         layout (global slots; inverses at step index) so save_factors
         checkpoints load as portable SolveOnly objects."""
         from ..parallel import multihost as mh
-        if mh.process_count() > 1 and self._nrloc is not None:
+        if mh.process_count() > 1:
             raise NotImplementedError(
-                "save_factors with sharded NRLoc input needs a global A "
-                "for the checkpoint; pass a gathered matrix instead")
+                "save_factors from a multi-process mesh session is not "
+                "supported (the sharded pool is not host-addressable "
+                "here) — checkpoint from a single-process session")
         from ..ops.kernels.blocklu import bucket125, factor_buckets
         plan, dp = self.plan, self.dplan
         bs = plan.bs

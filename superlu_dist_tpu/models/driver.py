@@ -574,22 +574,21 @@ class SparseLU:
                             len(s["j_fin"]) for s in self.tapes)
                         stat.counters["clk_segments"] = len(self.tapes)
                     else:
-                        # columns taller than clk's VMEM panel: flk when
-                        # its window tapes fit SMEM (measured lap3d50
-                        # n=125k: flk 406 ms / 451 GF/s vs tck 542 ms /
-                        # 338 GF/s), else the XLA hybrid executor — the
-                        # proven capacity path (n=885k in 14.5 of
-                        # 16 GiB; every fused kernel's scalar tapes
-                        # overflow SMEM there because one top
-                        # elimination step spans the whole segment
-                        # budget). tck stays opt-in via executor="tck".
+                        # columns taller than clk's VMEM panel (or ILU
+                        # plans): flk when its window tapes fit SMEM
+                        # (measured lap3d50 n=125k: flk 406 ms / 451
+                        # GF/s vs tck 542 ms / 338 GF/s), else the XLA
+                        # hybrid executor — the proven capacity path
+                        # (n=885k in 14.5 of 16 GiB; every fused
+                        # kernel's scalar tapes overflow SMEM there
+                        # because one top elimination step spans the
+                        # whole segment budget; the XLA executor also
+                        # serves ILU plans). tck stays opt-in via
+                        # executor="tck".
                         from ..ops.kernels import flk as _flkm
-                        if (opts.ilu_level is not None
-                                or _flkm.flk_supported(plan,
-                                                       opts.flk_kc)):
-                            exc = "flk"
-                        else:
-                            exc = "xla-fallback"
+                        exc = ("flk"
+                               if _flkm.flk_supported(plan, opts.flk_kc)
+                               else "xla-fallback")
                 if exc == "tck":
                     # sliding-tile column kernel: clk semantics for
                     # columns of any height (no PANEL_CAP limit)
@@ -1289,8 +1288,6 @@ class SparseLU:
 
         n = self.n
         rb = jnp.dtype(_real_base(self.refine_dtype))
-        rows, cols, (vr, vi) = self._coo_ref
-        vabs = self._coo_abs
         eps = _real_eps(self.refine_dtype)
         nz = self._max_row_nnz() + 1
         safe1 = nz * np.finfo(np.float64).tiny
@@ -1342,8 +1339,13 @@ class SparseLU:
             return x2, berr, it
 
         def bound(pool, linv, uinv, b2, x02):
+            # COO values read at CALL time: a SamePattern* refactor
+            # rebuilds _coo_ref/_coo_abs and the refine must follow the
+            # new values (same contract as the real fused refine's
+            # call-time vals operand)
+            rows, cols, (vr, vi) = self._coo_ref
             return refine(pool, linv, uinv, b2, x02, rows, cols, vr, vi,
-                          vabs)
+                          self._coo_abs)
 
         self._solve_fns[key] = bound
         return bound

@@ -24,7 +24,11 @@ from ..parallel.grid import Grid3D
 from .driver import SparseLU, _real_base
 
 
-class Distributed3DSparseLU(_mh.PreprocessOnce, SparseLU):
+from .dist_driver import ShardedNRLocInput
+
+
+class Distributed3DSparseLU(ShardedNRLocInput, _mh.PreprocessOnce,
+                            SparseLU):
 
     #: complex64 rides the real ring embedding (f32 executors unchanged,
     #: see dist_driver); complex128 / CPU-mesh default is native complex
@@ -44,59 +48,6 @@ class Distributed3DSparseLU(_mh.PreprocessOnce, SparseLU):
                  stat: Optional[Stats] = None):
         self.grid = grid
         super().__init__(A, options=options, stat=stat)
-
-    # -- sharded NRLoc input (see dist_driver; same contract on z,r,c) --
-
-    def _ingest_input(self, A):
-        from ..parallel import dist2d
-        from ..utils.nrloc import NRLocMatrix
-        self._nrloc = None
-        if isinstance(A, NRLocMatrix) and A.local:
-            if _mh.process_count() == 1:
-                raise ValueError("local=True NRLoc input requires "
-                                 "multi-process execution")
-            self._nrloc = A
-            gdt = (np.complex128 if "complex" in self.options.dtype
-                   else np.float64)
-            rows, cols, vals = A.to_coo_arrays(gdt)
-            Ag = dist2d.gather_values_to0(self.grid, rows, cols, vals,
-                                          A.n, gdt)
-            return Ag if _mh.process_index() == 0 else A.to_partial_csc()
-        return super()._ingest_input(A)
-
-    def _preprocess(self, A, reuse_perms: bool, reuse_colperm: bool):
-        if self._nrloc is not None and _mh.process_count() > 1:
-            if reuse_perms or reuse_colperm:
-                raise NotImplementedError(
-                    "factor-reuse staging with sharded NRLoc input is "
-                    "not supported yet — re-gather or re-create the "
-                    "driver")
-            if _mh.process_index() != 0:
-                (self.row_scale, self.col_scale, self.rowperm,
-                 self.colperm, self._expand, self._n_e, self.equed,
-                 extras) = _mh.bcast_obj()
-                self._anorm_global = extras["anorm"]
-                self._anorm1_global = extras["anorm1"]
-                self._nz_global = extras["nz"]
-                return sp.csc_matrix((self.n, self.n))
-        return super()._preprocess(A, reuse_perms, reuse_colperm)
-
-    def _refine_hostloop(self, b, x0, **kw):
-        if self._nrloc is not None and _mh.process_count() > 1:
-            raise NotImplementedError(
-                "host-loop refinement needs global A values; with sharded "
-                "NRLoc input use real dtypes (in-mesh fused refinement) "
-                "or pass a gathered matrix")
-        return super()._refine_hostloop(b, x0, **kw)
-
-    def _berr(self, x, b, trans=None):
-        from ..utils.options import Trans
-        if self._nrloc is not None and _mh.process_count() > 1:
-            raise NotImplementedError(
-                "componentwise berr on the host needs global A; with "
-                "sharded NRLoc input run refine() (in-mesh berr) instead")
-        return super()._berr(x, b, trans if trans is not None
-                             else Trans.NOTRANS)
 
     def _device_factor(self, A3: sp.csc_matrix):
         from jax.sharding import PartitionSpec as P
@@ -330,10 +281,11 @@ class Distributed3DSparseLU(_mh.PreprocessOnce, SparseLU):
     def _export_factors(self):
         """Gather the z/r/c-sharded factors into the canonical
         single-chip layout (see dist_driver._export_factors)."""
-        if self._nrloc is not None and _mh.process_count() > 1:
+        if _mh.process_count() > 1:
             raise NotImplementedError(
-                "save_factors with sharded NRLoc input needs a global A "
-                "for the checkpoint; pass a gathered matrix instead")
+                "save_factors from a multi-process mesh session is not "
+                "supported (the sharded pool is not host-addressable "
+                "here) — checkpoint from a single-process session")
         from ..ops.kernels.blocklu import bucket125, factor_buckets
         plan, dp = self.plan, self.dplan
         bs = plan.bs

@@ -70,7 +70,8 @@ FIN_U = 3     # X <- linv[step] @ X
 #: scalar-prefetch tapes cost ~92 B/window at Kc=8 and must fit SMEM
 #: (~1 MiB); measured overflow at n=885k: 1.72 MiB requested (a single
 #: top elimination step spans >SEG_W windows, so segments cannot be cut
-#: small enough). Plans above this run the sliding-tile kernel (tck).
+#: small enough). Plans above this run the level-batched XLA hybrid
+#: executor (tck stays opt-in via executor="tck").
 MAX_SEG_WINDOWS = 10000
 
 

@@ -1128,26 +1128,32 @@ def build_dist_trans_solve_fn(plan: SymbolicPlan, dplan: DistPlan2D,
 # ICI, consistent with the solve design where X is replicated.
 
 
+def _pad_coo_streams(coo, n, ndev, value_streams):
+    """Shared pdgsmv_init scaffolding: bucket the per-device stream
+    length (shape-canonical across matrices — persistent-cache
+    friendly), pad with trash-row entries, reshape to (ndev, m)."""
+    from ..ops.kernels.spmv import _coo_bucket
+    nnz = coo.nnz
+    m = _coo_bucket(-(-max(nnz, 1) // ndev))
+    rows = np.full(ndev * m, n, dtype=np.int32)
+    cols = np.zeros(ndev * m, dtype=np.int32)
+    rows[:nnz] = coo.row
+    cols[:nnz] = coo.col
+    outs = [rows.reshape(ndev, m), cols.reshape(ndev, m)]
+    for data, dtype in value_streams:
+        v = np.zeros(ndev * m, dtype=dtype)
+        v[:nnz] = data.astype(dtype)
+        outs.append(v.reshape(ndev, m))
+    return tuple(outs)
+
+
 def make_coo_shards(A, ndev: int, dtype):
     """Partition the COO of ``A`` into ``ndev`` equal entry chunks
     (pdgsmv_init analog). Returns (rows, cols, vals) of shape (ndev, m);
     padding entries target the trash row ``n`` with value 0."""
     import scipy.sparse as sp
-    from ..ops.kernels.spmv import _coo_bucket
     coo = sp.coo_matrix(A)
-    n = A.shape[0]
-    nnz = coo.nnz
-    # bucket the per-device stream so the dist refine program is
-    # shape-canonical across matrices (persistent-cache friendly)
-    m = _coo_bucket(-(-max(nnz, 1) // ndev))
-    rows = np.full(ndev * m, n, dtype=np.int32)
-    cols = np.full(ndev * m, 0, dtype=np.int32)
-    vals = np.zeros(ndev * m, dtype=dtype)
-    rows[:nnz] = coo.row
-    cols[:nnz] = coo.col
-    vals[:nnz] = coo.data.astype(dtype)
-    return (rows.reshape(ndev, m), cols.reshape(ndev, m),
-            vals.reshape(ndev, m))
+    return _pad_coo_streams(coo, A.shape[0], ndev, [(coo.data, dtype)])
 
 
 def make_coo_shards_planar(A, ndev: int, real_dtype):
@@ -1156,20 +1162,9 @@ def make_coo_shards_planar(A, ndev: int, real_dtype):
     complex dtype). Returns (rows, cols, vr, vi) of shape (ndev, m)."""
     import scipy.sparse as sp
     coo = sp.coo_matrix(A)
-    n = A.shape[0]
-    nnz = coo.nnz
-    from ..ops.kernels.spmv import _coo_bucket
-    m = _coo_bucket(-(-max(nnz, 1) // ndev))
-    rows = np.full(ndev * m, n, dtype=np.int32)
-    cols = np.zeros(ndev * m, dtype=np.int32)
-    vr = np.zeros(ndev * m, dtype=real_dtype)
-    vi = np.zeros(ndev * m, dtype=real_dtype)
-    rows[:nnz] = coo.row
-    cols[:nnz] = coo.col
-    vr[:nnz] = coo.data.real.astype(real_dtype)
-    vi[:nnz] = coo.data.imag.astype(real_dtype)
-    return (rows.reshape(ndev, m), cols.reshape(ndev, m),
-            vr.reshape(ndev, m), vi.reshape(ndev, m))
+    return _pad_coo_streams(coo, A.shape[0], ndev,
+                            [(coo.data.real, real_dtype),
+                             (coo.data.imag, real_dtype)])
 
 
 def dist_spmv_planar(rl, cl, vr, vi, x2, n):

@@ -223,3 +223,25 @@ def test_embed_dist_in_mesh_refine(embed_env):
     xr, berr = lu.refine(b, x)
     assert float(np.max(berr)) < 1e-13
     assert lu.stat.refine_steps >= 1
+
+
+def test_complex_fused_refine_follows_refactor():
+    """Review regression: the cached complex fused-refine must read the
+    CURRENT matrix's COO values after a SamePattern_SameRowPerm
+    refactor (a stale closure refined against the old matrix)."""
+    from superlu_dist_tpu import Fact
+    rng = np.random.default_rng(6)
+    A = sp.random(80, 80, density=0.1, random_state=3, format="csc")
+    A = (A + 1j * 0.4 * sp.random(80, 80, density=0.1, random_state=4,
+                                  format="csc")).tocsc()
+    A.setdiag(A.diagonal() + 5)
+    lu = SparseLU(A, Options(dtype="complex128", block_size=16))
+    b = np.asarray(A @ np.ones(80))
+    lu.refine(b, lu.solve(b))     # caches the fused complex refine
+    A2 = A.copy()
+    A2.data = A2.data * (1.0 + 0.3 * rng.standard_normal(A.nnz))
+    lu.refactor(A2, fact=Fact.SAME_PATTERN_SAME_ROWPERM)
+    b2 = np.asarray(A2 @ np.ones(80))
+    x2, berr = lu.refine(b2, lu.solve(b2))
+    assert float(np.max(berr)) < 1e-13, "refined against stale values"
+    assert np.abs(x2 - 1).max() < 1e-10
