@@ -278,6 +278,57 @@ class Distributed3DSparseLU(ShardedNRLocInput, _mh.PreprocessOnce,
             self._solve_fns[key] = wrapper
         return self._solve_fns[key]
 
+    def profile_levels(self):
+        """Per-level device timings on the 3D mesh (the
+        slu_SCT_printComm3D role; see dist_driver.profile_levels) —
+        phase-1 layer levels followed by the top levels."""
+        import time as _time
+        if self._nrloc is not None and _mh.process_count() > 1:
+            raise NotImplementedError(
+                "profile_levels with sharded NRLoc input is not supported")
+        plan, dplan, g = self.plan, self.dplan, self.grid
+        fn = dist3d.build_dist3d_factor_fn(
+            plan, dplan, g, chunk=self.options.gemm_chunk, prefix=True)
+        A3 = self._A_orig.multiply(self.row_scale[:, None]) \
+                         .multiply(self.col_scale[None, :]).tocsc()
+        A3 = A3[self.rowperm, :][self.colperm, :][:, self.colperm]
+        A3 = self._expand_A(sp.csc_matrix(A3))
+        if getattr(self, "_embed", False):
+            from .driver import _embed_csc
+            A3 = _embed_csc(A3)
+        pools0 = dist3d.init_local_pools3d(plan, dplan, A3, self._fdtype,
+                                           g)
+        thresh = _mh.replicate(g.mesh, np.asarray(
+            self._thresh(), dtype=_real_base(self.dtype)))
+        nlvl = dplan.max_p1 + dplan.ntop
+        out = fn(pools0, thresh, self.tapes, jnp.int32(0))
+        out[0].block_until_ready()
+        rows = []
+        prev = 0.0
+        dptr = dplan.dptr.reshape(-1, nlvl + 1)
+        gptr = dplan.gptr.reshape(-1, nlvl + 1)
+        for l in range(1, nlvl + 1):
+            best = np.inf
+            for _ in range(2):
+                t0 = _time.perf_counter()
+                out = fn(pools0, thresh, self.tapes, jnp.int32(l))
+                out[0].block_until_ready()
+                best = min(best, _time.perf_counter() - t0)
+            top = l - 1 >= dplan.max_p1
+            # top-level tape entries are replicated across the z layers
+            # (zsplit gemms are not) — count each once
+            sdiv = dplan.pz if top else 1
+            gdiv = (1 if (top and dplan.anc25d == "zsplit")
+                    else sdiv)
+            rows.append(dict(
+                level=l - 1, phase=("top" if top else "layer"),
+                ms=round(max(0.0, best - prev) * 1e3, 3),
+                steps=int((dptr[:, l] - dptr[:, l - 1]).sum()) // sdiv,
+                gemms=int((gptr[:, l] - gptr[:, l - 1]).sum()) // gdiv))
+            prev = best
+        self.stat.counters["profiled_levels"] = len(rows)
+        return rows
+
     def _export_factors(self):
         """Gather the z/r/c-sharded factors into the canonical
         single-chip layout (see dist_driver._export_factors)."""

@@ -531,7 +531,7 @@ def _chunked(lo, hi, chunk, body, carry):
 
 def build_dist3d_factor_fn(plan: SymbolicPlan, dplan: DistPlan3D,
                            grid: Grid3D, *, chunk: int = 16,
-                           diag_chunk: int = 4):
+                           diag_chunk: int = 4, prefix: bool = False):
     """Compile the SPMD 3D factorization: per-layer subtree levels →
     ancestor psum over 'z' → replicated top levels."""
     nb, bs = dplan.nb, dplan.bs
@@ -551,7 +551,7 @@ def build_dist3d_factor_fn(plan: SymbolicPlan, dplan: DistPlan3D,
     TACT = dplan.max_tact
     t2len = dplan.t2loc.shape[-1] if zsplit else 1
 
-    def spmd(pools, thresh, *T):
+    def spmd(pools, thresh, lmax, *T):
         pool = pools[0, 0, 0]
         (dptr, dstep, dloc, dpil, lptr, lloc, lpos, lpil, uptr, uloc,
          upos, upil, gptr, glpos, gupos, gtloc) = (
@@ -699,8 +699,12 @@ def build_dist3d_factor_fn(plan: SymbolicPlan, dplan: DistPlan3D,
         # COMPACT lC/uC); one full psum at the phase boundary replicates
         # the tables for the solve (each phase-1 step has exactly one
         # owner device globally).
+        # prefix mode runs levels [0, lmax) with lmax a runtime scalar
+        # (the per-level profiler; the phase-boundary collectives always
+        # execute — they are part of the SPMD program)
+        p1_hi = jnp.minimum(lmax, max_p1) if prefix else max_p1
         pool, linv, uinv, tiny1 = lax.fori_loop(
-            0, max_p1, level, (pool, linv0, uinv0, jnp.zeros((), jnp.int32)))
+            0, p1_hi, level, (pool, linv0, uinv0, jnp.zeros((), jnp.int32)))
         linv = lax.psum(lax.psum(lax.psum(linv, Z_AXIS), R_AXIS), C_AXIS)
         uinv = lax.psum(lax.psum(lax.psum(uinv, Z_AXIS), R_AXIS), C_AXIS)
         # cross-layer reduction (dreduceAllAncestors3d analog)
@@ -709,8 +713,10 @@ def build_dist3d_factor_fn(plan: SymbolicPlan, dplan: DistPlan3D,
         # phase 2: shared top — either computed redundantly on every
         # layer (replicated; r,c collectives only), or with the Schur
         # gemms z-split + per-level z-psum (the anc25d analog)
+        p2_hi = (jnp.maximum(jnp.minimum(lmax, max_p1 + ntop), max_p1)
+                 if prefix else max_p1 + ntop)
         pool, linv2, uinv2, tiny2 = lax.fori_loop(
-            max_p1, max_p1 + ntop, make_level(zsplit),
+            max_p1, p2_hi, make_level(zsplit),
             (pool, jnp.zeros_like(linv0), jnp.zeros_like(uinv0),
              jnp.zeros((), jnp.int32)))
         linv = linv + lax.psum(lax.psum(linv2, R_AXIS), C_AXIS)
@@ -724,12 +730,19 @@ def build_dist3d_factor_fn(plan: SymbolicPlan, dplan: DistPlan3D,
     rep = P()
     ntapes = 18 if zsplit else 16
     fn = shard_map(spmd, mesh=mesh,
-                   in_specs=(sharded, rep) + (sharded,) * ntapes,
+                   in_specs=(sharded, rep, rep) + (sharded,) * ntapes,
                    out_specs=(sharded, rep, rep, rep), check_vma=False)
+
+    if prefix:
+        @jax.jit
+        def factor_prefix(pools, thresh, tapes, lmax):
+            return fn(pools, thresh, lmax, *tapes)
+
+        return factor_prefix
 
     @jax.jit
     def factor(pools, thresh, tapes):
-        return fn(pools, thresh, *tapes)
+        return fn(pools, thresh, jnp.int32(max_p1 + ntop), *tapes)
 
     return factor
 

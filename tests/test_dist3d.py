@@ -100,3 +100,17 @@ def test_forest_load_balance():
             continue  # degenerate: everything in the top
         # no layer should carry more than ~2.5x its fair share of subtree work
         assert max(loads) <= 2.5 * sub_total / pz + cost.max()
+
+
+@needs_8
+def test_dist3d_profile_levels():
+    """Per-level timing rows on the 3D mesh (layer + top phases), each
+    elimination step counted exactly once."""
+    from superlu_dist_tpu.utils.testing import laplacian_2d
+    A = laplacian_2d(12)
+    lu = Distributed3DSparseLU(A, Grid3D(2, 2, 2),
+                               Options(dtype="float32", block_size=16))
+    rows = lu.profile_levels()
+    assert sum(r["steps"] for r in rows) == lu.plan.nb
+    assert {r["phase"] for r in rows} <= {"layer", "top"}
+    assert all(r["ms"] >= 0 for r in rows)
