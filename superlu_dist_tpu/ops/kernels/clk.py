@@ -235,7 +235,15 @@ def build_clk_tapes(plan: SymbolicPlan, MC: int = 8):
 
 
 def _clk_kernel(MC, S, exact, bs):
-    prec = "highest" if exact else "default"
+    # f32 matmuls on the MXU are bf16-pass emulated: "highest" = 6
+    # passes, "high" = 3. The pair GEMMs dominate kernel time, and the
+    # factorization is a preconditioner for f64-residual refinement —
+    # SLU_TPU_CLK_GEMM_PRECISION=high trades ~half the GEMM passes for
+    # refinement doing one extra cheap iteration (experimentally gated;
+    # default stays "highest").
+    import os
+    prec = (os.environ.get("SLU_TPU_CLK_GEMM_PRECISION", "")
+            or ("highest" if exact else "default"))
 
     def dot(a, b):
         return jnp.dot(a, b, precision=prec,

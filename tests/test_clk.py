@@ -127,3 +127,24 @@ def test_clk_segmented_scan_path(monkeypatch):
     p2 = np.asarray(fn2(jnp.array(pool0), th, t2)[0])
     n = plan.nslots
     assert np.abs(p1[:n] - p2[:n]).max() == 0.0
+
+
+def test_clk_gemm_precision_knob(monkeypatch):
+    """SLU_TPU_CLK_GEMM_PRECISION plumbs through (opt-in bf16-pass Schur
+    GEMMs; on hardware: 808 vs 701 GF/s at lap3d32 with refinement still
+    reaching 8e-15 — BENCH_NOTES_r4). Interpret mode just validates the
+    plumbing end-to-end."""
+    import numpy as np
+    from superlu_dist_tpu import Options, SparseLU
+    from superlu_dist_tpu.ops.kernels import clk as _clk
+    from superlu_dist_tpu.utils.testing import laplacian_2d
+    monkeypatch.setenv("SLU_TPU_FORCE_PALLAS", "interpret")
+    monkeypatch.setenv("SLU_TPU_CLK_GEMM_PRECISION", "default")
+    _clk._clk_seg_call.cache_clear()   # env read at kernel build
+    A = laplacian_2d(8)
+    lu = SparseLU(A, Options(dtype="float32", block_size=8,
+                             executor="clk"))
+    b = np.asarray(A @ np.ones(A.shape[0]))
+    x, berr = lu.refine(b, lu.solve(b))
+    assert float(np.max(berr)) < 1e-13
+    _clk._clk_seg_call.cache_clear()
