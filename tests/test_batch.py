@@ -78,3 +78,25 @@ def test_gssvx_batch_on_mesh():
     for r, xt in zip(res, xs):
         assert np.abs(r.x - xt).max() < 1e-4
         assert float(np.max(r.berr)) < 1e-5
+
+
+def test_gssvx_batch_on_2d_grid():
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from superlu_dist_tpu import Grid2D
+    from superlu_dist_tpu.models.batch import gssvx_batch
+    from superlu_dist_tpu.models.dist_driver import DistributedSparseLU
+    rng = np.random.default_rng(5)
+    As, Bs, xs = [], [], []
+    for i, n in enumerate((48, 36)):
+        A = random_sparse(n, density=0.1, seed=20 + i)
+        xt = rng.standard_normal(n)
+        As.append(A)
+        xs.append(xt)
+        Bs.append(np.asarray(A @ xt))
+    res, lu = gssvx_batch(As, Bs, Options(dtype="float32", block_size=16),
+                          grid=Grid2D(2, 4))
+    assert isinstance(lu, DistributedSparseLU)
+    for r, xt in zip(res, xs):
+        assert np.abs(r.x - xt).max() < 1e-4
