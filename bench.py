@@ -1,6 +1,7 @@
 """Benchmark suite: sparse LU factor/solve rates on the device.
 
-Prints ONE JSON line (headline = lap3d32 useful factorization GFLOP/s):
+Prints ONE JSON line (headline = lap3d50 useful factorization GFLOP/s,
+falling back to lap3d32 when the n=125k case is filtered out):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Per matrix it reports (stderr):
@@ -511,8 +512,9 @@ def main():
             # cycles; collect so the next matrix gets the HBM back
             gc.collect()
 
-    head = next((r for r in results if r["name"] == "lap3d32_geo"),
-                results[0] if results else None)
+    head = next((r for r in results if r["name"] == "lap3d50_geo"),
+                next((r for r in results if r["name"] == "lap3d32_geo"),
+                     results[0] if results else None))
     if head is None:
         print(json.dumps({"metric": "factor_useful_gflops", "value": 0.0,
                           "unit": "GFLOP/s", "vs_baseline": 0.0}))

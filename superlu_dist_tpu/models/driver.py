@@ -261,13 +261,15 @@ class SparseLU:
         import os
         import jax
         opts = self.options
-        # above the fused kernels' practical size band, alignment stays
-        # ON: the capacity executors (XLA hybrid / aligned plans) need
-        # the level schedule — the unaligned serial plan at n=885k costs
-        # 47 GiB of per-level buffers (measured) while the aligned run
-        # fits 14.5 of 16 GiB
+        # the stand-down only pays while clk (VMEM-resident columns) can
+        # run — roughly n ≤ 50k for 3D-Laplacian-class fill. Above that
+        # the tall-column executors profit enormously from alignment:
+        # measured lap3d50 n=125k single chip, aligned vs not —
+        # factor 85.9 ms / 2131 GF/s vs 406 ms / 451 GF/s (3.5x less
+        # block fill), solve 15.2 ms vs 75.2 ms; and at n=885k the
+        # unaligned XLA plan needs 47 GiB while the aligned run fits.
         if self.n > int(os.environ.get("SLU_TPU_ALIGN_STANDDOWN_MAX",
-                                       200_000)):
+                                       50_000)):
             return False
         if self._fdtype != np.dtype(np.float32):
             return False
