@@ -350,8 +350,25 @@ class SparseLU:
         # Reference parity: the z precision suite (SRC/complex16/).
         if self._embed:
             A3 = _embed_csc(A3)
+
+        with stat.phase("SYMBFAC"):
+            if reuse_perms and self.plan is not None:
+                plan = self.plan
+            else:
+                plan = self._symbolic(A3)
+                A3, plan = self._adapt_plan(A3, plan)
+                self._solve_fns.clear()
+                # transpose-solve tapes are plan/perm-derived and cached
+                # behind hasattr guards — drop them with the plan, or a
+                # SAME_PATTERN refactor that changes the row permutation
+                # silently solves Aᵀ against stale schedules (caught by
+                # review: err 7e4 while NOTRANS stayed 5e-12)
+                for attr in ("ttape_u", "ttape_l", "_ttapes", "tplan"):
+                    if hasattr(self, attr):
+                        delattr(self, attr)
         # device row indices where the n (or 2n embedded) RHS rows land:
-        # identity without alignment, the expansion map with it
+        # identity without alignment, the expansion map with it (computed
+        # after symbolic — the adaptive policy may swap the expansion)
         base = self._expand if getattr(self, "_expand", None) is not None \
             else np.arange(self.n, dtype=np.int64)
         if self._embed:
@@ -362,20 +379,6 @@ class SparseLU:
         else:
             self._rows_idx = base
 
-        with stat.phase("SYMBFAC"):
-            if reuse_perms and self.plan is not None:
-                plan = self.plan
-            else:
-                plan = self._symbolic(A3)
-                self._solve_fns.clear()
-                # transpose-solve tapes are plan/perm-derived and cached
-                # behind hasattr guards — drop them with the plan, or a
-                # SAME_PATTERN refactor that changes the row permutation
-                # silently solves Aᵀ against stale schedules (caught by
-                # review: err 7e4 while NOTRANS stayed 5e-12)
-                for attr in ("ttape_u", "ttape_l", "_ttapes", "tplan"):
-                    if hasattr(self, attr):
-                        delattr(self, attr)
         self.plan = plan
         stat.counters["fill_blocks"] = plan.nslots
         stat.counters["factor_flops_model"] = plan.factor_flops
@@ -432,6 +435,131 @@ class SparseLU:
         this with a preprocess-once-then-broadcast multi-host version)."""
         return block_symbolic(A3, self.options.block_size,
                               ilu_level=self.options.ilu_level)
+
+    #: distributed drivers plan on process 0 and broadcast — the adaptive
+    #: retry loop must not run there (divergent decisions across processes)
+    _adapt_ok = True
+
+    def _eval_candidate(self, A2: sp.csc_matrix, pc: np.ndarray, bs: int,
+                        tag: str) -> dict:
+        """Build one candidate plan (ordering ``pc`` at block size ``bs``)
+        without mutating driver state; returns a scoring record."""
+        from ..ops.host import align as _align
+        from ..ops.host.colcounts import estimate_gesp_stats
+        A3 = sp.csc_matrix(A2[pc, :][:, pc])
+        colperm, expand, n_e = pc, None, None
+        mode = (self.options.align_blocks or "auto").lower()
+        if mode != "off" and bs >= 2 and \
+                not (mode == "auto" and self._align_standdown()):
+            res = _align.aligned_blocking(
+                A3, bs, max_inflate=(np.inf if mode == "on"
+                                     else self.options.align_max_inflate))
+            if res is not None:
+                A3 = A3[res.po, :][:, res.po]
+                colperm = pc[res.po]
+                expand, n_e = res.expand, res.n_e
+                A3 = _align.expand_matrix(A3, expand, n_e)
+        plan = block_symbolic(A3, bs, ilu_level=self.options.ilu_level)
+        est = estimate_gesp_stats(A3)
+        return dict(tag=tag, A3=A3, plan=plan, colperm=colperm,
+                    expand=expand, n_e=n_e,
+                    pool=plan.pool_bytes(self._fdtype),
+                    pad=plan.factor_flops / est["flops"])
+
+    def _adapt_plan(self, A3: sp.csc_matrix, plan):
+        """Adaptive plan policy: guard against pathological pad ratios and
+        HBM overruns on irregular matrices.
+
+        Fixed B×B blocking can explode on irregular supernode
+        distributions (measured: big.rua pad 482× under the default
+        ordering). When the plan's flop pad vs the Gilbert–Ng–Peyton
+        scalar estimate exceeds ``adapt_pad_max`` — or the pool exceeds
+        ``hbm_budget_gb`` — retry the other fill-reducing orderings (the
+        get_perm_c dispatch set, reference: get_perm_c.c:500-546) and,
+        for budget overruns, smaller block sizes, keeping the cheapest
+        plan. Every decision lands in ``stat.counters['adapt_*']``; the
+        reference instead relies on variable-width supernodes
+        (symbfact.c relax_snode) so pad cannot occur there.
+        """
+        import time as _time
+        opts, stat = self.options, self.stat
+        if (opts.adapt_policy or "auto") == "off" or not self._adapt_ok:
+            return A3, plan
+        if self._embed or self._use_planar() or \
+                np.dtype(self.dtype).kind == "c":
+            return A3, plan
+        if getattr(self, "_anorm_global", None) is not None:
+            return A3, plan           # sharded input: no global A here
+        budget = opts.hbm_budget_gb * 2**30
+        pool = plan.pool_bytes(self._fdtype)
+        # cheap proxy first: pool entries per A nonzero (no colcounts run)
+        proxy = plan.nslots * plan.bs * plan.bs / max(self._A_orig.nnz, 1)
+        if pool <= budget and proxy <= opts.adapt_pad_max:
+            return A3, plan
+        t0 = _time.perf_counter()
+        from ..ops.host import ordering as _ordering
+        from ..ops.host.colcounts import estimate_gesp_stats
+        est = estimate_gesp_stats(A3)
+        pad0 = plan.factor_flops / est["flops"]
+        stat.counters["adapt_pad_est"] = round(pad0, 1)
+        if pool <= budget and pad0 <= opts.adapt_pad_max:
+            stat.counters["adapt_check_s"] = round(
+                _time.perf_counter() - t0, 2)
+            return A3, plan           # proxy fired; honest pad is fine
+        # rebuild the pre-colperm matrix (equilibrated + row-permuted)
+        A2 = sp.csc_matrix(
+            self._A_orig.multiply(self.row_scale[:, None])
+            .multiply(self.col_scale[None, :]))[self.rowperm, :].tocsc()
+        cur = dict(tag="current", A3=A3, plan=plan, colperm=self.colperm,
+                   expand=getattr(self, "_expand", None),
+                   n_e=getattr(self, "_n_e", None), pool=pool, pad=pad0)
+        cands = [cur]
+        for strat in (ColPerm.METIS_AT_PLUS_A, ColPerm.COLAMD,
+                      ColPerm.MMD_AT_PLUS_A):
+            if strat == opts.col_perm:
+                continue
+            try:
+                pc = _ordering.get_perm_c(strat, A2)
+                cands.append(self._eval_candidate(A2, pc, plan.bs,
+                                                  strat.name))
+            except Exception as e:        # a candidate failing is logged,
+                stat.counters[f"adapt_fail_{strat.name}"] = repr(e)
+
+        def score(rec):
+            # fitting the budget dominates; then least device work
+            return (rec["pool"] > budget, rec["plan"].factor_flops)
+
+        best = min(cands, key=score)
+        # still over budget: shrink the block size on the best ordering
+        # (bs<128 runs the XLA executor — capacity over speed)
+        if best["pool"] > budget:
+            for bs in (64, 32):
+                try:
+                    # best["colperm"] already folds any alignment
+                    # postorder — itself a legal fill-preserving ordering
+                    rec = self._eval_candidate(
+                        A2, np.asarray(best["colperm"]), bs,
+                        f"{best['tag']}_bs{bs}")
+                except Exception as e:
+                    stat.counters[f"adapt_fail_bs{bs}"] = repr(e)
+                    continue
+                cands.append(rec)
+                if rec["pool"] <= budget:
+                    break
+            best = min(cands, key=score)
+        stat.counters["adapt_tried"] = ",".join(
+            f"{r['tag']}:pad={r['pad']:.0f}:pool={r['pool']/2**30:.2f}G"
+            for r in cands)
+        stat.counters["adapt_check_s"] = round(_time.perf_counter() - t0, 2)
+        if best is cur:
+            stat.counters["adapt_chosen"] = "current"
+            return A3, plan
+        self.colperm = np.asarray(best["colperm"], dtype=np.int64)
+        self._expand, self._n_e = best["expand"], best["n_e"]
+        if best["plan"].bs != plan.bs:
+            self.options = opts.replace(block_size=best["plan"].bs)
+        stat.counters["adapt_chosen"] = best["tag"]
+        return best["A3"], best["plan"]
 
     def _thresh(self) -> float:
         return (np.sqrt(_real_eps(self.dtype)) * self._anorm

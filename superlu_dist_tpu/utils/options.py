@@ -161,6 +161,17 @@ class Options:
     align_blocks: str = "auto"         # "auto" | "on" | "off"
     align_max_inflate: float = 1.5     # max padded-dimension growth factor
 
+    # adaptive plan policy (irregular-matrix guard): when the block plan's
+    # pad ratio (device flops / scalar-structure estimate) exceeds
+    # adapt_pad_max, or its pool exceeds the HBM budget, the driver
+    # retries alternative column orderings (and block sizes for budget
+    # overruns) and keeps the cheapest plan, logging every decision in
+    # stat.counters["adapt_*"]. "off" keeps the first plan unconditionally.
+    adapt_policy: str = "auto"         # "auto" | "off"
+    adapt_pad_max: float = 48.0        # flop-pad trigger (vs GNP estimate)
+    hbm_budget_gb: float = 12.0        # device pool budget (16 GiB chip
+                                       # minus solve/refine working set)
+
     batch_count: int = 0               # >0 for the batched interface
     # level-based incomplete factorization (ILU(k) analog of
     # ilu_level_symbfact); None = complete LU. The factorization becomes a
@@ -193,6 +204,9 @@ _SPEC_FIELDS = {
     "ILU_LEVEL": ("ilu_level", int),         # ILU(k) drop level
     "ALIGN": ("align_blocks", str),          # etree-aligned blocks (auto|on|off)
     "ALIGN_MAX_INFLATE": ("align_max_inflate", float),
+    "ADAPT_POLICY": ("adapt_policy", str),   # auto | off (pad-ratio guard)
+    "ADAPT_PAD_MAX": ("adapt_pad_max", float),
+    "HBM_BUDGET_GB": ("hbm_budget_gb", float),
     # executor selection & shape
     "EXECUTOR": ("executor", str),           # clk | flk | pallas | xla
     "DIST_EXECUTOR": ("dist_executor", str),  # xla | rdma
