@@ -26,6 +26,7 @@ Matrix set (override with SLU_TPU_BENCH_MATRIX=name or "all"):
   reference's EXAMPLE fixtures with the default ordering.
 """
 
+import functools
 import json
 import os
 import sys
@@ -217,49 +218,60 @@ def bench_matrix(name, A, opts, reps):
             f"{t_dev32*1e3:.2f} ms (32 rhs, "
             f"{t_dev32/t_dev1:.1f}x the 1-rhs time)")
 
-    # amortized steady-state factor (SamePattern_SameRowPerm path). The
-    # driver's factored pool is released first and ONE pool buffer chains
-    # through donated calls (re-factoring a factored pool runs the exact
-    # same instruction tape): peak device memory stays ~1 pool, which is
-    # what lets the 4.3 GiB lap3d50 pool fit next to nothing else.
+    # Steady-state factor = the SamePattern_SameRowPerm refactor's DEVICE
+    # work, measured honestly: every rep REBUILDS the pool from the
+    # staged (slot, off, values) stream and factors it — real values in,
+    # real factors out. (The former garbage-pool refactor loop, which
+    # re-ran the tape on an already-factored pool and excluded pool
+    # re-init, is retired per VERDICT r4 item 8.) The value stream stays
+    # device-resident across reps — exactly the staging a SamePattern
+    # caller holds; reference analog: pdgssvx.c re-uses LUstruct and
+    # pays pddistribute's value placement per refactor.
+    import jax
+
     lu.pool = lu.linv = lu.uinv = None
     lu._solve_fns.clear()
     A3e = lu._expand_A(A3)      # etree-aligned blocking expansion
-    if getattr(lu, "_embed", False):
-        from superlu_dist_tpu.models.driver import _embed_csc
-        pp = blocklu.init_pool(lu.plan, _embed_csc(A3e).data, np.float32)
-    elif lu._use_planar():
-        from superlu_dist_tpu.ops.kernels import planar as _planar
-        pp = _planar.init_pool_planar(lu.plan, A3e.data, lu.dtype)
-    elif getattr(lu, "_factor_takes_values", False):
-        # fused init+factor path: the input is the staged value stream,
-        # not a pool — each call rebuilds + refactors in one dispatch
-        pp = blocklu.staged_values(lu.plan, A3e.data, lu._fdtype)
-    else:
-        pp = blocklu.init_pool(lu.plan, A3e.data, lu._fdtype)
     thresh = jnp.asarray(lu._thresh(), dtype=np.float32
                          if lu.dtype != np.float64 else np.float64)
-    best = np.inf
-    if getattr(lu, "_factor_takes_values", False):
-        out, _l, _u, _t = lu._factor_fn(pp, thresh, lu.tapes)   # warm
-        _ = np.asarray(out[0, 0, :2])
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                out, _l, _u, _t = lu._factor_fn(pp, thresh, lu.tapes)
-            _ = np.asarray(out[0, 0, :2])
-            best = min(best, (time.perf_counter() - t0) / reps)
-        del pp, out, _l, _u
+    if lu._use_planar():
+        from superlu_dist_tpu.ops.kernels import planar as _planar
+
+        def run():
+            # planar pools build host-side; the rep pays scatter +
+            # transfer + factor (what a planar refactor costs)
+            pp = _planar.init_pool_planar(lu.plan, A3e.data, lu.dtype)
+            return lu._factor_fn(pp, thresh, lu.tapes)
     else:
-        pp, _l, _u, _t = lu._factor_fn(pp, thresh, lu.tapes)     # warm
-        _ = np.asarray(pp[0, 0, :2])
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                pp, _l, _u, _t = lu._factor_fn(pp, thresh, lu.tapes)
-            _ = np.asarray(pp[0, 0, :2])
-            best = min(best, (time.perf_counter() - t0) / reps)
-        del pp, _l, _u
+        if getattr(lu, "_embed", False):
+            from superlu_dist_tpu.models.driver import _embed_csc
+            data = _embed_csc(A3e).data
+        else:
+            data = A3e.data
+        trip = blocklu.staged_values(lu.plan, data, lu._fdtype)
+        if getattr(lu, "_factor_takes_values", False):
+            # fused single-dispatch rebuild+factor executor
+            def run():
+                return lu._factor_fn(trip, thresh, lu.tapes)
+        else:
+            bk = blocklu.factor_buckets(lu.plan)
+            scat = jax.jit(functools.partial(
+                blocklu._pool_scatter_device, poolp=bk.poolp,
+                bs=lu.plan.bs, dtype=jnp.dtype(lu._fdtype)))
+
+            def run():
+                return lu._factor_fn(scat(*trip), thresh, lu.tapes)
+
+    best = np.inf
+    out, _l, _u, _t = run()                                  # warm
+    _ = np.asarray(out[0, 0, :2])
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out, _l, _u, _t = run()
+        _ = np.asarray(out[0, 0, :2])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    del out, _l, _u
     gf_useful = useful / best / 1e9
     gf_padded = model / best / 1e9
     log(f"[{name}] useful {useful/1e9:.3f}G  model {model/1e9:.2f}G "
@@ -285,6 +297,60 @@ def bench_matrix(name, A, opts, reps):
                 solve1_ms=t_solve1 * 1e3, solve32_ms=t_solve32 * 1e3,
                 berr=float(berr.max()),
                 scipy_factor_ms=None if t_cpu_f is None else t_cpu_f * 1e3)
+
+
+def bench_suite(reps):
+    """Irregular (SuiteSparse-class) acceptance leg
+    (SLU_TPU_BENCH_MATRIX=suite): ≥5 synthetic analogs spanning the
+    classes BASELINE.md names (FEM3D structural / FEM2D mesh / circuit /
+    KKT saddle-point / anisotropic), each through the FULL driver
+    (equil → MC64 → ordering → factor → solve → refine). Reports per
+    matrix: steady factor ms, useful GF/s (exact scalar GESP flops on
+    the same permuted matrix), pad ratio, refined berr, and any adaptive
+    policy decisions. Matches the reference's irregular test diet
+    (EXAMPLE/dcreate_matrix.c:1-235, TEST/pdtest.c:107-563)."""
+    from superlu_dist_tpu import Options
+    from superlu_dist_tpu.utils.testing import IRREGULAR_SUITE
+
+    results = []
+    for name, gen in IRREGULAR_SUITE.items():
+        try:
+            A = gen()
+            r = bench_matrix(name, A, Options(dtype="float32",
+                                              block_size=128), reps)
+            results.append(r)
+        except Exception as e:
+            import gc
+            import traceback
+            log(f"[{name}] FAILED: {type(e).__name__}: {e}")
+            traceback.print_exc(file=sys.stderr)
+            gc.collect()
+            results.append(dict(name=name, failed=True))
+
+    ok = [r for r in results if not r.get("failed")]
+    log("---- irregular suite summary ----")
+    log(f"{'matrix':<14}{'n':>8}{'factor ms':>11}{'useful GF/s':>13}"
+        f"{'pad':>8}{'berr':>10}")
+    for r in results:
+        if r.get("failed"):
+            log(f"{r['name']:<14}  FAILED")
+            continue
+        log(f"{r['name']:<14}{r['n']:>8}{r['factor_ms']:>11.2f}"
+            f"{r['useful_gflops']:>13.1f}{r['pad_ratio']:>8.1f}"
+            f"{r['berr']:>10.1e}")
+    if not ok:
+        print(json.dumps({"metric": "suite_geomean_useful_gflops",
+                          "value": 0.0, "unit": "GFLOP/s",
+                          "vs_baseline": 0.0}))
+        return
+    geo = float(np.exp(np.mean([np.log(max(r["useful_gflops"], 1e-9))
+                                for r in ok])))
+    print(json.dumps({
+        "metric": "suite_geomean_useful_gflops",
+        "value": round(geo, 3), "unit": "GFLOP/s",
+        "vs_baseline": round(geo / 2.5, 3),
+        "n_ok": len(ok), "n_total": len(results),
+    }))
 
 
 def bench_dist():
@@ -433,6 +499,8 @@ def main():
     if which == "dist":
         # dist mode forces its own CPU mesh — do not touch devices first
         return bench_dist()
+    if which == "suite":
+        return bench_suite(int(os.environ.get("SLU_TPU_BENCH_REPS", "8")))
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} ({dev.device_kind})")

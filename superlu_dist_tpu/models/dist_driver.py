@@ -95,6 +95,10 @@ class DistributedSparseLU(ShardedNRLocInput, _mh.PreprocessOnce, SparseLU):
 
     _fused_refine_ok = True    # in-mesh fused refinement (see below)
     _device_solve_ok = False
+    _escalate_ok = False       # mesh factor fns rebuild differently;
+                               # precision escalation is single-chip only
+    _adapt_ok = False          # planning runs once on process 0 — the
+                               # adaptive retry loop must stay off-mesh
     #: complex64 rides the real ring embedding on TPU meshes (the f32
     #: collective/RDMA machinery reused unchanged; reference parity:
     #: SRC/complex16/pzgstrf.c on the same 2D grid); complex128 (and the

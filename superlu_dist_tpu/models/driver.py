@@ -667,6 +667,7 @@ class SparseLU:
         # SamePattern_SameRowPerm path (pdgssvx.c re-uses LUstruct).
         self.pool = self.linv = self.uinv = None
         opts, stat, plan = self.options, self.stat, self.plan
+        self._gemm_prec_used = "highest"   # fused branches lower this
         self._planar = self._use_planar()
         self._a3_data = np.asarray(A3.data)   # for profile_levels / reuse
         with stat.phase("DIST"):
@@ -688,6 +689,15 @@ class SparseLU:
                 interp = (os.environ.get("SLU_TPU_FORCE_PALLAS", "")
                           == "interpret")
                 exc = opts.executor or "clk"
+                # Schur-GEMM pass precision (Options.gemm_precision):
+                # "auto" factors at "high" (3 bf16 passes) and the
+                # refine() wrapper escalates to "highest" on stall —
+                # the psgssvx_d2 pattern (psgssvx_d2.c:516-1584)
+                prec = getattr(self, "_prec_override", None) or \
+                    {"auto": "high"}.get(opts.gemm_precision or "auto",
+                                         opts.gemm_precision or "highest")
+                self._gemm_prec_used = prec
+                stat.counters["gemm_precision"] = prec
                 if exc == "clk":
                     # column-resident left-looking kernel (clk.py): one
                     # A-range DMA + one wide matmul per source-column
@@ -699,7 +709,8 @@ class SparseLU:
                     if opts.ilu_level is None and _clk.clk_supported(plan):
                         self._factor_fn, self.tapes = \
                             _clk.build_factor_fn_clk(plan, MC=opts.clk_mc,
-                                                     interpret=interp)
+                                                     interpret=interp,
+                                                     precision=prec)
                         stat.counters["clk_jobs"] = sum(
                             len(s["j_fin"]) for s in self.tapes)
                         stat.counters["clk_segments"] = len(self.tapes)
@@ -724,7 +735,7 @@ class SparseLU:
                     # columns of any height (no PANEL_CAP limit)
                     from ..ops.kernels import tck as _tck
                     self._factor_fn, self.tapes = _tck.build_factor_fn_tck(
-                        plan, interpret=interp)
+                        plan, interpret=interp, precision=prec)
                     stat.counters["tck_jobs"] = sum(
                         len(s["jt"]) for s in self.tapes)
                     stat.counters["tck_segments"] = len(self.tapes)
@@ -734,20 +745,26 @@ class SparseLU:
                     # faster to compile (loop-based Mosaic kernel)
                     from ..ops.kernels import flk as _flk
                     self._factor_fn, self.tapes = _flk.build_factor_fn_flk(
-                        plan, Kc=opts.flk_kc, interpret=interp)
+                        plan, Kc=opts.flk_kc, interpret=interp,
+                        precision=prec)
                     stat.counters["flk_windows"] = sum(
                         len(s["w_tgt"]) for s in self.tapes)
                     stat.counters["flk_segments"] = len(self.tapes)
                 elif exc == "xla-fallback":
                     # fused kernels cannot segment this plan into SMEM:
                     # run the level-batched XLA hybrid (the capacity
-                    # executor — no scalar-tape constraint)
+                    # executor — no scalar-tape constraint; pass
+                    # precision does not apply there)
+                    self._gemm_prec_used = "highest"
+                    stat.counters["gemm_precision"] = "highest"
                     self.tapes = _blocklu.make_factor_tapes(plan)
                     self._factor_fn = _blocklu.build_factor_fn(
                         plan, chunk=opts.gemm_chunk)
                     stat.counters["fused_fallback_xla"] = 1
                 elif exc not in ("clk", "tck"):
                     from ..ops.kernels import pallas_exec as _pe
+                    self._gemm_prec_used = "highest"
+                    stat.counters["gemm_precision"] = "highest"
                     self._factor_fn, self.tapes = _pe.build_factor_fn_pallas(
                         plan, chunk=min(opts.gemm_chunk, 16),
                         interpret=interp)
@@ -1480,7 +1497,48 @@ class SparseLU:
         self._solve_fns[key] = bound
         return bound
 
+    #: distributed drivers keep their own factor machinery — precision
+    #: escalation re-runs _device_factor, which only the single-chip
+    #: driver supports from stored values
+    _escalate_ok = True
+
+    def _should_escalate(self, berr) -> bool:
+        """True when the "auto" low-pass factor stalled refinement above
+        the accuracy a "highest" factor would reach (psgssvx_d2's
+        escalate-one-precision policy, psgssvx_d2.c:516-1584)."""
+        if not self._escalate_ok:
+            return False
+        if (self.options.gemm_precision or "auto") != "auto":
+            return False
+        if getattr(self, "_gemm_prec_used", "highest") != "high":
+            return False
+        eps = _real_eps(self.refine_dtype)
+        return bool(np.max(berr) > 1000.0 * eps)
+
+    def _refactor_values(self, precision: str) -> None:
+        """Re-run the numeric factorization on the stored A3 values with
+        a forced Schur-GEMM precision (same plan, same perms)."""
+        import types
+        self._prec_override = precision
+        try:
+            self._device_factor(types.SimpleNamespace(
+                data=self._a3_data))
+        finally:
+            del self._prec_override
+
     def refine(self, b, x0: np.ndarray, trans: Trans = Trans.NOTRANS):
+        """Iterative refinement with automatic precision escalation: if
+        the bf16-pass ("high") factor leaves refinement stalled above
+        ~1000·eps, re-factor at "highest" and refine again (the
+        psgssvx_d2 escalation; gemm_precision="auto")."""
+        x, berr = self._refine_impl(b, x0, trans)
+        if self._should_escalate(berr):
+            self.stat.counters["precision_escalated"] = 1
+            self._refactor_values("highest")
+            x, berr = self._refine_impl(b, np.asarray(x), trans)
+        return x, berr
+
+    def _refine_impl(self, b, x0: np.ndarray, trans: Trans = Trans.NOTRANS):
         """Iterative refinement — ``pdgsrfs`` analog (pdgsrfs.c:129-251).
 
         Residuals in ``refine_dtype`` (mixed precision: psgssvx_d2 pattern).

@@ -36,6 +36,8 @@ class Distributed3DSparseLU(ShardedNRLocInput, _mh.PreprocessOnce,
     _planar = False
 
     _fused_refine_ok = True    # in-mesh fused refinement (see below)
+    _escalate_ok = False       # see dist_driver
+    _adapt_ok = False
     _device_solve_ok = False
     """3D (z × r × c) distributed factorization."""
 

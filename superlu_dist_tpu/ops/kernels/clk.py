@@ -234,15 +234,17 @@ def build_clk_tapes(plan: SymbolicPlan, MC: int = 8):
     return tapes, consts
 
 
-def _clk_kernel(MC, S, exact, bs):
+def _clk_kernel(MC, S, exact, bs, precision=None):
     # f32 matmuls on the MXU are bf16-pass emulated: "highest" = 6
     # passes, "high" = 3. The pair GEMMs dominate kernel time, and the
     # factorization is a preconditioner for f64-residual refinement —
-    # SLU_TPU_CLK_GEMM_PRECISION=high trades ~half the GEMM passes for
-    # refinement doing one extra cheap iteration (experimentally gated;
-    # default stays "highest").
+    # precision "high" trades ~half the GEMM passes for refinement doing
+    # one extra cheap iteration (driven by Options.gemm_precision; the
+    # driver escalates back to "highest" when refinement stalls). The
+    # legacy env SLU_TPU_CLK_GEMM_PRECISION still force-overrides.
     import os
     prec = (os.environ.get("SLU_TPU_CLK_GEMM_PRECISION", "")
+            or precision
             or ("highest" if exact else "default"))
 
     def dot(a, b):
@@ -447,9 +449,10 @@ def _clk_kernel(MC, S, exact, bs):
 
 
 @functools.lru_cache(maxsize=64)
-def _clk_seg_call(nj, nbp, poolp, S, MC, bs, exact, interpret):
+def _clk_seg_call(nj, nbp, poolp, S, MC, bs, exact, interpret,
+                  precision=None):
     """One segment's pallas_call (pool/linv/uinv alias through)."""
-    kern = _clk_kernel(MC, S, exact, bs)
+    kern = _clk_kernel(MC, S, exact, bs, precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=17,
         grid=(nj,),
@@ -489,7 +492,8 @@ def _clk_seg_call(nj, nbp, poolp, S, MC, bs, exact, interpret):
 
 
 def build_factor_fn_clk(plan: SymbolicPlan, *, MC: int = 8,
-                        exact: bool = True, interpret: bool = False):
+                        exact: bool = True, interpret: bool = False,
+                        precision: str | None = None):
     """Column-resident executor; same contract as flk/blocklu:
     factor(pool, thresh, tapes) -> (pool, linv, uinv, tiny).
     ``tapes`` is a tuple of per-segment tape dicts (one pallas_call per
@@ -498,7 +502,8 @@ def build_factor_fn_clk(plan: SymbolicPlan, *, MC: int = 8,
     assert plan.bs % 8 == 0
     tapes, consts = build_clk_tapes(plan, MC)
     nbp, poolp, S = consts["nbp"], consts["poolp"], consts["S"]
-    segs = [_clk_seg_call(nj, nbp, poolp, S, MC, plan.bs, exact, interpret)
+    segs = [_clk_seg_call(nj, nbp, poolp, S, MC, plan.bs, exact, interpret,
+                          precision)
             for nj in consts["seg_nj"]]
 
     seg_fn = segs[0]

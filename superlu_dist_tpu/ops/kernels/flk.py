@@ -431,8 +431,13 @@ def _lu_tile_blocked(X, thresh, pb: int = 32):
     return LU, linv, uinv, tiny
 
 
-def _flk_kernel(Kc, exact, nbp, bs):
-    prec = "highest" if exact else "default"
+def _flk_kernel(Kc, exact, nbp, bs, precision=None):
+    # Schur-GEMM pass precision (see clk._clk_kernel): "high" = 3
+    # bf16 passes; the diagonal LU stays "highest" (_lu_tile_blocked)
+    import os
+    prec = (os.environ.get("SLU_TPU_CLK_GEMM_PRECISION", "")
+            or precision
+            or ("highest" if exact else "default"))
 
     def dot(a, b):
         return jnp.dot(a, b, precision=prec,
@@ -572,9 +577,10 @@ def _flk_kernel(Kc, exact, nbp, bs):
 
 
 @functools.lru_cache(maxsize=64)
-def _flk_seg_call(nw, nbp, poolp, Kc, bs, exact, interpret):
+def _flk_seg_call(nw, nbp, poolp, Kc, bs, exact, interpret,
+                  precision=None):
     """One segment's pallas_call (pool/linv/uinv alias through)."""
-    kern = _flk_kernel(Kc, exact, nbp, bs)
+    kern = _flk_kernel(Kc, exact, nbp, bs, precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
         grid=(nw,),
@@ -615,7 +621,8 @@ def _flk_seg_call(nw, nbp, poolp, Kc, bs, exact, interpret):
 
 
 def build_factor_fn_flk(plan: SymbolicPlan, *, Kc: int = 8,
-                        exact: bool = True, interpret: bool = False):
+                        exact: bool = True, interpret: bool = False,
+                        precision: str | None = None):
     """Single-call fused factor executor. Same contract as the other
     executors: factor(pool, thresh, tapes) -> (pool, linv, uinv, tiny);
     linv/uinv rows [0, nb) are valid, pool holds the finalized compact
@@ -629,7 +636,8 @@ def build_factor_fn_flk(plan: SymbolicPlan, *, Kc: int = 8,
     tapes, consts = build_flk_tapes(plan, Kc)
     nbp, poolp = consts["nbp"], consts["poolp"]
     bs = plan.bs
-    segs = [_flk_seg_call(nw, nbp, poolp, Kc, bs, exact, interpret)
+    segs = [_flk_seg_call(nw, nbp, poolp, Kc, bs, exact, interpret,
+                          precision)
             for nw in consts["seg_nw"]]
 
     seg_fn = segs[0]

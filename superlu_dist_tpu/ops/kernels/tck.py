@@ -217,8 +217,13 @@ def build_tck_tapes(plan: SymbolicPlan, w: int = W, mc: int = MC):
     return tapes, consts
 
 
-def _tck_kernel(mc, w, exact, bs):
-    prec = "highest" if exact else "default"
+def _tck_kernel(mc, w, exact, bs, precision=None):
+    # Schur-GEMM pass precision (see clk._clk_kernel): "high" = 3
+    # bf16 passes; diagonal LU stays "highest" inside _lu_tile_blocked
+    import os
+    prec = (os.environ.get("SLU_TPU_CLK_GEMM_PRECISION", "")
+            or precision
+            or ("highest" if exact else "default"))
     trash = w + TC
 
     def dot(a, b):
@@ -391,8 +396,9 @@ def _tck_kernel(mc, w, exact, bs):
 
 
 @functools.lru_cache(maxsize=64)
-def _tck_seg_call(nj, nbp, poolp, w, mc, bs, exact, interpret):
-    kern = _tck_kernel(mc, w, exact, bs)
+def _tck_seg_call(nj, nbp, poolp, w, mc, bs, exact, interpret,
+                  precision=None):
+    kern = _tck_kernel(mc, w, exact, bs, precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=12,
         grid=(nj,),
@@ -433,14 +439,15 @@ def _tck_seg_call(nj, nbp, poolp, w, mc, bs, exact, interpret):
 
 
 def build_factor_fn_tck(plan: SymbolicPlan, *, w: int = W, mc: int = MC,
-                        exact: bool = True, interpret: bool = False):
+                        exact: bool = True, interpret: bool = False,
+                        precision: str | None = None):
     """Tiled column executor; same contract as clk/flk/blocklu:
     factor(pool, thresh, tapes) -> (pool, linv, uinv, tiny)."""
     assert plan.bs % 8 == 0
     tapes, consts = build_tck_tapes(plan, w, mc)
     nbp, poolp = consts["nbp"], consts["poolp"]
     seg_fn = _tck_seg_call(consts["seg_nj"][0], nbp, poolp, w, mc,
-                           plan.bs, exact, interpret)
+                           plan.bs, exact, interpret, precision)
 
     def factor(pool, thresh, tapes):
         consts_a = jnp.reshape(lax.bitcast_convert_type(

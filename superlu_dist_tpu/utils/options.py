@@ -161,6 +161,16 @@ class Options:
     align_blocks: str = "auto"         # "auto" | "on" | "off"
     align_max_inflate: float = 1.5     # max padded-dimension growth factor
 
+    # Schur-GEMM pass precision on the fused TPU kernels (clk/tck/flk).
+    # f32 matmuls are bf16-pass emulated on the MXU: "highest" = 6
+    # passes, "high" = 3 (≈ +15% factor rate, slightly larger factor
+    # error that refinement absorbs). "auto" = factor at "high" and
+    # automatically RE-FACTOR at "highest" if refinement stalls above
+    # ~1e-13 — the psgssvx_d2 escalation, one precision down
+    # (reference: SRC/single/psgssvx_d2.c:516-1584). Diagonal-block LU
+    # always runs at "highest".
+    gemm_precision: str = "auto"       # "auto" | "high" | "highest"
+
     # adaptive plan policy (irregular-matrix guard): when the block plan's
     # pad ratio (device flops / scalar-structure estimate) exceeds
     # adapt_pad_max, or its pool exceeds the HBM budget, the driver
@@ -204,6 +214,7 @@ _SPEC_FIELDS = {
     "ILU_LEVEL": ("ilu_level", int),         # ILU(k) drop level
     "ALIGN": ("align_blocks", str),          # etree-aligned blocks (auto|on|off)
     "ALIGN_MAX_INFLATE": ("align_max_inflate", float),
+    "GEMM_PRECISION": ("gemm_precision", str),  # auto | high | highest
     "ADAPT_POLICY": ("adapt_policy", str),   # auto | off (pad-ratio guard)
     "ADAPT_PAD_MAX": ("adapt_pad_max", float),
     "HBM_BUDGET_GB": ("hbm_budget_gb", float),

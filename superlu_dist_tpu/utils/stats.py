@@ -69,7 +69,9 @@ class Stats:
             lines.append(
                 f"    peak device pool:     {self.peak_buffer_bytes/2**20:.2f} MiB")
         for k in sorted(self.counters):
-            lines.append(f"    {k}: {self.counters[k]:g}")
+            v = self.counters[k]
+            lines.append(f"    {k}: {v:g}" if isinstance(v, (int, float))
+                         else f"    {k}: {v}")
         lines.append("**************************************************")
         return "\n".join(lines)
 
