@@ -690,12 +690,20 @@ class SparseLU:
                           == "interpret")
                 exc = opts.executor or "clk"
                 # Schur-GEMM pass precision (Options.gemm_precision):
-                # "auto" factors at "high" (3 bf16 passes) and the
-                # refine() wrapper escalates to "highest" on stall —
-                # the psgssvx_d2 pattern (psgssvx_d2.c:516-1584)
+                # "auto" factors with single-pass bf16 GEMMs (precision
+                # "default"; Mosaic lowers only DEFAULT and HIGHEST) and
+                # the refine() wrapper escalates to "highest" on stall —
+                # the psgssvx_d2 pattern (psgssvx_d2.c:516-1584).
+                # bf16-first only arms when refinement is configured:
+                # a NOREFINE caller gets full-pass factors (their raw
+                # solve is the final answer).
+                req = opts.gemm_precision or "auto"
+                if req == "auto":
+                    req = ("bf16" if opts.iter_refine != IterRefine.NOREFINE
+                           else "highest")
                 prec = getattr(self, "_prec_override", None) or \
-                    {"auto": "high"}.get(opts.gemm_precision or "auto",
-                                         opts.gemm_precision or "highest")
+                    {"bf16": "default", "default": "default"}.get(
+                        req, "highest")
                 self._gemm_prec_used = prec
                 stat.counters["gemm_precision"] = prec
                 if exc == "clk":
@@ -1510,7 +1518,7 @@ class SparseLU:
             return False
         if (self.options.gemm_precision or "auto") != "auto":
             return False
-        if getattr(self, "_gemm_prec_used", "highest") != "high":
+        if getattr(self, "_gemm_prec_used", "highest") != "default":
             return False
         eps = _real_eps(self.refine_dtype)
         return bool(np.max(berr) > 1000.0 * eps)

@@ -163,13 +163,15 @@ class Options:
 
     # Schur-GEMM pass precision on the fused TPU kernels (clk/tck/flk).
     # f32 matmuls are bf16-pass emulated on the MXU: "highest" = 6
-    # passes, "high" = 3 (≈ +15% factor rate, slightly larger factor
-    # error that refinement absorbs). "auto" = factor at "high" and
-    # automatically RE-FACTOR at "highest" if refinement stalls above
-    # ~1e-13 — the psgssvx_d2 escalation, one precision down
-    # (reference: SRC/single/psgssvx_d2.c:516-1584). Diagonal-block LU
-    # always runs at "highest".
-    gemm_precision: str = "auto"       # "auto" | "high" | "highest"
+    # passes, "bf16" = 1 (measured +15% factor rate; the factor becomes
+    # a bf16-quality preconditioner that f64-residual refinement
+    # restores to berr ~1e-14). "auto" = factor at "bf16" whenever
+    # iterative refinement is configured, and automatically RE-FACTOR at
+    # "highest" if refinement stalls above ~1000·eps — the psgssvx_d2
+    # escalation, one precision down (reference:
+    # SRC/single/psgssvx_d2.c:516-1584). Diagonal-block LU always runs
+    # at "highest"; NOREFINE callers always get "highest".
+    gemm_precision: str = "auto"       # "auto" | "bf16" | "highest"
 
     # adaptive plan policy (irregular-matrix guard): when the block plan's
     # pad ratio (device flops / scalar-structure estimate) exceeds

@@ -25,7 +25,7 @@ def _solve_refine(lu, A):
 def test_auto_runs_low_pass_first(interp):
     A = laplacian_2d(20)
     lu = SparseLU(A, Options(dtype="float32", block_size=8))
-    assert lu.stat.counters.get("gemm_precision") == "high"
+    assert lu.stat.counters.get("gemm_precision") == "default"
     _, berr = _solve_refine(lu, A)
     assert float(berr.max()) < 1e-13
     # interpret-mode dots are exact f32: no stall, no escalation
@@ -46,7 +46,7 @@ def test_escalation_refactors_at_highest(interp, monkeypatch):
     automatically (VERDICT r5 item 7 contract)."""
     A = laplacian_2d(20)
     lu = SparseLU(A, Options(dtype="float32", block_size=8))
-    assert lu._gemm_prec_used == "high"
+    assert lu._gemm_prec_used == "default"
     real_impl = lu._refine_impl
     calls = {"n": 0}
 
@@ -70,9 +70,19 @@ def test_escalation_refactors_at_highest(interp, monkeypatch):
 def test_escalation_disabled_outside_auto(interp, monkeypatch):
     A = laplacian_2d(20)
     lu = SparseLU(A, Options(dtype="float32", block_size=8,
-                             gemm_precision="high"))
-    assert lu._gemm_prec_used == "high"
+                             gemm_precision="bf16"))
+    assert lu._gemm_prec_used == "default"
     assert not lu._should_escalate(np.array([1e-8]))
+
+
+def test_norefine_caller_gets_highest(interp):
+    """NOREFINE disarms the bf16-first attempt: the raw solve IS the
+    final answer there, so it must come from a full-pass factor."""
+    from superlu_dist_tpu.utils.options import IterRefine
+    A = laplacian_2d(20)
+    lu = SparseLU(A, Options(dtype="float32", block_size=8,
+                             iter_refine=IterRefine.NOREFINE))
+    assert lu._gemm_prec_used == "highest"
 
 
 def test_xla_path_reports_highest():
