@@ -57,22 +57,42 @@ class ShardedNRLocInput:
         return super()._ingest_input(A)
 
     def _preprocess(self, A, reuse_perms: bool, reuse_colperm: bool):
+        """Sharded-input preprocessing, all fact_t staging modes
+        (DOFACT / SamePattern / SamePattern_SameRowPerm — the reference
+        supports the full staging with distributed input,
+        pdgssvx.c:506-2783): process 0 works on the gathered matrix and
+        broadcasts; the others consume the broadcast and never build a
+        global A3 — their pools come from local chunks in
+        ``_device_factor``."""
         if self._nrloc is not None and _mh.process_count() > 1:
-            if reuse_perms or reuse_colperm:
-                raise NotImplementedError(
-                    "factor-reuse staging with sharded NRLoc input is "
-                    "not supported yet — re-gather or re-create the "
-                    "driver")
             if _mh.process_index() != 0:
-                # consume the broadcast; the pool is built from local
-                # chunks in _device_factor — no global A3 here
-                (self.row_scale, self.col_scale, self.rowperm,
-                 self.colperm, self._expand, self._n_e, self.equed,
-                 extras) = _mh.bcast_obj()
+                if reuse_perms:
+                    # SamePattern_SameRowPerm: scales/perms are reused
+                    # wholesale; only the new matrix's norm extras arrive
+                    extras = _mh.bcast_obj()
+                else:
+                    # DOFACT / SamePattern: fresh scales + perms
+                    (self.row_scale, self.col_scale, self.rowperm,
+                     self.colperm, self._expand, self._n_e, self.equed,
+                     extras) = _mh.bcast_obj()
                 self._anorm_global = extras["anorm"]
                 self._anorm1_global = extras["anorm1"]
                 self._nz_global = extras["nz"]
                 return sp.csc_matrix((self.n, self.n))
+            if reuse_perms:
+                # process 0: rebuild A3 from the gathered values with the
+                # stored transforms, then broadcast the norm extras the
+                # other processes need for a consistent pivot threshold
+                A3 = super()._preprocess(A, reuse_perms, reuse_colperm)
+                extras = dict(
+                    anorm=float(np.abs(A3.data).max()) if A3.nnz else 1.0,
+                    anorm1=float(np.abs(A).sum(axis=0).max()),
+                    nz=int(A.getnnz(axis=1).max()))
+                _mh.bcast_obj(extras)
+                self._anorm_global = extras["anorm"]
+                self._anorm1_global = extras["anorm1"]
+                self._nz_global = extras["nz"]
+                return A3
         return super()._preprocess(A, reuse_perms, reuse_colperm)
 
     def _refine_hostloop(self, b, x0, **kw):
@@ -575,13 +595,16 @@ class DistributedSparseLU(ShardedNRLocInput, _mh.PreprocessOnce, SparseLU):
     def _export_factors(self):
         """Gather the sharded factors into the canonical single-chip
         layout (global slots; inverses at step index) so save_factors
-        checkpoints load as portable SolveOnly objects."""
+        checkpoints load as portable SolveOnly objects.
+
+        Multi-process sessions run an in-mesh owner-gather (each device
+        scatters its owned rows into a zero table, psum over both mesh
+        axes → replicated result; the dgatherAllFactoredLU role,
+        reference: pd3dcomm.c:1083) — every process receives the full
+        factors; save_factors writes from process 0 only."""
         from ..parallel import multihost as mh
         if mh.process_count() > 1:
-            raise NotImplementedError(
-                "save_factors from a multi-process mesh session is not "
-                "supported (the sharded pool is not host-addressable "
-                "here) — checkpoint from a single-process session")
+            return self._export_factors_collective()
         from ..ops.kernels.blocklu import bucket125, factor_buckets
         plan, dp = self.plan, self.dplan
         bs = plan.bs
@@ -602,6 +625,47 @@ class DistributedSparseLU(ShardedNRLocInput, _mh.PreprocessOnce, SparseLU):
         linv[: plan.nb] = linvL[rd, cd, idx]
         uinv[: plan.nb] = uinvL[rd, cd, idx]
         return out, linv, uinv
+
+    def _export_factors_collective(self):
+        """In-mesh owner-gather of the sharded factors (multi-process
+        save_factors): pool rows keyed by global slot, inverse rows keyed
+        by elimination step."""
+        from jax.sharding import PartitionSpec as P
+        from ..ops.kernels.blocklu import bucket125, factor_buckets
+        from ..parallel import multihost as mh
+        from ..parallel.grid import C_AXIS, R_AXIS
+        plan, dp = self.plan, self.dplan
+        bs = plan.bs
+        poolp = factor_buckets(plan).poolp
+        nbp = bucket125(plan.nb)
+        pr, pc = dp.pr, dp.pc
+        mesh = self.grid.mesh
+        spec = P(R_AXIS, C_AXIS)
+        n_local = self.pool.shape[2]
+        trash = plan.nslots + 1          # < poolp, holds no real row
+        # per-device local-row -> global-slot tables
+        gsl = np.full((pr, pc, n_local), trash, dtype=np.int32)
+        dev = np.asarray(dp.owner_dev)
+        r, c = np.divmod(dev, pc)
+        gsl[r, c, np.asarray(dp.local_slot)] = np.arange(plan.nslots)
+        pool = mh.gather_sharded_blocks(
+            mesh, spec, self.pool, mh.shard(mesh, spec, jnp.asarray(gsl)),
+            poolp)
+        pool[plan.nslots:] = 0
+        # inverses: local dinv row -> global step on the diag owner
+        dlen = self.linv.shape[2]
+        gst = np.full((pr, pc, dlen), nbp, dtype=np.int32)
+        ds = np.asarray(plan.diag_slot)
+        rd, cd = np.divmod(dev[ds], pc)
+        gst[rd, cd, np.asarray(dp.dinv_idx)] = np.arange(plan.nb)
+        gst_dev = mh.shard(mesh, spec, jnp.asarray(gst))
+        linv = mh.gather_sharded_blocks(mesh, spec, self.linv, gst_dev,
+                                        nbp + 1)
+        uinv = mh.gather_sharded_blocks(mesh, spec, self.uinv, gst_dev,
+                                        nbp + 1)
+        linv[plan.nb:] = 0
+        uinv[plan.nb:] = 0
+        return pool, linv, uinv
 
     def diag_u(self) -> np.ndarray:
         """Diagonal of U gathered in-mesh: every device contributes its

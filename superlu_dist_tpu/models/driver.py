@@ -833,6 +833,9 @@ class SparseLU:
         """
         if fact not in (Fact.SAME_PATTERN, Fact.SAME_PATTERN_SAME_ROWPERM):
             raise ValueError("refactor expects a SamePattern* mode")
+        # re-ingest: NRLoc chunks re-gather/re-shard exactly as at
+        # construction (the distributed drivers keep the new values local)
+        A_new = self._ingest_input(A_new)
         self._factor(sp.csc_matrix(A_new), fact=fact)
         return self
 
@@ -1830,8 +1833,13 @@ def save_factors(lu: SparseLU, path) -> None:
     for f in _dc.fields(lu.plan):
         v = getattr(lu.plan, f.name)
         plan_fields["plan_" + f.name] = np.asarray(v)
+    pool, linv, uinv = lu._export_factors()   # collective on meshes
+    from ..parallel import multihost as _mh
+    if _mh.process_count() > 1 and _mh.process_index() != 0:
+        # every process participated in the in-mesh gather; only process
+        # 0 owns the global A (sharded-NRLoc sessions) and writes the file
+        return
     A = sp.csc_matrix(lu._A_orig)
-    pool, linv, uinv = lu._export_factors()
     np.savez_compressed(
         path,
         pool=pool, linv=linv, uinv=uinv,

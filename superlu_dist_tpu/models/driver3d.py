@@ -333,12 +333,14 @@ class Distributed3DSparseLU(ShardedNRLocInput, _mh.PreprocessOnce,
 
     def _export_factors(self):
         """Gather the z/r/c-sharded factors into the canonical
-        single-chip layout (see dist_driver._export_factors)."""
+        single-chip layout (see dist_driver._export_factors).
+
+        Multi-process: in-mesh owner-gather of the pool (each slot
+        contributed by its canonical owner only — ancestor replicas on
+        z>0 are excluded so the psum sees exactly one copy); the 3D
+        inverse tables are already mesh-replicated."""
         if _mh.process_count() > 1:
-            raise NotImplementedError(
-                "save_factors from a multi-process mesh session is not "
-                "supported (the sharded pool is not host-addressable "
-                "here) — checkpoint from a single-process session")
+            return self._export_factors_collective3d()
         from ..ops.kernels.blocklu import bucket125, factor_buckets
         plan, dp = self.plan, self.dplan
         bs = plan.bs
@@ -358,6 +360,38 @@ class Distributed3DSparseLU(ShardedNRLocInput, _mh.PreprocessOnce,
         linv[: li.shape[0]] = li
         uinv[: ui.shape[0]] = ui
         return out, linv, uinv
+
+    def _export_factors_collective3d(self):
+        """Multi-process 3D owner-gather (see _export_factors)."""
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        from ..ops.kernels.blocklu import bucket125, factor_buckets
+        from ..parallel.grid import C_AXIS, R_AXIS, Z_AXIS
+        plan, dp = self.plan, self.dplan
+        bs = plan.bs
+        poolp = factor_buckets(plan).poolp
+        mesh = self.grid.mesh
+        spec = P(Z_AXIS, R_AXIS, C_AXIS)
+        pz, pr, pc = self.pool.shape[:3]
+        n_local = self.pool.shape[3]
+        trash = plan.nslots + 1
+        z = np.where(np.asarray(dp.slot_is_anc), 0,
+                     np.asarray(dp.step_layer)[np.asarray(plan.slot_step)])
+        r, c = np.divmod(np.asarray(dp.slot_rc), dp.pc)
+        gsl = np.full((pz, pr, pc, n_local), trash, dtype=np.int32)
+        gsl[z, r, c, np.asarray(dp.slot_local)] = np.arange(plan.nslots)
+        pool = _mh.gather_sharded_blocks(
+            mesh, spec, self.pool,
+            _mh.shard(mesh, spec, jnp.asarray(gsl)), poolp)
+        pool[plan.nslots:] = 0
+        # inverses are mesh-replicated (nb, B, B): addressable everywhere
+        nbp = bucket125(plan.nb)
+        linv = np.zeros((nbp + 1, bs, bs), pool.dtype)
+        uinv = np.zeros((nbp + 1, bs, bs), pool.dtype)
+        li, ui = np.asarray(self.linv), np.asarray(self.uinv)
+        linv[: li.shape[0]] = li
+        uinv[: ui.shape[0]] = ui
+        return pool, linv, uinv
 
     def diag_u(self) -> np.ndarray:
         pool = np.asarray(self.pool)   # (pz, pr, pc, n_local, B, B)

@@ -139,6 +139,38 @@ def shard(mesh, spec, arr):
                                         lambda idx: arr[idx])
 
 
+def gather_sharded_blocks(mesh, spec, arr, glob_ids, out_rows: int):
+    """Collect device-sharded block rows into one replicated global table
+    (the owner-gather behind multi-process ``save_factors``; reference
+    analog: dgatherAllFactoredLU, pd3dcomm.c:1083).
+
+    ``arr``: global Array sharded by ``spec``, shape = mesh dims +
+    (n_local, B, B). ``glob_ids``: same sharding, mesh dims + (n_local,)
+    int32 global row of each local row — point padding rows at an unused
+    trash id < ``out_rows``. Each real row must have exactly ONE owner
+    across the mesh (zeros + psum = the value). Returns the replicated
+    (out_rows, B, B) table as a host numpy array (every process gets the
+    full result; the caller decides who writes it).
+    """
+    from jax import lax, shard_map
+
+    nlead = len(mesh.axis_names)
+    bs = arr.shape[-1]
+
+    def spmd(a, g):
+        al = a[(0,) * nlead]
+        gl = g[(0,) * nlead]
+        out = jnp.zeros((out_rows, bs, bs), a.dtype).at[gl].add(al)
+        for ax in mesh.axis_names:
+            out = lax.psum(out, ax)
+        return out
+
+    fn = shard_map(spmd, mesh=mesh, in_specs=(spec, spec),
+                   out_specs=P(), check_vma=False)
+    # writable copy: callers zero the trash rows in place
+    return np.array(jax.jit(fn)(arr, glob_ids))
+
+
 def bcast_obj(obj=None):
     """Broadcast a picklable object from process 0 to every process
     (pdgssvx3d's MPI_Bcast of perms/scalars, pdgssvx3d.c:850-959).

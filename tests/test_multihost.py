@@ -213,6 +213,22 @@ _WORKER_3D = textwrap.dedent("""
     assert rel3 < 1e-5, f"3D NRLoc err {rel3}"
     if pid != 0:
         assert lu3._A_orig.nnz == Ar[half:].nnz
+
+    # multi-process checkpoint from the 3D mesh (owner-gather; ancestor
+    # replicas contribute exactly once) must round-trip through the
+    # single-chip solve path
+    from superlu_dist_tpu.models.driver import save_factors
+    import tempfile
+    ckpt = os.path.join(tempfile.gettempdir(),
+                        f"slu_3d_ckpt_{port}.npz")
+    save_factors(lu, ckpt)
+    if pid == 0:
+        from superlu_dist_tpu.models.driver import load_factors
+        lu_l = load_factors(ckpt)
+        xl, berr_l = lu_l.refine(b, lu_l.solve(b))
+        rel_l = float(np.abs(xl - xt).max() / np.abs(xt).max())
+        assert rel_l < 1e-5, f"3D ckpt roundtrip err {rel_l}"
+        os.unlink(ckpt)
     print(f"MULTIHOST_3D_OK pid={pid} rel={rel:.2e} trans={relT:.2e} "
           f"nrloc={rel3:.2e}", flush=True)
 """)
@@ -247,3 +263,129 @@ def test_two_process_3d_mesh(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert f"MULTIHOST_3D_OK pid={pid}" in out, out
+
+
+_WORKER_NRLOC_REUSE = textwrap.dedent("""
+    import os, sys
+    pid = int(sys.argv[1]); port = sys.argv[2]; ckpt = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from superlu_dist_tpu.parallel import multihost as mh
+    mh.initialize(coordinator_address=f"127.0.0.1:{port}",
+                  num_processes=2, process_id=pid)
+    import numpy as np, scipy.sparse as sp
+    from superlu_dist_tpu import Options
+    from superlu_dist_tpu.models.dist_driver import DistributedSparseLU
+    from superlu_dist_tpu.models.driver import save_factors
+    from superlu_dist_tpu.parallel.grid import Grid2D
+    from superlu_dist_tpu.utils.nrloc import NRLocMatrix
+    from superlu_dist_tpu.utils.options import Fact
+    from superlu_dist_tpu.utils.testing import laplacian_2d
+
+    A = laplacian_2d(12)
+    n = A.shape[0]
+    rng = np.random.default_rng(7)
+    xt = rng.standard_normal(n)
+
+    Ar = sp.csr_matrix(A)
+    half = n // 2
+    def chunks_of(M):
+        Mr = sp.csr_matrix(M)
+        lo, hi = (0, half) if pid == 0 else (half, n)
+        return NRLocMatrix([(lo, Mr[lo:hi])], n, local=True)
+
+    # guard: global A values must never materialize off process 0
+    import superlu_dist_tpu.utils.nrloc as nrloc_mod
+    calls = []
+    orig = nrloc_mod.NRLocMatrix.to_global
+    def guard(self):
+        calls.append(1); return orig(self)
+    nrloc_mod.NRLocMatrix.to_global = guard
+
+    lu = DistributedSparseLU(chunks_of(A), Grid2D(2, 4),
+                             Options(dtype="float32", block_size=16))
+    b = np.asarray(A @ xt)
+    x, berr = lu.refine(b, lu.solve(b))
+    assert float(np.abs(x - xt).max() / np.abs(xt).max()) < 1e-5
+
+    # ---- SamePattern_SameRowPerm refactor with sharded chunks ----
+    A2 = A.copy(); A2.data = A2.data * 1.5
+    lu.refactor(chunks_of(A2), fact=Fact.SAME_PATTERN_SAME_ROWPERM)
+    b2 = np.asarray(A2 @ xt)
+    x2, berr2 = lu.refine(b2, lu.solve(b2))
+    rel2 = float(np.abs(x2 - xt).max() / np.abs(xt).max())
+    assert rel2 < 1e-5, f"SPSRP refactor err {rel2}"
+    assert float(berr2.max()) < 1e-13, f"SPSRP berr {berr2}"
+
+    # ---- SamePattern refactor (fresh equil + rowperm on process 0) ----
+    A3m = A.copy(); A3m.data = A3m.data * np.linspace(0.5, 2.0, A.nnz)
+    A3m = sp.csc_matrix((A3m.data, A3m.indices, A3m.indptr), shape=A.shape)
+    lu.refactor(chunks_of(A3m), fact=Fact.SAME_PATTERN)
+    b3 = np.asarray(A3m @ xt)
+    x3, berr3 = lu.refine(b3, lu.solve(b3))
+    rel3 = float(np.abs(x3 - xt).max() / np.abs(xt).max())
+    assert rel3 < 1e-4, f"SamePattern refactor err {rel3}"
+    assert float(berr3.max()) < 1e-13, f"SamePattern berr {berr3}"
+    assert not calls, "to_global must never run in sharded mode"
+
+    # ---- checkpoint from the 2-process session (owner-gather) ----
+    save_factors(lu, ckpt)
+    if pid == 0:
+        assert os.path.exists(ckpt)
+    print(f"MULTIHOST_NRLOC_REUSE_OK pid={pid}", flush=True)
+""")
+
+
+def test_two_process_nrloc_reuse_and_checkpoint(tmp_path):
+    """fact_t staging (SamePattern / SamePattern_SameRowPerm) with
+    sharded NRLoc input, and save_factors from a 2-process session via
+    in-mesh owner-gather; the checkpoint must load single-process as a
+    portable SolveOnly object (reference: pdgssvx.c:506-2783 staging
+    with distributed input + dgatherAllFactoredLU pd3dcomm.c:1083)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    script = tmp_path / "worker_nrloc_reuse.py"
+    script.write_text(_WORKER_NRLOC_REUSE)
+    ckpt = str(tmp_path / "dist_ckpt.npz")
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), str(port), ckpt],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert f"MULTIHOST_NRLOC_REUSE_OK pid={pid}" in out, out
+
+    # the checkpoint (written by process 0 from the in-mesh gather)
+    # restores a solve-ready single-process object
+    import scipy.sparse as ssp
+    from superlu_dist_tpu.models.driver import load_factors
+    from superlu_dist_tpu.utils.testing import laplacian_2d
+    A = laplacian_2d(12)
+    A3m = A.copy()
+    A3m.data = A3m.data * np.linspace(0.5, 2.0, A.nnz)   # last refactor
+    A3m = ssp.csc_matrix((A3m.data, A3m.indices, A3m.indptr),
+                         shape=A.shape)
+    lu = load_factors(ckpt)
+    n = A.shape[0]
+    xt = np.random.default_rng(7).standard_normal(n)
+    b = np.asarray(A3m @ xt)
+    x, berr = lu.refine(b, lu.solve(b))
+    rel = float(np.abs(x - xt).max() / np.abs(xt).max())
+    assert rel < 1e-4, rel
+    assert float(berr.max()) < 1e-13
