@@ -257,7 +257,8 @@ def bench_matrix(name, A, opts, reps):
             bk = blocklu.factor_buckets(lu.plan)
             scat = jax.jit(functools.partial(
                 blocklu._pool_scatter_device, poolp=bk.poolp,
-                bs=lu.plan.bs, dtype=jnp.dtype(lu._fdtype)))
+                bs=lu.plan.bs, dtype=jnp.dtype(lu._fdtype),
+                sorted_unique=True))   # staged_values streams are sorted
 
             def run():
                 return lu._factor_fn(scat(*trip), thresh, lu.tapes)

@@ -699,7 +699,12 @@ class SparseLU:
                 # solve is the final answer).
                 req = opts.gemm_precision or "auto"
                 if req == "auto":
-                    req = ("bf16" if opts.iter_refine != IterRefine.NOREFINE
+                    # once this matrix class stalled and escalated, stay
+                    # at "highest" for subsequent refactors — retrying
+                    # bf16 would re-stall and pay the double factor again
+                    req = ("highest" if getattr(self, "_prec_sticky", None)
+                           else "bf16"
+                           if opts.iter_refine != IterRefine.NOREFINE
                            else "highest")
                 prec = getattr(self, "_prec_override", None) or \
                     {"bf16": "default", "default": "default"}.get(
@@ -1545,6 +1550,7 @@ class SparseLU:
         x, berr = self._refine_impl(b, x0, trans)
         if self._should_escalate(berr):
             self.stat.counters["precision_escalated"] = 1
+            self._prec_sticky = "highest"   # refactors skip the bf16 try
             self._refactor_values("highest")
             x, berr = self._refine_impl(b, np.asarray(x), trans)
         return x, berr

@@ -561,7 +561,10 @@ def _values_factor_core(b: Buckets, chunk: int, diag_chunk: int):
             rr = lax.dynamic_slice(r, (i * ch,), (ch,))
             cc = lax.dynamic_slice(c, (i * ch,), (ch,))
             vv = lax.dynamic_slice(vals, (i * ch,), (ch,))
-            return pool.at[sl, rr, cc].add(vv)
+            # staged_values ships the stream sorted with unique real
+            # cells — the flags let XLA skip its sort/dedup lowering
+            return pool.at[sl, rr, cc].add(vv, unique_indices=True,
+                                           indices_are_sorted=True)
 
         pool = lax.fori_loop(0, -(-n // ch), body, pool)
         return core(pool, thresh, tapes)
@@ -582,10 +585,18 @@ def staged_values(plan: SymbolicPlan, a_data, dtype):
     """(slot, off, vals) device triple for build_factor_values_fn: the A
     values, the padding-diagonal ones, and bucket-pad zeros aimed at the
     trash slot (scatter-adding 0 is a no-op), so one compile serves every
-    matrix in the (plan-bucket, nnz-bucket) class."""
+    matrix in the (plan-bucket, nnz-bucket) class.
+
+    The stream ships SORTED by flat pool index (a one-time host argsort
+    at staging): every real cell is written exactly once, so the device
+    scatter runs with unique+sorted index guarantees — measured 20 →
+    15 ms at lap3d50 (7M updates into a 1.25 GiB pool). Trash-slot pads
+    land after every real index and add 0.0 (value-neutral even though
+    they repeat one cell)."""
     vals = np.asarray(a_data, dtype=dtype)
     bb = plan.bs * plan.bs
     idx = np.asarray(plan.init_idx)
+    o = np.argsort(idx, kind="stable")
     npad = bucket125(len(idx) + 1)
     if npad > _INIT_SCATTER_CHUNK:
         # the fused core slices the stream in _INIT_SCATTER_CHUNK pieces;
@@ -593,12 +604,13 @@ def staged_values(plan: SymbolicPlan, a_data, dtype):
         npad = -(-npad // _INIT_SCATTER_CHUNK) * _INIT_SCATTER_CHUNK
     slot = np.full(npad, plan.trash_slot, dtype=np.int32)
     off = np.zeros(npad, dtype=np.int32)
-    slot[: len(idx)] = idx // bb
-    off[: len(idx)] = idx % bb
+    slot[: len(idx)] = idx[o] // bb
+    off[: len(idx)] = idx[o] % bb
     v = np.zeros(npad, dtype=dtype)
     v[: len(vals)] = vals
     if plan.init_ones:
         v[len(vals): len(idx)] = 1
+    v[: len(idx)] = v[: len(idx)][o]
     return jnp.asarray(slot), jnp.asarray(off), jnp.asarray(v)
 
 
@@ -789,7 +801,23 @@ _INIT_SCATTER_CHUNK = 1 << 20
 
 
 @functools.partial(jax.jit, static_argnames=("poolp", "bs", "dtype"))
-def _pool_scatter_device(slot, off, vals, poolp, bs, dtype):
+def _pool_scatter_device(slot, off, vals, poolp, bs, dtype,
+                         sorted_unique: bool = False):
+    """``sorted_unique=True`` (streams from :func:`staged_values`): one
+    whole-stream scatter with unique+sorted guarantees — XLA skips its
+    sort/dedup lowering entirely, so the chunking (whose purpose is to
+    bound sort temps) is unnecessary. Measured 20 → 15 ms at lap3d50."""
+    if sorted_unique:
+        r = off // bs
+        c = off % bs
+        pool = jnp.zeros((poolp, bs, bs), dtype)
+        return pool.at[slot, r, c].add(vals.astype(dtype),
+                                       unique_indices=True,
+                                       indices_are_sorted=True)
+    return _pool_scatter_chunked(slot, off, vals, poolp, bs, dtype)
+
+
+def _pool_scatter_chunked(slot, off, vals, poolp, bs, dtype):
     # Two structural choices keep the init peak at ~1.08x the pool — a
     # flat (poolp, bs*bs) scatter + reshape forced XLA to materialize
     # the pool TWICE (the 3D layout it picks is not reshape-compatible

@@ -93,3 +93,29 @@ def test_xla_path_reports_highest():
                              executor="xla"))
     assert lu._gemm_prec_used == "highest"
     assert not lu._should_escalate(np.array([1e-8]))
+
+
+def test_escalation_is_sticky_across_refactors(interp, monkeypatch):
+    """After an escalation, SamePattern refactors must start at
+    "highest" directly — retrying bf16 would re-stall and pay the double
+    factor on every refactor."""
+    from superlu_dist_tpu.utils.options import Fact
+    A = laplacian_2d(20)
+    lu = SparseLU(A, Options(dtype="float32", block_size=8))
+    real_impl = lu._refine_impl
+    calls = {"n": 0}
+
+    def stalled_once(b, x0, trans=None, **kw):
+        calls["n"] += 1
+        x, berr = real_impl(b, x0, *(() if trans is None else (trans,)))
+        if calls["n"] == 1:
+            return x, np.full_like(np.atleast_1d(berr), 1e-8)
+        return x, berr
+
+    monkeypatch.setattr(lu, "_refine_impl", stalled_once)
+    _solve_refine(lu, A)
+    assert lu._gemm_prec_used == "highest"
+    A2 = A.copy()
+    A2.data = A2.data * 1.25
+    lu.refactor(A2, fact=Fact.SAME_PATTERN_SAME_ROWPERM)
+    assert lu._gemm_prec_used == "highest"   # no bf16 retry
