@@ -255,9 +255,11 @@ def bench_matrix(name, A, opts, reps):
                 return lu._factor_fn(trip, thresh, lu.tapes)
         else:
             bk = blocklu.factor_buckets(lu.plan)
-            scat = jax.jit(functools.partial(
-                blocklu._pool_scatter_device, poolp=bk.poolp,
-                bs=lu.plan.bs, dtype=jnp.dtype(lu._fdtype),
+            _poolp, _bs = bk.poolp, lu.plan.bs
+            _dt = jnp.dtype(lu._fdtype)
+            # closure (not functools.partial) so poolp/flags stay static
+            scat = jax.jit(lambda s, o, v: blocklu._pool_scatter_device(
+                s, o, v, _poolp, _bs, _dt,
                 sorted_unique=True))   # staged_values streams are sorted
 
             def run():
@@ -521,6 +523,15 @@ def main():
         # n = 125k scale demonstration (pool ~4.2 GiB f32 on-device;
         # host preprocessing ~2s total — symbolic + tapes are C++/vector)
         jobs.append(("lap3d50_geo", laplacian_3d(50), lap_opts(50)))
+        # complex at production scale (VERDICT r5 item 4): n=32k shifted
+        # Helmholtz through the real ring embedding — the pzgstrf-class
+        # workload (reference: SRC/complex16/pzgstrf.c); GF/s uses the
+        # x4 real-flops-per-complex-flop convention via scalar_lu_flops
+        from superlu_dist_tpu.utils.testing import helmholtz_3d
+        jobs.append(("helm3d32", helmholtz_3d(32),
+                     Options(dtype="complex64", block_size=bs,
+                             gemm_chunk=chunk, col_perm=ColPerm.MY_PERMC,
+                             user_colperm=geometric_nd((32, 32, 32)))))
         A = reference_matrix("big.rua")
         if A is not None:
             jobs.append(("big.rua", A.astype(np.float64),

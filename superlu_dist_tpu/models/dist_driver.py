@@ -35,6 +35,26 @@ class ShardedNRLocInput:
     ``_device_factor`` (dReDistribute_A analog). Host paths that need
     global values raise clear errors instead."""
 
+    def _dist_planning_active(self) -> bool:
+        return (self.options.dist_planning and self._nrloc is not None
+                and _mh.process_count() > 1)
+
+    def _validate_dist_planning(self) -> None:
+        from ..utils.options import ColPerm, Equil, RowPerm
+        o = self.options
+        if (o.equil != Equil.NO
+                or o.row_perm not in (RowPerm.NOROWPERM, RowPerm.MY_PERMR)
+                or o.col_perm not in (ColPerm.NATURAL, ColPerm.MY_PERMC)
+                or o.ilu_level is not None):
+            raise ValueError(
+                "dist_planning requires equil=NO, row_perm in "
+                "{NOROWPERM, MY_PERMR}, col_perm in {NATURAL, MY_PERMC} "
+                "and complete LU — equilibration/MC64/fill-reducing "
+                "orderings read global values (the reference's "
+                "parallel-symbolic path has the same contract: it runs "
+                "under a ParMETIS-supplied ordering, "
+                "get_perm_c_parmetis.c:255)")
+
     def _ingest_input(self, A):
         from ..utils.nrloc import NRLocMatrix
         self._nrloc = None
@@ -43,6 +63,13 @@ class ShardedNRLocInput:
                 raise ValueError("local=True NRLoc input requires "
                                  "multi-process execution")
             self._nrloc = A
+            if self.options.dist_planning:
+                # distributed planning: NO process assembles global
+                # values or the scalar pattern — not even process 0.
+                # Everything downstream works from local chunks + the
+                # allgathered block keys (see _symbolic).
+                self._validate_dist_planning()
+                return A.to_partial_csc()
             # full precision with a dtype every process agrees on
             # regardless of its local nnz (an empty chunk must not
             # desynchronize the SPMD collective's aval)
@@ -64,6 +91,36 @@ class ShardedNRLocInput:
         broadcasts; the others consume the broadcast and never build a
         global A3 — their pools come from local chunks in
         ``_device_factor``."""
+        if self._dist_planning_active():
+            # every process runs the same cheap transforms locally — no
+            # broadcast, no global matrix anywhere (psymbfact discipline)
+            from ..utils.options import DiagScale, RowPerm
+            n = self.n
+            self.row_scale = np.ones(n)
+            self.col_scale = np.ones(n)
+            o = self.options
+            self.rowperm = (np.asarray(o.user_rowperm, dtype=np.int64)
+                            if o.row_perm == RowPerm.MY_PERMR
+                            and o.user_rowperm is not None
+                            else np.arange(n, dtype=np.int64))
+            self.colperm = (np.asarray(o.user_colperm, dtype=np.int64)
+                            if o.user_colperm is not None
+                            else np.arange(n, dtype=np.int64))
+            self.equed = DiagScale.NOEQUIL
+            self._expand = None
+            self._n_e = None
+            # global norm extras from local chunks (O(1) scalars each)
+            vals = np.abs(self._A_orig.data) if self._A_orig.nnz else \
+                np.zeros(1)
+            local = (float(vals.max(initial=0.0)),
+                     int(self._A_orig.getnnz(axis=1).max(initial=0)),
+                     np.asarray(np.abs(self._A_orig).sum(axis=0)).ravel())
+            gathered = _mh.allgather_obj(local)
+            self._anorm_global = max(g[0] for g in gathered) or 1.0
+            self._nz_global = max(g[1] for g in gathered)
+            self._anorm1_global = float(
+                np.sum([g[2] for g in gathered], axis=0).max())
+            return self._A_orig
         if self._nrloc is not None and _mh.process_count() > 1:
             if _mh.process_index() != 0:
                 if reuse_perms:
@@ -94,6 +151,28 @@ class ShardedNRLocInput:
                 self._nz_global = extras["nz"]
                 return A3
         return super()._preprocess(A, reuse_perms, reuse_colperm)
+
+    def _symbolic(self, A3):
+        if self._dist_planning_active():
+            # each process contributes only its chunk's BLOCK keys
+            # (O(a_blocks) total — the scalar pattern never moves);
+            # every process then derives the identical plan locally
+            from ..ops.host.symbolic import block_symbolic_from_keys
+            bs = self.options.block_size
+            nb = max(1, -(-self.n // bs))
+            P = sp.coo_matrix(self._A_orig)
+            ipc = np.empty(self.n, dtype=np.int64)
+            ipc[self.colperm] = np.arange(self.n)
+            irp = np.empty(self.n, dtype=np.int64)
+            irp[self.rowperm] = np.arange(self.n)
+            r3 = ipc[irp[P.row]]
+            c3 = ipc[P.col]
+            keys = np.unique((r3 // bs) * nb + (c3 // bs))
+            a_keys = np.unique(np.concatenate(_mh.allgather_obj(keys)))
+            self.stat.counters["dist_planning_blocks"] = int(len(a_keys))
+            self.stat.counters["dist_planning_local_keys"] = int(len(keys))
+            return block_symbolic_from_keys(self.n, bs, a_keys)
+        return super()._symbolic(A3)
 
     def _refine_hostloop(self, b, x0, **kw):
         if self._nrloc is not None and _mh.process_count() > 1:

@@ -32,7 +32,7 @@ import dataclasses
 import numpy as np
 import scipy.sparse as sp
 
-__all__ = ["SymbolicPlan", "block_symbolic"]
+__all__ = ["SymbolicPlan", "block_symbolic", "block_symbolic_from_keys"]
 
 
 @dataclasses.dataclass
@@ -376,25 +376,65 @@ def block_symbolic(A: sp.spmatrix, bs: int,
     ))
 
 
+def block_symbolic_from_keys(n: int, bs: int,
+                             a_keys: np.ndarray) -> SymbolicPlan:
+    """Plan from the BLOCK pattern alone — the distributed-planning entry
+    (psymbfact role, reference: SRC/prec-independent/psymbfact.c:26-5380):
+    no process supplies the scalar pattern or values, so ``init_idx`` is
+    empty; value placement happens per owner process via
+    ``nrloc_entry_offsets``. ``a_keys`` are ``I*nb + J`` block keys of the
+    (permuted) matrix; diagonal keys are added automatically. Plans are
+    bit-identical to :func:`block_symbolic` on any matrix with this block
+    pattern (same fill engine, same assembly)."""
+    nb = max(1, -(-n // bs))
+    n_pad = nb * bs
+    diag_keys = np.arange(nb, dtype=np.int64) * nb + np.arange(nb)
+    a_keys = np.unique(np.concatenate(
+        [np.asarray(a_keys, dtype=np.int64), diag_keys]))
+    from .native import native_block_symbolic
+    nat = native_block_symbolic(nb, a_keys // nb, a_keys % nb)
+    if nat is None:
+        # fallback: a one-entry-per-block surrogate matrix reproduces the
+        # identical block pattern through the python fill engine
+        I = (a_keys // nb) * bs
+        J = (a_keys % nb) * bs
+        I = np.minimum(I, n - 1)
+        J = np.minimum(J, n - 1)
+        S = sp.csc_matrix((np.ones(len(a_keys)), (I, J)), shape=(n, n))
+        plan = block_symbolic(S, bs)
+        return dataclasses.replace(
+            plan, init_idx=np.empty(0, dtype=np.int64))
+    return _renumber_column_major(
+        _assemble_from_native(nat, None, None, None, None, n, n_pad, bs,
+                              nb, len(a_keys)))
+
+
 def _assemble_from_native(nat, A, coo, bi, bj, n, n_pad, bs, nb,
                           a_blocks) -> SymbolicPlan:
     """Build the SymbolicPlan from the C++ engine's arrays (value-placement
-    indices, flop model, and dtype coercions happen here)."""
+    indices, flop model, and dtype coercions happen here). ``coo=None``
+    (distributed planning) leaves ``init_idx`` empty — value placement is
+    per-process there."""
     nslots = len(nat["slot_row"])
-    slot_of = {int(r) * nb + int(c): s
-               for s, (r, c) in enumerate(zip(nat["slot_row"],
-                                              nat["slot_col"]))}
-    blk = slot_map_vectorized(slot_of, bi, bj, nb)
-    init_idx = (blk.astype(np.int64) * bs * bs
-                + (coo.row % bs).astype(np.int64) * bs
-                + (coo.col % bs).astype(np.int64))
-    n_ones = n_pad - n
-    if n_ones:
-        pad = np.arange(n, n_pad)
-        pad_blk = np.array([slot_of[int(i // bs) * nb + int(i // bs)]
-                            for i in pad], dtype=np.int64)
-        init_idx = np.concatenate(
-            [init_idx, pad_blk * bs * bs + (pad % bs) * bs + (pad % bs)])
+    if coo is None:
+        init_idx = np.empty(0, dtype=np.int64)
+        n_ones = n_pad - n
+    else:
+        slot_of = {int(r) * nb + int(c): s
+                   for s, (r, c) in enumerate(zip(nat["slot_row"],
+                                                  nat["slot_col"]))}
+        blk = slot_map_vectorized(slot_of, bi, bj, nb)
+        init_idx = (blk.astype(np.int64) * bs * bs
+                    + (coo.row % bs).astype(np.int64) * bs
+                    + (coo.col % bs).astype(np.int64))
+        n_ones = n_pad - n
+        if n_ones:
+            pad = np.arange(n, n_pad)
+            pad_blk = np.array([slot_of[int(i // bs) * nb + int(i // bs)]
+                                for i in pad], dtype=np.int64)
+            init_idx = np.concatenate(
+                [init_idx, pad_blk * bs * bs + (pad % bs) * bs
+                 + (pad % bs)])
 
     b3 = float(bs) ** 3
     flops = (2.0 / 3.0) * b3 * nb \

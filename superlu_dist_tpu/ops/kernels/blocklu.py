@@ -800,7 +800,8 @@ _INIT_DEVICE_MIN_BYTES = int(_os.environ.get(
 _INIT_SCATTER_CHUNK = 1 << 20
 
 
-@functools.partial(jax.jit, static_argnames=("poolp", "bs", "dtype"))
+@functools.partial(jax.jit, static_argnames=("poolp", "bs", "dtype",
+                                             "sorted_unique"))
 def _pool_scatter_device(slot, off, vals, poolp, bs, dtype,
                          sorted_unique: bool = False):
     """``sorted_unique=True`` (streams from :func:`staged_values`): one

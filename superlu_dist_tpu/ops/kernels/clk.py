@@ -94,7 +94,7 @@ def build_clk_tapes(plan: SymbolicPlan, MC: int = 8):
 
     jobs = {k: [] for k in ("start", "fin", "finB", "bpos", "jstep",
                             "a0", "m", "col", "base", "ncol", "dposc",
-                            "rshift", "tn")}
+                            "rshift", "tn", "c1")}
     # (nfull/nrem precomputed per job: Mosaic's int // lowering recurses)
     dst_list = []
     fin_job_of_col = np.full(nb, -1, dtype=np.int64)
@@ -135,6 +135,7 @@ def build_clk_tapes(plan: SymbolicPlan, MC: int = 8):
                 jobs["rshift"].append(shift)
                 jobs["tn"].append(0)
                 d = np.full(MC, S, dtype=np.int32)   # S = panel trash row
+                c1 = 0
                 if m:
                     rows = srow[a0 + shift: a0 + shift + m]
                     pos = np.searchsorted(rows_k, rows)
@@ -143,6 +144,15 @@ def build_clk_tapes(plan: SymbolicPlan, MC: int = 8):
                             "fill closure violated (ILU plan?) — clk "
                             "requires exact-LU symbolic")
                     d[shift: shift + m] = pos
+                    # full chunk with contiguous targets: the panel
+                    # scatter collapses to ONE (MC,bs,bs) slice update
+                    # (measured: the per-row scatter, ~600 ns/row, is
+                    # what bounds clk — not the MXU; 33-43% of lap3d
+                    # chunks qualify)
+                    if (m == MC and shift == 0
+                            and np.all(np.diff(pos) == 1)):
+                        c1 = 1
+                jobs["c1"].append(c1)
                 dst_list.append(d)
                 nj += 1
         # column finalize job (also the only job for leaf columns)
@@ -159,6 +169,7 @@ def build_clk_tapes(plan: SymbolicPlan, MC: int = 8):
         jobs["dposc"].append(dpk)
         jobs["rshift"].append(0)
         jobs["tn"].append(-(-(nck - dpk - 1) // TC))   # TRSM chunk count
+        jobs["c1"].append(0)
         dst_list.append(np.full(MC, S, dtype=np.int32))
         fin_job_of_col[k] = nj
         nj += 1
@@ -224,7 +235,7 @@ def build_clk_tapes(plan: SymbolicPlan, MC: int = 8):
             j_base=p(arr["base"]), j_ncol=p(arr["ncol"], 1),
             j_nfull=jnp.asarray(nfull), j_nrem=jnp.asarray(nrem),
             j_dpos=p(arr["dposc"]), j_tn=p(arr["tn"]),
-            j_sync=jnp.asarray(sync),
+            j_sync=jnp.asarray(sync), j_c1=p(arr["c1"]),
             dst=p(dst, S, w=MC),
         )
 
@@ -252,8 +263,8 @@ def _clk_kernel(MC, S, exact, bs, precision=None):
                        preferred_element_type=jnp.float32)
 
     def kern(j_start, j_fin, j_finB, j_bpos, j_step, j_a0, j_m, j_col,
-             j_base, j_ncol, j_nfull, j_nrem, j_dpos, j_tn, j_sync, dst,
-             consts_ref,
+             j_base, j_ncol, j_nfull, j_nrem, j_dpos, j_tn, j_sync, j_c1,
+             dst, consts_ref,
              pool_ref, linv_ref, uinv_ref,
              pool_out, linv_out, uinv_out, tiny_out,
              sPanel, sL, sLinv, sCnt,
@@ -363,7 +374,10 @@ def _clk_kernel(MC, S, exact, bs, precision=None):
             sPanel[bpos] = dot(sLinv[bank], sPanel[bpos])
 
         # ---- the pair GEMM: one wide matmul + short panel scatter
-        # (the A wait matches the single range copy) ----
+        # (the A wait matches the single range copy). Full chunks with
+        # contiguous targets (j_c1) write back as ONE slice update —
+        # the per-row scatter (~600 ns/row measured) is clk's bound,
+        # not the MXU ----
         @pl.when(m_act)
         def _():
             pltpu.make_async_copy(
@@ -371,9 +385,18 @@ def _clk_kernel(MC, S, exact, bs, precision=None):
                 semA.at[bank]).wait()
             R = dot(sL[bank].reshape(MC * bs, bs), sPanel[bpos])
             doff = J * jnp.int32(MC)
-            for r in range(MC):
-                dd = dst[doff + r]
-                sPanel[dd] = sPanel[dd] - R[r * bs:(r + 1) * bs]
+
+            @pl.when(j_c1[J] == 1)
+            def _():
+                p0 = dst[doff]
+                sPanel[pl.ds(p0, MC)] = (sPanel[pl.ds(p0, MC)]
+                                         - R.reshape(MC, bs, bs))
+
+            @pl.when(j_c1[J] == 0)
+            def _():
+                for r in range(MC):
+                    dd = dst[doff + r]
+                    sPanel[dd] = sPanel[dd] - R[r * bs:(r + 1) * bs]
 
         # ---- column finalize: diag LU + L TRSM + panel store ----
         @pl.when(fin)
@@ -454,7 +477,7 @@ def _clk_seg_call(nj, nbp, poolp, S, MC, bs, exact, interpret,
     """One segment's pallas_call (pool/linv/uinv alias through)."""
     kern = _clk_kernel(MC, S, exact, bs, precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=17,
+        num_scalar_prefetch=18,
         grid=(nj,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
@@ -478,15 +501,15 @@ def _clk_seg_call(nj, nbp, poolp, S, MC, bs, exact, interpret,
                 jax.ShapeDtypeStruct((8, 128), jnp.float32),
             ],
             grid_spec=grid_spec,
-            input_output_aliases={17: 0, 18: 1, 19: 2},
+            input_output_aliases={18: 0, 19: 1, 20: 2},
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(tapes["j_start"], tapes["j_fin"], tapes["j_finB"],
           tapes["j_bpos"], tapes["j_step"], tapes["j_a0"], tapes["j_m"],
           tapes["j_col"], tapes["j_base"], tapes["j_ncol"],
           tapes["j_nfull"], tapes["j_nrem"],
-          tapes["j_dpos"], tapes["j_tn"], tapes["j_sync"], tapes["dst"],
-          consts, pool, linv, uinv)
+          tapes["j_dpos"], tapes["j_tn"], tapes["j_sync"], tapes["j_c1"],
+          tapes["dst"], consts, pool, linv, uinv)
 
     return seg
 

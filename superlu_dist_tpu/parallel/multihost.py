@@ -31,7 +31,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 __all__ = ["initialize", "process_count", "process_index", "replicate",
-           "shard", "bcast_obj", "PreprocessOnce"]
+           "shard", "bcast_obj", "allgather_obj", "gather_sharded_blocks",
+           "PreprocessOnce"]
 
 
 class PreprocessOnce:
@@ -169,6 +170,26 @@ def gather_sharded_blocks(mesh, spec, arr, glob_ids, out_rows: int):
                    out_specs=P(), check_vma=False)
     # writable copy: callers zero the trash rows in place
     return np.array(jax.jit(fn)(arr, glob_ids))
+
+
+def allgather_obj(obj):
+    """Allgather one picklable object per process; every process returns
+    the list [obj_0, ..., obj_{P-1}] in process order (the MPI_Allgatherv
+    role behind distributed planning — payloads are block-level keys,
+    O(a_blocks), never the scalar pattern)."""
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils as mhu
+    buf = np.frombuffer(pickle.dumps(obj), dtype=np.uint8).copy()
+    n = int(len(buf))
+    sizes = np.asarray(mhu.process_allgather(np.array([n], np.int64)))
+    sizes = sizes.reshape(-1)
+    m = int(sizes.max())
+    pad = np.zeros(m, dtype=np.uint8)
+    pad[:n] = buf
+    all_bufs = np.asarray(mhu.process_allgather(pad))
+    return [pickle.loads(all_bufs[p, : sizes[p]].tobytes())
+            for p in range(jax.process_count())]
 
 
 def bcast_obj(obj=None):

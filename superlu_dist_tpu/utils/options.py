@@ -184,6 +184,19 @@ class Options:
     hbm_budget_gb: float = 12.0        # device pool budget (16 GiB chip
                                        # minus solve/refine working set)
 
+    # Distributed planning (psymbfact/get_perm_c_parmetis role, reference:
+    # SRC/prec-independent/psymbfact.c:26-5380): with sharded NRLoc input,
+    # NO process — including process 0 — ever assembles the global scalar
+    # pattern or values. Each process maps its local entries to block
+    # keys; only the deduplicated BLOCK pattern (O(a_blocks) keys, orders
+    # of magnitude smaller than nnz) is allgathered, and every process
+    # derives the identical plan from it. Requires equil=NO,
+    # row_perm ∈ {NOROWPERM, MY_PERMR}, col_perm ∈ {NATURAL, MY_PERMC}
+    # (the same contract as the reference's parallel-symbolic path, which
+    # also runs only under externally-supplied orderings), and implies
+    # align_blocks=off (the alignment pass reads the scalar pattern).
+    dist_planning: bool = False
+
     batch_count: int = 0               # >0 for the batched interface
     # level-based incomplete factorization (ILU(k) analog of
     # ilu_level_symbfact); None = complete LU. The factorization becomes a
@@ -217,6 +230,7 @@ _SPEC_FIELDS = {
     "ALIGN": ("align_blocks", str),          # etree-aligned blocks (auto|on|off)
     "ALIGN_MAX_INFLATE": ("align_max_inflate", float),
     "GEMM_PRECISION": ("gemm_precision", str),  # auto | high | highest
+    "DIST_PLANNING": ("dist_planning", _as_bool),  # sharded-pattern plans
     "ADAPT_POLICY": ("adapt_policy", str),   # auto | off (pad-ratio guard)
     "ADAPT_PAD_MAX": ("adapt_pad_max", float),
     "HBM_BUDGET_GB": ("hbm_budget_gb", float),

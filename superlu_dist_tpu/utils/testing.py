@@ -241,6 +241,18 @@ def unsymmetric_pattern(n: int, seed: int = 0) -> sp.csc_matrix:
     return sp.csc_matrix(A)
 
 
+def helmholtz_3d(k: int, kappa2: float = 2.0, sigma: float = 0.5,
+                 dtype=np.complex64) -> sp.csc_matrix:
+    """Complex shifted 3D Helmholtz operator −Δ − (κ² + iσ)I on a k³
+    grid — the production-scale complex benchmark class (the z-precision
+    suite's workload; reference: SRC/complex16/pzgstrf.c). The complex
+    shift makes the operator invertible and genuinely complex-valued."""
+    A = laplacian_3d(k, dtype=np.float64).astype(np.complex128)
+    n = A.shape[0]
+    A = A - sp.identity(n) * (kappa2 + 1j * sigma)
+    return sp.csc_matrix(A, dtype=dtype)
+
+
 def reference_matrix(name: str):
     """Load a fixture matrix from the reference checkout, or None if absent."""
     path = os.path.join(REFERENCE_EXAMPLE_DIR, name)

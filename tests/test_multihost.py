@@ -389,3 +389,125 @@ def test_two_process_nrloc_reuse_and_checkpoint(tmp_path):
     rel = float(np.abs(x - xt).max() / np.abs(xt).max())
     assert rel < 1e-4, rel
     assert float(berr.max()) < 1e-13
+
+
+_WORKER_DIST_PLANNING = textwrap.dedent("""
+    import os, sys
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from superlu_dist_tpu.parallel import multihost as mh
+    mh.initialize(coordinator_address=f"127.0.0.1:{port}",
+                  num_processes=2, process_id=pid)
+    import hashlib
+    import numpy as np, scipy.sparse as sp
+    from superlu_dist_tpu import Options
+    from superlu_dist_tpu.models.dist_driver import DistributedSparseLU
+    from superlu_dist_tpu.parallel.grid import Grid2D
+    from superlu_dist_tpu.utils.nrloc import NRLocMatrix
+    from superlu_dist_tpu.utils.options import ColPerm, Equil, RowPerm
+    from superlu_dist_tpu.utils.testing import laplacian_2d
+
+    A = laplacian_2d(12)
+    n = A.shape[0]
+    rng = np.random.default_rng(7)
+    xt = rng.standard_normal(n)
+    b = np.asarray(A @ xt)
+
+    Ar = sp.csr_matrix(A)
+    half = n // 2
+    lo, hi = (0, half) if pid == 0 else (half, n)
+    Aloc = NRLocMatrix([(lo, Ar[lo:hi])], n, local=True)
+
+    # guards: neither the global VALUES (gather_values_to0) nor the
+    # global pattern (to_global) may materialize on ANY process
+    import superlu_dist_tpu.utils.nrloc as nrloc_mod
+    import superlu_dist_tpu.parallel.dist2d as dist2d_mod
+    calls = []
+    orig_tg = nrloc_mod.NRLocMatrix.to_global
+    nrloc_mod.NRLocMatrix.to_global = (
+        lambda self: (calls.append("to_global"), orig_tg(self))[1])
+    orig_gv = dist2d_mod.gather_values_to0
+    dist2d_mod.gather_values_to0 = (
+        lambda *a, **k: (calls.append("gather_values_to0"),
+                         orig_gv(*a, **k))[1])
+
+    lu = DistributedSparseLU(
+        Aloc, Grid2D(2, 4),
+        Options(dtype="float32", block_size=16, dist_planning=True,
+                equil=Equil.NO, row_perm=RowPerm.NOROWPERM,
+                col_perm=ColPerm.NATURAL))
+    x, berr = lu.refine(b, lu.solve(b))
+    rel = float(np.abs(x - xt).max() / np.abs(xt).max())
+    assert rel < 1e-5, f"dist-planning solve err {rel}"
+    assert float(berr.max()) < 1e-13, f"berr {berr}"
+    assert not calls, f"global pattern/value gather ran: {calls}"
+    assert lu._A_orig.nnz == Ar[lo:hi].nnz   # only local rows held
+    assert len(lu.plan.init_idx) == 0        # no global value placement
+
+    # plan checksum (everything except the value-placement fields) for
+    # bit-identity vs the serial plan, checked by the test harness
+    import dataclasses
+    hsh = hashlib.sha256()
+    for f in sorted(f.name for f in dataclasses.fields(lu.plan)):
+        if f == "init_idx":
+            continue
+        v = getattr(lu.plan, f)
+        hsh.update(np.ascontiguousarray(np.asarray(v)).tobytes())
+    print(f"DIST_PLANNING_OK pid={pid} plan_sha={hsh.hexdigest()} "
+          f"blocks={lu.stat.counters['dist_planning_blocks']}", flush=True)
+""")
+
+
+def test_two_process_distributed_planning(tmp_path):
+    """Distributed planning (psymbfact analog): with sharded NRLoc input
+    and dist_planning=True, NO process — including process 0 — gathers
+    the global values or pattern; only block keys are allgathered, and
+    the resulting plan is bit-identical to the serial plan (reference:
+    SRC/prec-independent/psymbfact.c:26-5380)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    script = tmp_path / "worker_dist_planning.py"
+    script.write_text(_WORKER_DIST_PLANNING)
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), str(port)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    shas = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert f"DIST_PLANNING_OK pid={pid}" in out, out
+        for line in out.splitlines():
+            if line.startswith("DIST_PLANNING_OK"):
+                shas.append(line.split("plan_sha=")[1].split()[0])
+    assert shas[0] == shas[1]
+
+    # bit-identity vs the serial plan on the same (natural-order) matrix
+    import dataclasses
+    import hashlib
+    from superlu_dist_tpu.ops.host.symbolic import block_symbolic
+    from superlu_dist_tpu.utils.testing import laplacian_2d
+    plan = block_symbolic(laplacian_2d(12).tocsc(), 16)
+    hsh = hashlib.sha256()
+    for f in sorted(f.name for f in dataclasses.fields(plan)):
+        if f == "init_idx":
+            continue
+        hsh.update(np.ascontiguousarray(
+            np.asarray(getattr(plan, f))).tobytes())
+    assert hsh.hexdigest() == shas[0], "dist plan differs from serial"
