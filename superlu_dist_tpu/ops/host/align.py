@@ -60,6 +60,13 @@ def sym_etree(A: sp.spmatrix) -> np.ndarray:
         (np.ones(A.nnz, dtype=np.int8), A.indices, A.indptr), shape=A.shape)
     S = sp.csc_matrix(P + P.T)   # pattern-only: values cannot cancel
     n = S.shape[0]
+    # native fast path (tree.cpp — the same Liu algorithm in C++;
+    # measured ~1 s of Python pointer chasing at n=125k)
+    from .native import native_tree_counts
+    L = sp.tril(S, k=-1, format="csc")
+    nat = native_tree_counts(L.indptr, L.indices)
+    if nat is not None:
+        return nat[0]
     Sp, Si = S.indptr, S.indices
     parent = np.full(n, -1, dtype=np.int64)
     ancestor = np.full(n, -1, dtype=np.int64)

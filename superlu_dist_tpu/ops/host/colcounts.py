@@ -41,12 +41,18 @@ def chol_column_counts(A: sp.spmatrix,
     """Column counts (including the diagonal) of chol(pattern(A + Aᵀ)).
 
     ``parent`` may pass a precomputed symmetrized elimination tree
-    (align.sym_etree output) to skip recomputing it.
+    (align.sym_etree output) to skip recomputing it. The C++ engine
+    (native/tree.cpp) serves large matrices; this Python path is the
+    reference implementation and fallback.
     """
     L = _lower_sym_pattern(A)
     n = L.shape[0]
     if n == 0:
         return np.zeros(0, dtype=np.int64)
+    from .native import native_tree_counts
+    nat = native_tree_counts(L.indptr, L.indices)
+    if nat is not None:
+        return nat[1]
     if parent is None:
         from .align import sym_etree
         parent = sym_etree(A)

@@ -16,7 +16,8 @@ _DIR = os.path.dirname(__file__)
 _SRCS = [os.path.join(_DIR, "symbolic.cpp"),
          os.path.join(_DIR, "amd.cpp"),
          os.path.join(_DIR, "mlnd.cpp"),
-         os.path.join(_DIR, "hwpm.cpp")]
+         os.path.join(_DIR, "hwpm.cpp"),
+         os.path.join(_DIR, "tree.cpp")]
 _lib = None
 _tried = False
 
@@ -75,6 +76,9 @@ def get_lib():
     lib.slu_sym_copy.argtypes = [ctypes.c_void_p, ctypes.c_int, i64p]
     lib.slu_sym_free.restype = None
     lib.slu_sym_free.argtypes = [ctypes.c_void_p]
+    lib.slu_tree_counts.restype = ctypes.c_int64
+    lib.slu_tree_counts.argtypes = [ctypes.c_int64, i64p, i64p, i64p,
+                                    i64p]
     lib.slu_min_degree.restype = ctypes.c_int64
     lib.slu_min_degree.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
     lib.slu_nested_dissection.restype = ctypes.c_int64
@@ -174,3 +178,20 @@ def native_hwpm(indptr: np.ndarray, indices: np.ndarray,
     if rc != 0:
         return None
     return perm
+
+
+def native_tree_counts(Lp: np.ndarray, Li: np.ndarray):
+    """(parent, colcounts) of the symmetrized pattern whose STRICT LOWER
+    CSC triangle is (Lp, Li); None when the native engine is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(Lp) - 1
+    parent = np.empty(n, dtype=np.int64)
+    cc = np.empty(n, dtype=np.int64)
+    rc = lib.slu_tree_counts(n, np.ascontiguousarray(Lp, dtype=np.int64),
+                             np.ascontiguousarray(Li, dtype=np.int64),
+                             parent, cc)
+    if rc != 0:
+        return None
+    return parent, cc

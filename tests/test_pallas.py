@@ -137,7 +137,7 @@ def _adversarial(seed, n=1280):
     return sp.csc_matrix(M + M.T + sp.eye(n) * (3.0 * n))
 
 
-@pytest.mark.parametrize("seed", [11,
+@pytest.mark.parametrize("seed", [pytest.param(11, marks=pytest.mark.slow),
                                   pytest.param(12, marks=pytest.mark.slow),
                                   pytest.param(13, marks=pytest.mark.slow)])
 def test_pallas_adversarial_patterns(seed):

@@ -54,6 +54,8 @@ def _check_factor_and_solve(A, pr, pc, bs, seed):
 
 
 @needs_8
+@pytest.mark.slow   # ~36 s interpret; test_rdma_on_aligned_plan covers
+                    # the RDMA path in the default suite
 def test_rdma_matches_xla_executor():
     """Fast default case: one small plan exercises the full RDMA factor +
     solve kernels on a 2x4 mesh."""
