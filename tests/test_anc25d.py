@@ -51,3 +51,42 @@ def test_zsplit_matches_replicated():
     assert np.abs(xt - xr).max() / np.abs(xr).max() < 1e-3
     xrr, berr = lu_z.refine(b, x_z)
     assert float(np.max(berr)) < 1e-13
+
+
+@pytest.mark.slow   # ~2 min CPU-mesh compile (n=32768 aligned plans x2)
+def test_anc25d_zsplit_on_aligned_production_plan():
+    """The zsplit tradeoff on the plan class it exists for (VERDICT r5
+    item 9): aligned lap3d32 (n=32768, B=128) on the 2x2x2 mesh, both
+    strategies correct, with the measured comm-volume exchange —
+    zsplit pays z-psums of the split ancestor updates (~9.6 MiB + a
+    larger anc reduce) to halve the replicated top-level GEMM work
+    (the anc25d.hpp rationale, reference: CplusplusFactor/anc25d.hpp)."""
+    import scipy.sparse.linalg as spla
+    from superlu_dist_tpu.models.driver3d import Distributed3DSparseLU
+    from superlu_dist_tpu.ops.host.ordering import geometric_nd
+    from superlu_dist_tpu.parallel.grid import Grid3D
+    from superlu_dist_tpu.utils.options import ColPerm
+    from superlu_dist_tpu.utils.testing import laplacian_3d
+
+    nx = 32
+    A = laplacian_3d(nx)
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+    b = np.asarray(A @ rng.standard_normal(n))
+    x_ref = spla.spsolve(A.tocsc().astype(np.float64), b)
+    vols = {}
+    for mode in ("replicated", "zsplit"):
+        opts = Options(dtype="float32", block_size=128,
+                       col_perm=ColPerm.MY_PERMC,
+                       user_colperm=geometric_nd((nx, nx, nx)),
+                       anc25d=mode)
+        lu = Distributed3DSparseLU(A, Grid3D(2, 2, 2), opts)
+        assert lu._expand is not None, "must run the aligned plan"
+        x = lu.solve(b)
+        err = float(np.abs(x - x_ref).max() / np.abs(x_ref).max())
+        assert err < 1e-5, (mode, err)
+        vols[mode] = dict(lu.stat.counters)
+        del lu
+    assert vols["zsplit"]["anc25d_zsplit_psum_bytes"] > 0
+    assert vols["zsplit"]["anc_reduce_bytes"] > \
+        vols["replicated"]["anc_reduce_bytes"]
