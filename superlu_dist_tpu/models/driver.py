@@ -441,12 +441,22 @@ class SparseLU:
     _adapt_ok = True
 
     def _eval_candidate(self, A2: sp.csc_matrix, pc: np.ndarray, bs: int,
-                        tag: str) -> dict:
+                        tag: str, flops_cap: float | None = None) -> dict:
         """Build one candidate plan (ordering ``pc`` at block size ``bs``)
-        without mutating driver state; returns a scoring record."""
+        without mutating driver state; returns a scoring record.
+
+        ``flops_cap``: cheap GNP pre-filter — a candidate whose scalar
+        flop ESTIMATE already exceeds the cap cannot win, and running the
+        full fill simulation on it can cost tens of GB of host RAM
+        (measured: a COLAMD candidate at n=885k OOM-killed the process
+        before this guard existed). Returns ``{"skipped": True}``."""
         from ..ops.host import align as _align
         from ..ops.host.colcounts import estimate_gesp_stats
         A3 = sp.csc_matrix(A2[pc, :][:, pc])
+        if flops_cap is not None:
+            pre = estimate_gesp_stats(A3)
+            if pre["flops"] > flops_cap:
+                return dict(tag=tag, skipped=True)
         colperm, expand, n_e = pc, None, None
         mode = (self.options.align_blocks or "auto").lower()
         if mode != "off" and bs >= 2 and \
@@ -520,8 +530,12 @@ class SparseLU:
                 continue
             try:
                 pc = _ordering.get_perm_c(strat, A2)
-                cands.append(self._eval_candidate(A2, pc, plan.bs,
-                                                  strat.name))
+                rec = self._eval_candidate(A2, pc, plan.bs, strat.name,
+                                           flops_cap=2.0 * est["flops"])
+                if rec.get("skipped"):
+                    stat.counters[f"adapt_skip_{strat.name}"] = 1
+                else:
+                    cands.append(rec)
             except Exception as e:        # a candidate failing is logged,
                 stat.counters[f"adapt_fail_{strat.name}"] = repr(e)
 

@@ -181,8 +181,11 @@ class Options:
     # stat.counters["adapt_*"]. "off" keeps the first plan unconditionally.
     adapt_policy: str = "auto"         # "auto" | "off"
     adapt_pad_max: float = 48.0        # flop-pad trigger (vs GNP estimate)
-    hbm_budget_gb: float = 12.0        # device pool budget (16 GiB chip
-                                       # minus solve/refine working set)
+    hbm_budget_gb: float = 14.5        # device pool budget — the measured
+                                       # single-chip capacity (n=885k pool
+                                       # 13.1 GiB factors in 14.5 of
+                                       # 16 GiB); the remainder is the
+                                       # solve/refine working set
 
     # Distributed planning (psymbfact/get_perm_c_parmetis role, reference:
     # SRC/prec-independent/psymbfact.c:26-5380): with sharded NRLoc input,
