@@ -1,8 +1,8 @@
 """Version info (analog of SRC/prec-independent/superlu_dist_version.c)."""
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 VERSION_MAJOR = 0
-VERSION_MINOR = 1
+VERSION_MINOR = 5
 VERSION_PATCH = 0
 
 
