@@ -511,3 +511,82 @@ def test_two_process_distributed_planning(tmp_path):
         hsh.update(np.ascontiguousarray(
             np.asarray(getattr(plan, f))).tobytes())
     assert hsh.hexdigest() == shas[0], "dist plan differs from serial"
+
+
+_WORKER_DIST_PLANNING_3D = textwrap.dedent("""
+    import os, sys
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from superlu_dist_tpu.parallel import multihost as mh
+    mh.initialize(coordinator_address=f"127.0.0.1:{port}",
+                  num_processes=2, process_id=pid)
+    import numpy as np, scipy.sparse as sp
+    from superlu_dist_tpu import Options
+    from superlu_dist_tpu.models.driver3d import Distributed3DSparseLU
+    from superlu_dist_tpu.parallel.grid import Grid3D
+    from superlu_dist_tpu.utils.nrloc import NRLocMatrix
+    from superlu_dist_tpu.utils.options import ColPerm, Equil, RowPerm
+    from superlu_dist_tpu.utils.testing import laplacian_2d
+
+    A = laplacian_2d(10)
+    n = A.shape[0]
+    rng = np.random.default_rng(7)
+    xt = rng.standard_normal(n)
+    b = np.asarray(A @ xt)
+    Ar = sp.csr_matrix(A)
+    half = n // 2
+    lo, hi = (0, half) if pid == 0 else (half, n)
+    Aloc = NRLocMatrix([(lo, Ar[lo:hi])], n, local=True)
+
+    import superlu_dist_tpu.parallel.dist2d as dist2d_mod
+    calls = []
+    orig_gv = dist2d_mod.gather_values_to0
+    dist2d_mod.gather_values_to0 = (
+        lambda *a, **k: (calls.append("gather"), orig_gv(*a, **k))[1])
+
+    lu = Distributed3DSparseLU(
+        Aloc, Grid3D(2, 2, 2),    # spans both processes' devices
+        Options(dtype="float32", block_size=16, dist_planning=True,
+                equil=Equil.NO, row_perm=RowPerm.NOROWPERM,
+                col_perm=ColPerm.NATURAL))
+    x, berr = lu.refine(b, lu.solve(b))
+    rel = float(np.abs(x - xt).max() / np.abs(xt).max())
+    assert rel < 1e-5, f"3D dist-planning err {rel}"
+    assert not calls, "global value gather ran in dist_planning mode"
+    assert len(lu.plan.init_idx) == 0
+    print(f"DIST_PLANNING_3D_OK pid={pid}", flush=True)
+""")
+
+
+def test_two_process_distributed_planning_3d(tmp_path):
+    """dist_planning is mesh-dimension agnostic (the ShardedNRLocInput
+    mixin serves both drivers): 3D grid, sharded input, no global
+    value/pattern gather."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    script = tmp_path / "worker_dp3d.py"
+    script.write_text(_WORKER_DIST_PLANNING_3D)
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), str(port)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert f"DIST_PLANNING_3D_OK pid={pid}" in out, out
