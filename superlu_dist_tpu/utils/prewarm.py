@@ -63,9 +63,19 @@ def prewarm(A, options=None, *, nrhs=(1,), refine: bool = True) -> dict:
         if refine:
             lu.refine(bk, x)
     t_solve = time.time() - t0
+    # gemm_precision="auto" factors at single-pass bf16; a serving-time
+    # refinement stall re-factors at "highest" — warm THAT variant too,
+    # so escalation never pays a cold kernel compile in production
+    t_esc = 0.0
+    if getattr(lu, "_gemm_prec_used", "highest") == "default" and \
+            getattr(lu, "_escalate_ok", False):
+        t0 = time.time()
+        lu._refactor_values("highest")
+        t_esc = time.time() - t0
     plan = lu.plan
     from ..ops.kernels.blocklu import bucket125, factor_buckets
     return dict(n=n, factor_s=round(t_factor, 2), solve_s=round(t_solve, 2),
+                escalation_warm_s=round(t_esc, 2),
                 bucket_nb=bucket125(plan.nb),
                 bucket_pool=factor_buckets(plan).poolp)
 
