@@ -623,24 +623,33 @@ class DistributedSparseLU(ShardedNRLocInput, _mh.PreprocessOnce, SparseLU):
         Wall times on a virtual CPU mesh track program structure only."""
         import time as _time
         from ..parallel import multihost as mh
-        if self._nrloc is not None and mh.process_count() > 1:
-            raise NotImplementedError(
-                "profile_levels with sharded NRLoc input is not supported")
         plan, dplan, grid = self.plan, self.dplan, self.grid
         fn = dist2d.build_dist_factor_fn(
             plan, dplan, grid, chunk=self.options.gemm_chunk,
             prefix=True)
         # rebuild the initial pools from the stored transforms (the
         # factors stay live — the profile runs on its own pool copies)
-        A3 = self._A_orig.multiply(self.row_scale[:, None]) \
-                         .multiply(self.col_scale[None, :]).tocsc()
-        A3 = A3[self.rowperm, :][self.colperm, :][:, self.colperm]
-        A3 = self._expand_A(sp.csc_matrix(A3))
-        if getattr(self, "_embed", False):
-            from .driver import _embed_csc
-            A3 = _embed_csc(A3)
-        pools0 = dist2d.init_local_pools(plan, dplan, A3, self._fdtype,
-                                         grid)
+        if self._nrloc is not None and mh.process_count() > 1:
+            # sharded input: same local-chunk exchange as _device_factor
+            # (no global A3 values on this host)
+            dev, off, val = dist2d.nrloc_entry_offsets(
+                plan, dplan, self._nrloc.chunks,
+                self.row_scale, self.col_scale, self.rowperm,
+                self.colperm, self._expand, self._n_e, self.n,
+                embed=getattr(self, "_embed", False),
+                with_identity=mh.process_index() == 0)
+            pools0 = dist2d.init_local_pools_nrloc(
+                plan, dplan, grid, dev, off, val, self._fdtype)
+        else:
+            A3 = self._A_orig.multiply(self.row_scale[:, None]) \
+                             .multiply(self.col_scale[None, :]).tocsc()
+            A3 = A3[self.rowperm, :][self.colperm, :][:, self.colperm]
+            A3 = self._expand_A(sp.csc_matrix(A3))
+            if getattr(self, "_embed", False):
+                from .driver import _embed_csc
+                A3 = _embed_csc(A3)
+            pools0 = dist2d.init_local_pools(plan, dplan, A3, self._fdtype,
+                                             grid)
         thresh = mh.replicate(grid.mesh, np.asarray(
             self._thresh(), dtype=_real_base(self.dtype)))
         nlvl = dplan.nlvl

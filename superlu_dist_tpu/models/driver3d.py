@@ -285,21 +285,29 @@ class Distributed3DSparseLU(ShardedNRLocInput, _mh.PreprocessOnce,
         slu_SCT_printComm3D role; see dist_driver.profile_levels) —
         phase-1 layer levels followed by the top levels."""
         import time as _time
-        if self._nrloc is not None and _mh.process_count() > 1:
-            raise NotImplementedError(
-                "profile_levels with sharded NRLoc input is not supported")
         plan, dplan, g = self.plan, self.dplan, self.grid
         fn = dist3d.build_dist3d_factor_fn(
             plan, dplan, g, chunk=self.options.gemm_chunk, prefix=True)
-        A3 = self._A_orig.multiply(self.row_scale[:, None]) \
-                         .multiply(self.col_scale[None, :]).tocsc()
-        A3 = A3[self.rowperm, :][self.colperm, :][:, self.colperm]
-        A3 = self._expand_A(sp.csc_matrix(A3))
-        if getattr(self, "_embed", False):
-            from .driver import _embed_csc
-            A3 = _embed_csc(A3)
-        pools0 = dist3d.init_local_pools3d(plan, dplan, A3, self._fdtype,
-                                           g)
+        if self._nrloc is not None and _mh.process_count() > 1:
+            # sharded input: local-chunk exchange (see _device_factor)
+            dev, off, val = dist3d.nrloc_entry_offsets3d(
+                plan, dplan, self._nrloc.chunks,
+                self.row_scale, self.col_scale, self.rowperm,
+                self.colperm, self._expand, self._n_e, self.n,
+                embed=getattr(self, "_embed", False),
+                with_identity=_mh.process_index() == 0)
+            pools0 = dist3d.init_local_pools3d_nrloc(
+                plan, dplan, g, dev, off, val, self._fdtype)
+        else:
+            A3 = self._A_orig.multiply(self.row_scale[:, None]) \
+                             .multiply(self.col_scale[None, :]).tocsc()
+            A3 = A3[self.rowperm, :][self.colperm, :][:, self.colperm]
+            A3 = self._expand_A(sp.csc_matrix(A3))
+            if getattr(self, "_embed", False):
+                from .driver import _embed_csc
+                A3 = _embed_csc(A3)
+            pools0 = dist3d.init_local_pools3d(plan, dplan, A3,
+                                               self._fdtype, g)
         thresh = _mh.replicate(g.mesh, np.asarray(
             self._thresh(), dtype=_real_base(self.dtype)))
         nlvl = dplan.max_p1 + dplan.ntop

@@ -330,6 +330,10 @@ _WORKER_NRLOC_REUSE = textwrap.dedent("""
     assert float(berr3.max()) < 1e-13, f"SamePattern berr {berr3}"
     assert not calls, "to_global must never run in sharded mode"
 
+    # ---- per-level profiling with sharded input (SCT analog) ----
+    rows = lu.profile_levels()
+    assert len(rows) > 0 and all("ms" in r for r in rows)
+
     # ---- checkpoint from the 2-process session (owner-gather) ----
     save_factors(lu, ckpt)
     if pid == 0:
