@@ -45,12 +45,15 @@ class ShardedNRLocInput:
         if (o.equil != Equil.NO
                 or o.row_perm not in (RowPerm.NOROWPERM, RowPerm.MY_PERMR)
                 or o.col_perm not in (ColPerm.NATURAL, ColPerm.MY_PERMC)
-                or o.ilu_level is not None):
+                or o.ilu_level is not None
+                or "complex" in str(o.dtype)):
             raise ValueError(
                 "dist_planning requires equil=NO, row_perm in "
                 "{NOROWPERM, MY_PERMR}, col_perm in {NATURAL, MY_PERMC} "
-                "and complete LU — equilibration/MC64/fill-reducing "
-                "orderings read global values (the reference's "
+                "a real dtype, and complete LU — equilibration/MC64/"
+                "fill-reducing orderings read global values, and the "
+                "complex ring embedding reshapes the block pattern "
+                "(the reference's "
                 "parallel-symbolic path has the same contract: it runs "
                 "under a ParMETIS-supplied ordering, "
                 "get_perm_c_parmetis.c:255)")
@@ -103,8 +106,10 @@ class ShardedNRLocInput:
                             if o.row_perm == RowPerm.MY_PERMR
                             and o.user_rowperm is not None
                             else np.arange(n, dtype=np.int64))
+            from ..utils.options import ColPerm as _CP
             self.colperm = (np.asarray(o.user_colperm, dtype=np.int64)
-                            if o.user_colperm is not None
+                            if o.col_perm == _CP.MY_PERMC
+                            and o.user_colperm is not None
                             else np.arange(n, dtype=np.int64))
             self.equed = DiagScale.NOEQUIL
             self._expand = None
@@ -725,6 +730,15 @@ class DistributedSparseLU(ShardedNRLocInput, _mh.PreprocessOnce, SparseLU):
         plan, dp = self.plan, self.dplan
         bs = plan.bs
         poolp = factor_buckets(plan).poolp
+        full = poolp * bs * bs * np.dtype(self._fdtype).itemsize
+        if full > 4 * 2**30:
+            # the psum-gather materializes the FULL pool on every device
+            # next to the live sharded factors — beyond ~4 GiB that OOMs
+            # the very capacity sessions checkpoints exist for
+            raise NotImplementedError(
+                f"multi-process checkpoint of a {full/2**30:.1f} GiB pool "
+                "exceeds the in-mesh gather budget — checkpoint from a "
+                "single-process session at this scale")
         nbp = bucket125(plan.nb)
         pr, pc = dp.pr, dp.pc
         mesh = self.grid.mesh

@@ -1209,7 +1209,15 @@ class SparseLU:
         return x[:, 0] if squeeze else x
 
     def solve(self, b, trans: Trans = Trans.NOTRANS) -> np.ndarray:
-        """Single LU solve (no refinement) — ``pdgstrs`` analog."""
+        """Single LU solve (no refinement) — ``pdgstrs`` analog.
+
+        Under the default ``gemm_precision="auto"`` the fused TPU
+        kernels factor with single-pass bf16 Schur GEMMs, so a RAW
+        solve is bf16-quality (~1e-3 relative) until :meth:`refine`
+        restores double-quality berr (the psgssvx_d2 design). Callers
+        that need full-precision raw solves without refinement should
+        set ``gemm_precision="highest"`` or ``iter_refine=NOREFINE``
+        (either disables the low-pass factor)."""
         self._require_factors()
         # accept the reference's integer trans_t codes (0/1/2) and the
         # letter codes too — an unrecognized value must NOT silently run
@@ -1853,6 +1861,13 @@ def save_factors(lu: SparseLU, path) -> None:
     for f in _dc.fields(lu.plan):
         v = getattr(lu.plan, f.name)
         plan_fields["plan_" + f.name] = np.asarray(v)
+    if getattr(lu, "_nrloc", None) is not None and \
+            getattr(lu.options, "dist_planning", False):
+        raise NotImplementedError(
+            "save_factors from a dist_planning session is not supported: "
+            "NO process holds the global A this checkpoint embeds for "
+            "refinement (that is the point of dist_planning) — gather "
+            "mode or a single-process session can checkpoint")
     pool, linv, uinv = lu._export_factors()   # collective on meshes
     from ..parallel import multihost as _mh
     if _mh.process_count() > 1 and _mh.process_index() != 0:

@@ -378,6 +378,12 @@ class Distributed3DSparseLU(ShardedNRLocInput, _mh.PreprocessOnce,
         plan, dp = self.plan, self.dplan
         bs = plan.bs
         poolp = factor_buckets(plan).poolp
+        full = poolp * bs * bs * np.dtype(self._fdtype).itemsize
+        if full > 4 * 2**30:
+            raise NotImplementedError(
+                f"multi-process checkpoint of a {full/2**30:.1f} GiB pool "
+                "exceeds the in-mesh gather budget — checkpoint from a "
+                "single-process session at this scale")
         mesh = self.grid.mesh
         spec = P(Z_AXIS, R_AXIS, C_AXIS)
         pz, pr, pc = self.pool.shape[:3]

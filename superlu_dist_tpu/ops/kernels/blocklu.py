@@ -254,6 +254,18 @@ def solve_buckets(plan: SymbolicPlan):
 # dense block LU (diagonal blocks)
 # ---------------------------------------------------------------------------
 
+def resolve_gemm_precision(exact: bool, precision=None) -> str:
+    """Schur-GEMM pass precision shared by the fused kernels (clk/tck/
+    flk): legacy env SLU_TPU_CLK_GEMM_PRECISION force-overrides (it
+    historically governed all three kernels), then the driver-resolved
+    ``precision``, then exactness default. Mosaic lowers DEFAULT (one
+    bf16 pass) and HIGHEST (six) only."""
+    import os
+    return (os.environ.get("SLU_TPU_CLK_GEMM_PRECISION", "")
+            or precision
+            or ("highest" if exact else "default"))
+
+
 _BASE = 8  # unrolled base-case size
 
 

@@ -253,10 +253,7 @@ def _clk_kernel(MC, S, exact, bs, precision=None):
     # one extra cheap iteration (driven by Options.gemm_precision; the
     # driver escalates back to "highest" when refinement stalls). The
     # legacy env SLU_TPU_CLK_GEMM_PRECISION still force-overrides.
-    import os
-    prec = (os.environ.get("SLU_TPU_CLK_GEMM_PRECISION", "")
-            or precision
-            or ("highest" if exact else "default"))
+    prec = _bl.resolve_gemm_precision(exact, precision)
 
     def dot(a, b):
         return jnp.dot(a, b, precision=prec,

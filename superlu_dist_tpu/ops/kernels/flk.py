@@ -434,10 +434,7 @@ def _lu_tile_blocked(X, thresh, pb: int = 32):
 def _flk_kernel(Kc, exact, nbp, bs, precision=None):
     # Schur-GEMM pass precision (see clk._clk_kernel): "high" = 3
     # bf16 passes; the diagonal LU stays "highest" (_lu_tile_blocked)
-    import os
-    prec = (os.environ.get("SLU_TPU_CLK_GEMM_PRECISION", "")
-            or precision
-            or ("highest" if exact else "default"))
+    prec = _bl.resolve_gemm_precision(exact, precision)
 
     def dot(a, b):
         return jnp.dot(a, b, precision=prec,

@@ -220,10 +220,7 @@ def build_tck_tapes(plan: SymbolicPlan, w: int = W, mc: int = MC):
 def _tck_kernel(mc, w, exact, bs, precision=None):
     # Schur-GEMM pass precision (see clk._clk_kernel): "high" = 3
     # bf16 passes; diagonal LU stays "highest" inside _lu_tile_blocked
-    import os
-    prec = (os.environ.get("SLU_TPU_CLK_GEMM_PRECISION", "")
-            or precision
-            or ("highest" if exact else "default"))
+    prec = _bl.resolve_gemm_precision(exact, precision)
     trash = w + TC
 
     def dot(a, b):

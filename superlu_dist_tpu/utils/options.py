@@ -232,7 +232,7 @@ _SPEC_FIELDS = {
     "ILU_LEVEL": ("ilu_level", int),         # ILU(k) drop level
     "ALIGN": ("align_blocks", str),          # etree-aligned blocks (auto|on|off)
     "ALIGN_MAX_INFLATE": ("align_max_inflate", float),
-    "GEMM_PRECISION": ("gemm_precision", str),  # auto | high | highest
+    "GEMM_PRECISION": ("gemm_precision", str),  # auto | bf16 | highest
     "DIST_PLANNING": ("dist_planning", _as_bool),  # sharded-pattern plans
     "ADAPT_POLICY": ("adapt_policy", str),   # auto | off (pad-ratio guard)
     "ADAPT_PAD_MAX": ("adapt_pad_max", float),

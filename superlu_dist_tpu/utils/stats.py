@@ -85,4 +85,9 @@ class Stats:
         self.peak_buffer_bytes = max(self.peak_buffer_bytes,
                                      other.peak_buffer_bytes)
         for k, v in other.counters.items():
-            self.counters[k] += v
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                self.counters[k] += v
+            else:
+                # string-valued counters (gemm_precision, adapt_*):
+                # last writer wins — summing them is a TypeError
+                self.counters[k] = v
